@@ -1,0 +1,99 @@
+"""Local replica of the driver's DuckDB oracle comparison loop.
+
+The driver runs each declared query in Spark AND its ``oracle_sql`` in DuckDB
+over the same parquet, then compares row-count + schema + order-insensitive
+value-hash. This module reproduces that check locally so keys are only
+declared after passing here (SURVEY.md §5.4).
+
+Canonicalization: sort columns by name, normalize cells to plain Python
+values, sort rows by their repr (stable for bit-identical floats), compare
+exactly. We aim for bit-equality — determinism helpers in
+``functions.determinism`` make float aggregates reduction-order-insensitive.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from .tables import TABLE_NAMES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh in-memory DuckDB with the fixture tables registered as views."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb_connect(sf_dir)
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
+        return v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None) if v.tzinfo else v
+    if v is pd.NaT:
+        return None
+    return v
+
+
+def canonical_rows(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(c.lower() for c in pdf.columns)
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda r: tuple(repr(x) for x in r))
+    return cols, rows
+
+
+def compare_frames(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> tuple[bool, str]:
+    s_cols, s_rows = canonical_rows(spark_pdf)
+    o_cols, o_rows = canonical_rows(oracle_pdf)
+    if s_cols != o_cols:
+        return False, f"column mismatch: spark={s_cols} oracle={o_cols}"
+    if len(s_rows) != len(o_rows):
+        return False, f"row-count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        if sr != orow:
+            diffs = [
+                (c, a, b) for c, a, b in zip(s_cols, sr, orow) if a != b
+            ]
+            return False, (
+                f"first differing row #{i} (of {len(s_rows)}): "
+                + "; ".join(f"{c}: spark={a!r} oracle={b!r}" for c, a, b in diffs[:5])
+            )
+    return True, f"OK ({len(s_rows)} rows, {len(s_cols)} cols)"
+
+
+def check_query(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
+    """Run the full local parity check for one declared query."""
+    return compare_frames(spark_df.toPandas(), run_oracle(oracle_sql, sf_dir))

@@ -1,0 +1,22 @@
+"""Imports every operator module so their ``@query`` registrations run.
+
+``__spark_entry__.py`` imports this module and reads the registry.
+Add new operator modules to ``_MODULES`` as they come online.
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+
+from .registry import QuerySpec, all_queries
+
+_MODULES = [
+    "billing_data_loader_spark.operators.aggregations",
+]
+
+for _m in _MODULES:
+    import_module(_m)
+
+
+def catalog() -> dict[str, QuerySpec]:
+    return all_queries()

@@ -1,0 +1,42 @@
+"""Central query registry consumed by ``__spark_entry__.py``.
+
+Each operator module registers its declared queries with :func:`query`.
+A key is only registered once it hash-matches its DuckDB oracle locally
+(SURVEY.md §2 declaration discipline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    key: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver runs rows-only check
+    tier: int
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(key: str, oracle: str | None = None, tier: int = 1):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``key``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in _REGISTRY:
+            raise ValueError(f"duplicate query key: {key}")
+        _REGISTRY[key] = QuerySpec(key=key, fn=fn, oracle=oracle, tier=tier)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)

@@ -1,0 +1,104 @@
+"""Fixture-table loaders with explicit schemas (no inference in prod paths).
+
+Schemas transcribed from FIXTURES.md (verified against parquet footers).
+Mirrors the reference's declared-DDL stance (SURVEY.md §1.1: hand-written
+ClickHouse DDL, CSV parsed against a known column list) — schema inference is
+a correctness and performance hazard at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .session import prep
+
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(
+        ("r_regionkey", T.IntegerType()),
+        ("r_name", T.StringType()),
+    ),
+    "nation": _st(
+        ("n_nationkey", T.IntegerType()),
+        ("n_name", T.StringType()),
+        ("n_regionkey", T.IntegerType()),
+    ),
+    "customer": _st(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    ),
+    "supplier": _st(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    ),
+    "part": _st(
+        ("p_partkey", T.LongType()),
+        ("p_name", T.StringType()),
+        ("p_brand", T.StringType()),
+        ("p_type", T.StringType()),
+        ("p_size", T.IntegerType()),
+        ("p_retailprice", T.DoubleType()),
+    ),
+    "orders": _st(
+        ("o_orderkey", T.LongType()),
+        ("o_custkey", T.LongType()),
+        ("o_orderstatus", T.StringType()),
+        ("o_totalprice", T.DoubleType()),
+        ("o_orderdate", T.TimestampType()),
+        ("o_orderpriority", T.StringType()),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", T.LongType()),
+        ("l_partkey", T.LongType()),
+        ("l_suppkey", T.LongType()),
+        ("l_linenumber", T.IntegerType()),
+        ("l_quantity", T.DoubleType()),
+        ("l_extendedprice", T.DoubleType()),
+        ("l_discount", T.DoubleType()),
+        ("l_tax", T.DoubleType()),
+        ("l_returnflag", T.StringType()),
+        ("l_linestatus", T.StringType()),
+        ("l_shipdate", T.TimestampType()),
+    ),
+    "events": _st(
+        ("event_id", T.LongType()),
+        ("ts", T.TimestampType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
+    ),
+    "documents": _st(
+        ("doc_id", T.LongType()),
+        ("text", T.StringType()),
+        ("lang", T.StringType()),
+        ("source", T.StringType()),
+        ("n_chars", T.LongType()),
+    ),
+    "embeddings": _st(
+        ("vec_id", T.LongType()),
+        ("embedding", T.ArrayType(T.FloatType())),
+        ("label", T.IntegerType()),
+    ),
+}
+
+TABLE_NAMES: tuple[str, ...] = tuple(SCHEMAS)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table with its declared schema (prepped session)."""
+    return prep(spark).read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
