@@ -43,9 +43,14 @@ def davg(col: Column | str, alias: str, scale: int = DEFAULT_SCALE) -> Column:
     ).alias(alias)
 
 
+def o_dsum_expr(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    """DuckDB expression (no alias) matching :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
 def o_dsum(expr: str, alias: str, scale: int = DEFAULT_SCALE) -> str:
     """DuckDB fragment matching :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) AS {alias}"
+    return f"{o_dsum_expr(expr, scale)} AS {alias}"
 
 
 def o_davg(expr: str, alias: str, scale: int = DEFAULT_SCALE) -> str:

@@ -1,0 +1,271 @@
+"""Scalar-function suites (SURVEY.md §2.7): string / date / math /
+conditional / array / explode / JSON / map-struct.
+
+All per-row JVM-side expressions (whole-stage codegen, no UDFs). Engine
+parity notes inline where Spark and DuckDB dialects differ (dayofweek
+origin, regex flavor, libm last-ulp drift on ln/exp -> rounded on both
+sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# --- fn_string_suite --------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT
+  p_partkey,
+  upper(p_name) AS name_upper,
+  substr(p_name, 1, 5) AS name_head,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+  CAST(length(p_name) AS BIGINT) AS name_len,
+  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+  (p_name LIKE '%blue%') AS is_blue,
+  trim('  ' || p_name || '  ') AS trimmed
+FROM part
+"""
+
+
+@query("fn_string_suite", oracle=_STRING_ORACLE, tier=1)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substr/concat_ws/split/length/regexp_*/like/trim on part names."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").like("%blue%").alias("is_blue"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+# --- fn_date_suite ----------------------------------------------------------
+
+# Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday. Use ISO weekday
+# (Mon=1..Sun=7): Spark weekday()+1 == DuckDB isodow().
+_DATE_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+    AS days_since_epoch_start,
+  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+  CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+  CAST(last_day(o_orderdate) AS DATE) AS month_end
+FROM orders
+"""
+
+
+@query("fn_date_suite", oracle=_DATE_ORACLE, tier=1)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/date_trunc/datediff/date_add/weekday/last_day."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_epoch_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_weekday"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+# --- fn_math_suite ----------------------------------------------------------
+
+# ln/exp differ by <=1 ulp across libm implementations -> round both sides.
+# sqrt is IEEE-correctly-rounded everywhere -> exact.
+_MATH_ORACLE = """
+SELECT
+  o_orderkey,
+  round(o_totalprice, 1) AS price_r1,
+  abs(o_totalprice - 200000) AS dist_from_200k,
+  ceil(o_totalprice / 1000) AS price_k_ceil,
+  floor(o_totalprice / 1000) AS price_k_floor,
+  o_totalprice * o_totalprice AS price_sq,
+  sqrt(o_totalprice) AS price_sqrt,
+  round(ln(o_totalprice), 6) AS price_ln,
+  CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+FROM orders
+"""
+
+
+@query("fn_math_suite", oracle=_MATH_ORACLE, tier=2)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/ln/modulo on money columns."""
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(price, 1).alias("price_r1"),
+        F.abs(price - 200000).alias("dist_from_200k"),
+        F.ceil(price / 1000).alias("price_k_ceil"),
+        F.floor(price / 1000).alias("price_k_floor"),
+        (price * price).alias("price_sq"),
+        F.sqrt(price).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+    )
+
+
+# --- fn_conditional ---------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT
+  c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'debtor'
+       WHEN c_acctbal < 5000 THEN 'standard'
+       ELSE 'premium' END AS tier,
+  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+  greatest(c_acctbal, 0.0) AS bal_floor0,
+  least(c_acctbal, 5000.0) AS bal_cap5k
+FROM customer
+"""
+
+
+@query("fn_conditional", oracle=_COND_ORACLE, tier=1)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiers / nullif / greatest / least."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debtor")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(5000.0)).alias("bal_cap5k"),
+    )
+
+
+# --- fn_array_suite ---------------------------------------------------------
+
+# Higher-order functions over the embedding vectors. Elements are float32;
+# arithmetic is done after exact widening to double so both engines compute
+# identical values. The fold sum is sequential left-to-right in both.
+_ARRAY_ORACLE = """
+SELECT
+  vec_id,
+  CAST(len(embedding) AS BIGINT) AS dim,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0) AS head3_doubled,
+  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
+    AS vec_sum,
+  len(list_filter(embedding, x -> x > 0)) AS n_positive
+FROM embeddings
+"""
+
+
+@query("fn_array_suite", oracle=_ARRAY_ORACLE, tier=2)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice + higher-order transform/filter/aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2.0
+        ).alias("head3_doubled"),
+        F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+            "n_positive"
+        ),
+    )
+
+
+# --- fn_explode_tokens ------------------------------------------------------
+
+_EXPLODE_ORACLE = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+@query("fn_explode_tokens", oracle=_EXPLODE_ORACLE, tier=1)
+def fn_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + explode + count (UDTF-shaped lateral, all built-in)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- fn_json_extract --------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type, k_bucket
+"""
+
+
+@query("fn_json_extract", oracle=_JSON_ORACLE, tier=1)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from the JSON props column (labels analog)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", (k % 10).alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- fn_map_struct ----------------------------------------------------------
+
+# Spark side exercises real map machinery (from_json -> MapType -> map_keys /
+# element access); DuckDB oracle states the expected values directly (its
+# JSON->MAP path differs, but the *values* are what parity checks).
+_MAP_ORACLE = """
+SELECT
+  event_id,
+  ['k'] AS prop_keys,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+  {'et': event_type, 'uid': user_id} AS meta,
+  event_type AS meta_et
+FROM events
+"""
+
+
+@query("fn_map_struct", oracle=_MAP_ORACLE, tier=3)
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/struct construction and access (from_json, map_keys, struct.dot)."""
+    ev = load(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,bigint>")
+    meta = F.struct(
+        F.col("event_type").alias("et"), F.col("user_id").alias("uid")
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(props_map).alias("prop_keys"),
+        F.element_at(props_map, "k").alias("k_value"),
+        meta.alias("meta"),
+        meta.getField("et").alias("meta_et"),
+    )

@@ -16,9 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import davg, dsum, o_davg, o_dsum
+from ..functions.determinism import davg, dsum, o_davg, o_dsum, o_dsum_expr
 from ..plans.registry import query
 from ..tables import load
+
+
+def _dsum_col(col, scale: int = 6):
+    """Decimal-quantized sum as a bare Column (no alias)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
 
 _Q1_CUTOFF = "1998-09-02"
 
@@ -59,4 +65,285 @@ def agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+# --- agg_count_distinct -----------------------------------------------------
+
+_CD_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_count_distinct", oracle=_CD_ORACLE, tier=1)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (expand-distinct hash agg)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- agg_conditional --------------------------------------------------------
+
+_COND_ORACLE = f"""
+SELECT
+  l_returnflag,
+  {o_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END", "qty_f")},
+  {o_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END", "qty_o")},
+  {o_dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice * (1 - l_discount) END",
+          "rev_high_disc")},
+  COUNT(CASE WHEN l_tax = 0 THEN 1 END) AS n_tax_free
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_conditional", oracle=_COND_ORACLE, tier=1)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: sum(CASE WHEN ...)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "F", qty).otherwise(0), "qty_f"),
+        dsum(F.when(F.col("l_linestatus") == "O", qty).otherwise(0), "qty_o"),
+        dsum(F.when(F.col("l_discount") > 0.05, rev), "rev_high_disc"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_tax_free"),
+    )
+
+
+# --- agg_having -------------------------------------------------------------
+
+_HAVING_ORACLE = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "total_spent")}
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 12 AND {o_dsum_expr("o_totalprice")} > 1000000
+"""
+
+
+@query("agg_having", oracle=_HAVING_ORACLE, tier=1)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spent"),
+        )
+        .filter((F.col("n_orders") > 12) & (F.col("total_spent") > 1000000))
+    )
+
+
+# --- agg_rollup -------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name,
+       GROUPING(r_name, n_name) AS gid,
+       COUNT(*) AS n_customers,
+       {o_dsum("c_acctbal", "sum_bal")}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE, tier=2)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region->nation subtotals + grand total via ROLLUP."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "sum_bal"),
+    )
+
+
+# --- agg_cube ---------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT c_mktsegment, o_orderpriority,
+       GROUPING(c_mktsegment, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE, tier=3)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, orderpriority): all 4 grouping combinations."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+# --- agg_grouping_sets ------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT c_mktsegment, o_orderstatus,
+       GROUPING(c_mktsegment, o_orderstatus) AS gid,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE, tier=3)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-segment, per-status, grand total)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    joined.createOrReplaceTempView("bdl_gsets_input")
+    return spark.sql(f"""
+        SELECT c_mktsegment, o_orderstatus,
+               CAST(grouping_id(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        FROM bdl_gsets_input
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    """)
+
+
+# --- agg_collect_sorted -----------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT o_custkey,
+       list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
+       list(o_totalprice ORDER BY o_totalprice) AS prices
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("agg_collect_sorted", oracle=_COLLECT_ORACLE, tier=2)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted value arrays (array_sort makes collect deterministic)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
+        F.array_sort(F.collect_list("o_totalprice")).alias("prices"),
+    )
+
+
+# --- agg_percentiles --------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("agg_percentiles", oracle=_PCTL_ORACLE, tier=2)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (not approx — oracle parity)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+    )
+
+
+# --- agg_stats --------------------------------------------------------------
+
+# stddev/corr are reduction-order-sensitive in both engines; instead of
+# rounding roulette, compute them from decimal-exact moments with the SAME
+# double expression on both sides -> bit-identical. (Cancellation is benign
+# at fixture magnitudes; documented tradeoff of parity over textbook
+# stability.)
+
+_STATS_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         {o_dsum_expr("value")} AS sx,
+         {o_dsum_expr("value * value")} AS sxx,
+         {o_dsum_expr("CAST(user_id AS DOUBLE)")} AS sy,
+         {o_dsum_expr("CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)")} AS syy,
+         {o_dsum_expr("value * CAST(user_id AS DOUBLE)")} AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       n,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
+       (sxx - sx * sx / n) / (n - 1) AS var_value,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         AS corr_value_user
+FROM m
+"""
+
+
+@query("agg_stats", oracle=_STATS_ORACLE, tier=2)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / variance / correlation via decimal-exact moment sums."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value")
+    y = F.col("user_id").cast("double")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum_col(x).alias("sx"),
+        _dsum_col(x * x).alias("sxx"),
+        _dsum_col(y).alias("sy"),
+        _dsum_col(y * y).alias("syy"),
+        _dsum_col(x * y).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sxx"), F.col("sy"), F.col("syy"), F.col("sxy"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_value"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_value"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_value_user"),
+    )
+
+
+# --- agg_approx_distinct ----------------------------------------------------
+
+
+@query("agg_approx_distinct", oracle=None, tier=3)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct per event type (rows-only: HLL values differ across
+    engines by design; exactness checked by agg_count_distinct)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     )

@@ -1,0 +1,262 @@
+"""Join operators (SURVEY.md §2.3).
+
+Scale stance: dimension tables (`region`, `nation`) get explicit
+``F.broadcast`` hints — at 100 TB these stay tiny and must never shuffle the
+fact side. Mid-size dims (`supplier`, `customer`) are left to AQE, which
+converts to broadcast at runtime when the built side fits; fact-fact joins
+(`lineitem`x`orders`) shuffle on the join key, which is the correct plan at
+any scale. Theta/band predicates ride as residual filters on an equi-key hash
+join — never a broadcast-nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import dsum, o_dsum, o_dsum_expr
+from ..plans.registry import query
+from ..tables import load
+
+# --- join_inner_hash --------------------------------------------------------
+
+_INNER_ORACLE = """
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@query("join_inner_hash", oracle=_INNER_ORACLE, tier=1)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders x customer (shuffle hash / SMJ by planner)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- join_broadcast_dim -----------------------------------------------------
+
+_BROADCAST_ORACLE = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@query("join_broadcast_dim", oracle=_BROADCAST_ORACLE, tier=1)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-dim lookup with explicit broadcast of the small dims."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+# --- join_star_5way ---------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT n_name, {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem, orders, customer, supplier, nation, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("join_star_5way", oracle=_Q5_ORACLE, tier=1)
+def join_star_5way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join + revenue rollup per nation."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# --- join_left_outer --------------------------------------------------------
+
+_LEFT_ORACLE = f"""
+SELECT
+  c_custkey,
+  COUNT(o_orderkey) AS n_orders,
+  COALESCE({o_dsum_expr("o_totalprice")}, 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@query("join_left_outer", oracle=_LEFT_ORACLE, tier=1)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with/without orders: left join preserves match-less rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_spent"),
+        )
+    )
+
+
+# --- join_semi / join_anti --------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderstatus = 'F' AND o_totalprice > 200000
+)
+"""
+
+
+@query("join_semi", oracle=_SEMI_ORACLE, tier=2)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left-semi join (no row multiplication, build side pruned)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti", oracle=_ANTI_ORACLE, tier=2)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- join_theta_band --------------------------------------------------------
+
+_THETA_ORACLE = f"""
+SELECT
+  p_brand,
+  COUNT(*) AS n_lines,
+  {o_dsum("l_extendedprice - p_retailprice", "sum_over_retail")}
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+GROUP BY p_brand
+"""
+
+
+@query("join_theta_band", oracle=_THETA_ORACLE, tier=2)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi+theta join: keeps the hash join, theta as residual filter."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(
+            p,
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_extendedprice") > F.col("p_retailprice")),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") - F.col("p_retailprice"),
+                "sum_over_retail",
+            ),
+        )
+    )
+
+
+# --- join_interval ----------------------------------------------------------
+
+_INTERVAL_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_lines,
+  {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderstatus
+"""
+
+
+@query("join_interval", oracle=_INTERVAL_ORACLE, tier=2)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: equi key + range predicate (ship within 90 days)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & F.col("l_shipdate").between(
+                F.col("o_orderdate"),
+                F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            ),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# --- join_cross_small -------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+"""
+
+
+@query("join_cross_small", oracle=_CROSS_ORACLE, tier=3)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of tiny dims (explicit — Spark requires crossJoin())."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    statuses = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(statuses)

@@ -1,0 +1,160 @@
+"""Projection / filter / row-level operators (SURVEY.md §2.2 + scan_parquet).
+
+These mirror the reference's transform stage (type casts, derived columns,
+row dedup for idempotency). All per-row expressions are pure double/string
+arithmetic — bit-identical across engines, no quantization needed. Filters
+and projections are written directly over the scan so Catalyst pushes
+predicates and prunes columns into the parquet reader (the property that
+matters at 100 TB: a 3-column projection must not read 11 columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# --- scan_parquet -----------------------------------------------------------
+
+_SCAN_ORACLE = "SELECT * FROM lineitem"
+
+
+@query("scan_parquet", oracle=_SCAN_ORACLE, tier=1)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan with declared schema, all columns."""
+    return load(spark, sf_dir, "lineitem")
+
+
+# --- project_compute --------------------------------------------------------
+
+_PROJECT_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) AS revenue,
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+  l_extendedprice - l_extendedprice * l_discount AS net
+FROM lineitem
+"""
+
+
+@query("project_compute", oracle=_PROJECT_ORACLE, tier=1)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived columns (the billing `net = cost - credit` analog)."""
+    li = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        (revenue * (1 + F.col("l_tax"))).alias("charge"),
+        (
+            F.col("l_extendedprice")
+            - F.col("l_extendedprice") * F.col("l_discount")
+        ).alias("net"),
+    )
+
+
+# --- filter_compound --------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity, l_discount
+FROM lineitem
+WHERE (l_returnflag = 'A' AND l_discount BETWEEN 0.02 AND 0.08)
+   OR (l_quantity IN (1, 2, 3) AND l_linestatus LIKE 'F%')
+"""
+
+
+@query("filter_compound", oracle=_FILTER_ORACLE, tier=1)
+def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/IN/BETWEEN/LIKE predicate combination, pushed to the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("l_returnflag") == "A")
+        & F.col("l_discount").between(0.02, 0.08)
+    ) | (F.col("l_quantity").isin(1, 2, 3) & F.col("l_linestatus").like("F%"))
+    return li.filter(cond).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_discount",
+    )
+
+
+# --- cast_types -------------------------------------------------------------
+
+_CAST_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date,
+  CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price_back
+FROM orders
+"""
+
+
+@query("cast_types", oracle=_CAST_ORACLE, tier=1)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transform stage: string<->date, double<->decimal casts."""
+    o = load(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(14,2)")
+    return o.select(
+        "o_orderkey",
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("order_date"),
+        price_dec.alias("price_dec"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        price_dec.cast("double").alias("price_back"),
+    )
+
+
+# --- null_handling ----------------------------------------------------------
+
+# Fixtures have no NULLs (FIXTURES.md), so nulls are injected via CASE first.
+_NULL_ORACLE = """
+SELECT
+  c_custkey,
+  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_or_zero,
+  (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL AS was_null,
+  COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, c_acctbal, 0.0) AS first_non_null
+FROM customer
+"""
+
+
+@query("null_handling", oracle=_NULL_ORACLE, tier=2)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / isNull / fill over injected NULLs."""
+    c = load(spark, sf_dir, "customer")
+    nullable = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(nullable, F.lit(0.0)).alias("bal_or_zero"),
+        nullable.isNull().alias("was_null"),
+        F.coalesce(nullable, F.col("c_acctbal"), F.lit(0.0)).alias("first_non_null"),
+    )
+
+
+# --- dedup_exact_rows -------------------------------------------------------
+
+# No duplicate rows exist at sf0.01 (FIXTURES.md), so duplicates are
+# synthesized by unioning a deterministic slice — mirrors the reference's
+# idempotent re-load guard (same file loaded twice must not double-count).
+_DEDUP_ORACLE = """
+SELECT DISTINCT * FROM (
+  SELECT * FROM orders
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey % 10 = 0
+)
+"""
+
+
+@query("dedup_exact_rows", oracle=_DEDUP_ORACLE, tier=1)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-row drop (idempotent re-load building block)."""
+    o = load(spark, sf_dir, "orders")
+    doubled = o.unionAll(o.filter(F.col("o_orderkey") % 10 == 0))
+    return doubled.distinct()

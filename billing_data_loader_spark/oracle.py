@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+from decimal import Decimal as _Decimal
 
 import duckdb
 import numpy as np
@@ -47,16 +48,26 @@ def _norm_cell(v):
         return None
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
     if isinstance(v, np.generic):
         v = v.item()
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
+    if isinstance(v, _Decimal):
+        # pandas renders DuckDB decimals as float64 but Spark's as Decimal;
+        # both convert to the identical nearest double.
+        return float(v)
     if isinstance(v, pd.Timestamp):
         if v.tzinfo is not None:
             v = v.tz_convert("UTC").tz_localize(None)
         return v.to_pydatetime()
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None) if v.tzinfo else v
+    if isinstance(v, _dt.date):
+        # DATE columns come back as datetime64 from DuckDB's fetchdf but as
+        # date objects from Spark+Arrow; compare at midnight-datetime.
+        return _dt.datetime(v.year, v.month, v.day)
     if v is pd.NaT:
         return None
     return v

@@ -12,6 +12,11 @@ from .registry import QuerySpec, all_queries
 
 _MODULES = [
     "billing_data_loader_spark.operators.aggregations",
+    "billing_data_loader_spark.operators.projections",
+    "billing_data_loader_spark.operators.joins",
+    "billing_data_loader_spark.operators.windows",
+    "billing_data_loader_spark.operators.sortsets",
+    "billing_data_loader_spark.functions.scalar_suites",
 ]
 
 for _m in _MODULES:

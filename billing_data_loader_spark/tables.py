@@ -9,6 +9,7 @@ a correctness and performance hazard at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .session import prep
@@ -72,7 +73,11 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
     "events": _st(
         ("event_id", T.LongType()),
-        ("ts", T.TimestampType()),
+        # Parquet physical type is TIMESTAMP(NANOS), which Spark's vectorized
+        # reader refuses to map to its µs TimestampType. Read as raw nanos
+        # (legacy nanosAsLong) and convert below — lossless: all fixture
+        # values are µs-aligned (verified), matching DuckDB's µs view.
+        ("ts", T.LongType()),
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),
@@ -101,4 +106,11 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema (prepped session)."""
-    return prep(spark).read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+    spark = prep(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
+        # `div` is integer division — `/` would round-trip through double and
+        # lose precision on epoch-nanos magnitudes (~1.7e18 > 2^53).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
