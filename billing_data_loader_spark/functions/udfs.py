@@ -1,0 +1,189 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.9).
+
+UDFs are the deliberate slow path: every query here exists to prove the
+Python-execution machinery (row UDF, Arrow-vectorized pandas UDF,
+grouped-map applyInPandas, grouped-agg pandas UDF, lateral UDTF) against a
+pure-SQL oracle. Production operators elsewhere in this package stay
+JVM-side; at 100 TB a pandas UDF pays one Arrow serialization round trip
+per batch, a row UDF pays one per row — never put the latter on a fact
+table.
+
+Parity notes: pandas/numpy reductions are float-order-sensitive like any
+engine, so grouped results are either quantized to integers before summing
+(half-up, matching decimal-cast rounding) or rounded on both sides.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import query
+from ..tables import load
+
+# --- udf_python_scalar ------------------------------------------------------
+
+_NORM_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(lower('  ' || upper(text) || '  '), ' +', ' ', 'g'))
+         AS norm_text
+FROM documents
+"""
+
+
+@query("udf_python_scalar", oracle=_NORM_ORACLE, tier=2)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: whitespace/case normalization (the classic
+    text-cleaning step; intentionally SQL-replicable for the oracle)."""
+
+    @F.udf(T.StringType())
+    def normalize(s: str) -> str:
+        return " ".join(s.lower().split())
+
+    d = load(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit("  "), F.upper("text"), F.lit("  "))
+    return d.select("doc_id", normalize(noisy).alias("norm_text"))
+
+
+# --- udf_pandas_scalar ------------------------------------------------------
+
+# Cosine vs the corpus centroid-ish fixed query vector (all-ones). Dot/norm
+# folds are sequential in DuckDB's list_dot_product and np.dot may reorder,
+# so both sides round to 6 decimals.
+_COS_ORACLE = """
+WITH q AS (SELECT [CAST(1.0 AS DOUBLE) FOR i IN range(64)] AS qv)
+SELECT vec_id,
+       round(
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+         / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(qv, qv))),
+         6) AS cos_to_ones
+FROM embeddings, q
+"""
+
+
+@query("udf_pandas_scalar", oracle=_COS_ORACLE, tier=2)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: batch cosine similarity to a fixed
+    query vector (numpy matmul per Arrow batch, no per-row Python)."""
+    qv = np.ones(64, dtype=np.float64)
+    qnorm = math.sqrt(float(np.dot(qv, qv)))
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_to_ones(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        dots = mat @ qv
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        return pd.Series(np.round(dots / (norms * qnorm), 6))
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", cos_to_ones("embedding").alias("cos_to_ones"))
+
+
+# --- udf_grouped_map --------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+SELECT c_custkey,
+       c_mktsegment,
+       round((c_acctbal - avg(c_acctbal) OVER w) / stddev_samp(c_acctbal) OVER w,
+             4) AS bal_z
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+"""
+
+
+@query("udf_grouped_map", oracle=_ZSCORE_ORACLE, tier=3)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-segment z-score normalization (whole
+    group as one pandas DataFrame in, transformed frame out)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "bal_z": np.round(z, 4),
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, "c_custkey bigint, c_mktsegment string, bal_z double"
+    )
+
+
+# --- udf_pandas_agg ---------------------------------------------------------
+
+# Weighted mean with inputs quantized to 1e-6 integers (half-up, matching
+# decimal-cast rounding in both engines) so the sums are order-exact.
+_WMEAN_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(value * (1 + CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DECIMAL(28,6))) AS DOUBLE)
+       / CAST(SUM(CAST(CAST(1 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS weighted_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("udf_pandas_agg", oracle=_WMEAN_ORACLE, tier=3)
+def udf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: weight-by-(1+k) mean of event value."""
+
+    @F.pandas_udf(T.DoubleType())
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        # quantize to 1e-6 with half-up to mirror DECIMAL(28,6) casts
+        num = np.floor(v.to_numpy() * w.to_numpy() * 1e6 + 0.5).astype(np.int64)
+        den = np.floor(w.to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return float((num.sum() / 1e6) / (den.sum() / 1e6))
+
+    ev = load(spark, sf_dir, "events")
+    w = (1 + F.get_json_object("props", "$.k").cast("long")).cast("double")
+    return ev.groupBy("event_type").agg(
+        wmean("value", w).alias("weighted_value")
+    )
+
+
+# --- udtf_tokenize_ordinal --------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE doc_id < 100
+"""
+
+
+@query("udtf_tokenize_ordinal", oracle=_UDTF_ORACLE, tier=3)
+def udtf_tokenize_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one input row -> N (position, token) rows via a real
+    lateral table function (not posexplode — exercises the UDTF machinery)."""
+
+    @F.udtf(returnType="pos bigint, token string")
+    class TokenizeOrdinal:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok
+
+    spark.udtf.register("bdl_tokenize_ordinal", TokenizeOrdinal)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("bdl_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM bdl_udtf_docs d, LATERAL bdl_tokenize_ordinal(d.text) t
+        """
+    )

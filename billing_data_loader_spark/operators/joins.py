@@ -11,7 +11,7 @@ join — never a broadcast-nested-loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.determinism import dsum, o_dsum, o_dsum_expr
@@ -260,3 +260,61 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").select("r_name")
     statuses = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return r.crossJoin(statuses)
+
+
+# --- join_asof_events -------------------------------------------------------
+
+# As-of join: Spark has no native primitive (SURVEY §4.2). Pattern: tag and
+# union both streams, then one pass of last(ignoreNulls) over a window
+# ordered so views sort before purchases at equal ts — the carried struct is
+# the latest view with view_ts <= purchase_ts. One shuffle on user_id; no
+# range join, no per-group loop. DuckDB oracle uses LATERAL top-1 (not ASOF
+# JOIN) so tie-breaking on (ts, event_id) is explicit and deterministic.
+_ASOF_ORACLE = """
+SELECT p.event_id, p.user_id,
+       date_diff('microsecond', v.ts, p.ts) AS micros_since_view,
+       v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT ts, event_id
+  FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+  ORDER BY v.ts DESC, v.event_id DESC
+  LIMIT 1
+) v ON TRUE
+"""
+
+
+@query("join_asof_events", oracle=_ASOF_ORACLE, tier=3)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: latest prior (or simultaneous) view for each purchase."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(F.col("ts").alias("vts"), F.col("event_id").alias("vid")),
+        ).alias("view_info"),
+    )
+    # views first at equal ts (is_purchase 0 < 1), then event_id: the frame
+    # up to current row therefore contains every view with vts <= ts.
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", is_purchase, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_view", F.last("view_info", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.col("last_view.vts"))
+        ).alias("micros_since_view"),
+        F.col("last_view.vid").alias("view_event_id"),
+    )

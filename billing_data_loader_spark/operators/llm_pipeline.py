@@ -1,0 +1,473 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.10, north-star
+mandate): dedup, similarity search, text analysis over the documents /
+embeddings corpus.
+
+Scale design (the point of these at 100 TB):
+- exact dedup: hash-groupBy — shuffle on sha256, no pairwise anything.
+- near-dup: MinHash+LSH is the scale path (candidates via band-bucket
+  equi-join, O(n) shuffle) with exact Jaccard verification only on
+  candidates; the all-pairs Jaccard operator exists as the correctness
+  yardstick and is quadratic by construction (correctness tier only).
+- kNN: brute-force cosine is the exact baseline (one broadcast of the query
+  vector, no shuffle, TakeOrdered top-k); the LSH/IVF variant lives in
+  operators/ann.py.
+- all vector arithmetic stays JVM-side via higher-order functions
+  (zip_with/aggregate fold) — verified bit-identical to DuckDB's
+  list_dot_product, no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.determinism import o_davg, o_dsum
+from ..plans.registry import query
+from ..tables import load
+
+# Fixtures have no duplicate texts at sf0.01 (FIXTURES.md) — dedup/near-dup
+# corpora synthesize copies by re-tagging a deterministic slice.
+_COPY_OFFSET = 1_000_000
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + _COPY_OFFSET
+    )
+    return d.unionAll(copies)
+
+
+_CORPUS_SQL = f"""
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+# --- ext_dedup_hash ---------------------------------------------------------
+
+_DEDUP_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT sha256(text) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY text_hash
+"""
+
+
+@query("ext_dedup_hash", oracle=_DEDUP_ORACLE, tier=2)
+def ext_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus dedup by content hash: one hash-shuffle, keep-first.
+    The 100 TB shape: shuffle keys are 32-byte digests, never the text."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    return corpus.groupBy(F.sha2("text", 256).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --- ext_knn_cosine ---------------------------------------------------------
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    """Sequential left-to-right fold — bit-identical to DuckDB's
+    list_dot_product (verified empirically on the fixtures)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+         / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(qv, qv))) AS cos_sim
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("ext_knn_cosine", oracle=_KNN_ORACLE, tier=2)
+def ext_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors of vec_id=0: broadcast the
+    query vector, score JVM-side, TakeOrdered top-k (no global sort)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    ed = _as_double(F.col("embedding"))
+    qd = F.col("qv")
+    cos = _dot(ed, qd) / (F.sqrt(_dot(ed, ed)) * F.sqrt(_dot(qd, qd)))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# --- ext_knn_per_label ------------------------------------------------------
+
+_KNN_LABEL_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT label, vec_id,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+         / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(qv, qv))) AS cos_sim
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT * FROM (
+  SELECT label, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY label ORDER BY cos_sim DESC, vec_id ASC
+         ) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@query("ext_knn_per_label", oracle=_KNN_LABEL_ORACLE, tier=3)
+def ext_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-group top-k: score once, window top-3 per label
+    (partial top-k per partition under AQE — no global sort)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    ed = _as_double(F.col("embedding"))
+    qd = F.col("qv")
+    cos = _dot(ed, qd) / (F.sqrt(_dot(ed, ed)) * F.sqrt(_dot(qd, qd)))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("label", "vec_id", cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("label").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- ext_text_stats ---------------------------------------------------------
+
+_TEXT_STATS_ORACLE = f"""
+WITH per_doc AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         {o_davg("n_chars", "avg_chars")}
+  FROM documents GROUP BY lang
+), vocab AS (
+  SELECT lang,
+         COUNT(DISTINCT token) AS vocab_size,
+         COUNT(*) AS total_tokens
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY lang
+)
+SELECT per_doc.lang, n_docs, avg_chars, vocab_size, total_tokens
+FROM per_doc JOIN vocab ON per_doc.lang = vocab.lang
+"""
+
+
+@query("ext_text_stats", oracle=_TEXT_STATS_ORACLE, tier=2)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per language: docs, mean length, vocabulary, tokens."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
+            / F.count("n_chars")
+        ).alias("avg_chars"),
+    )
+    vocab = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("token").alias("vocab_size"),
+            F.count(F.lit(1)).alias("total_tokens"),
+        )
+    )
+    return per_doc.join(vocab, "lang")
+
+
+# --- ext_tfidf --------------------------------------------------------------
+
+# Scores are ln-based; ln differs by <=1 ulp across libm implementations, so
+# ranking and output both use the 6-dp-rounded score (deterministic on both
+# sides; token breaks residual ties).
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+), n_docs AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM tok
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS docfreq FROM tok GROUP BY token
+), tf AS (
+  SELECT lang, token, COUNT(*) AS termfreq FROM tok GROUP BY lang, token
+), scored AS (
+  SELECT lang, tf.token,
+         round(termfreq * ln((n + 1.0) / (docfreq + 1.0)), 6) AS score
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n_docs
+)
+SELECT * FROM (
+  SELECT lang, token, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY score DESC, token ASC
+         ) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@query("ext_tfidf", oracle=_TFIDF_ORACLE, tier=3)
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per language — pure relational (explode, two
+    aggregations, broadcast df join, window top-k)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
+    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("docfreq"))
+    tf_tbl = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("termfreq"))
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "token",
+            F.round(
+                F.col("termfreq") * F.log((F.col("n") + 1.0) / (F.col("docfreq") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --- ext_neardup_jaccard ----------------------------------------------------
+
+# Near-dup similarity is over 3-token SHINGLES, not unigram token sets: the
+# fixture vocabulary is tiny, so unrelated documents share most unigrams
+# (unigram Jaccard >= 0.6 for ~26k pairs at sf0.01 — degenerate). Shingles
+# are the standard text near-dup unit and keep high Jaccard meaning "same
+# passage", not "same dialect".
+#
+# Quadratic all-pairs yardstick (correctness tier ONLY; the scale path is
+# ext_neardup_minhash_lsh below, whose verified output must contain every
+# pair found here — asserted in tests/test_semantics.py).
+_JACCARD_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus
+),
+tok AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS token
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.6
+"""
+
+
+def _shingles(spark_text_col=None):
+    """3-token shingle array (0-based Spark subscripts; empty if <3 tokens)."""
+    return F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2])) ELSE array() END"
+    )
+
+
+def _shingle_tokens(corpus: DataFrame) -> DataFrame:
+    return corpus.select(
+        "doc_id", "lang", F.explode(_shingles()).alias("token")
+    ).distinct()
+
+
+@query("ext_neardup_jaccard", oracle=_JACCARD_ORACLE, tier=3)
+def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shingle-set Jaccard >= 0.6 within a language (exact integer
+    counts; double division is bit-exact on both engines)."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    tok = _shingle_tokens(corpus)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# --- ext_neardup_minhash_lsh ------------------------------------------------
+
+_N_HASHES = 32
+# 16 bands of 2: candidate prob at jaccard 0.6 is 1-(1-0.36)^16 ≈ 0.9992 —
+# recall-heavy banding is correct when an exact verification pass follows
+# (precision comes from the verifier, recall must come from the bands).
+_BAND_SIZE = 2
+
+
+@query("ext_neardup_minhash_lsh", oracle=None, tier=3)
+def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup at scale: seeded xxhash64 family -> per-band
+    signatures -> candidate pairs via band-bucket equi-join -> exact Jaccard
+    verification on candidates only. Deterministic (fixed seeds) but not
+    SQL-expressible in DuckDB (no xxhash64) -> rows-only check; tests assert
+    candidates ⊇ the exact all-pairs result.
+
+    100 TB shape: shuffles are (shingle-explode x 32 seeds) then
+    (band, signature) — both O(corpus tokens), never O(n^2) pairs.
+    """
+    corpus = _corpus_with_dups(spark, sf_dir)
+    tok = _shingle_tokens(corpus)
+
+    seeds = F.array([F.lit(s) for s in range(_N_HASHES)])
+    minh = (
+        tok.select(
+            "doc_id", "lang", "token", F.explode(seeds).alias("seed")
+        )
+        .groupBy("doc_id", "lang", "seed")
+        .agg(
+            F.min(
+                F.xxhash64(F.concat_ws("#", F.col("token"), F.col("seed")))
+            ).alias("minh")
+        )
+    )
+    bands = (
+        minh.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "lang", "band")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(":", F.col("seed"), F.col("minh"))
+                        )
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact verification on candidates only
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("token"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("token"))
+    common = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# --- ext_multimodal_schema --------------------------------------------------
+
+_MM_ORACLE = """
+SELECT d.doc_id, d.lang, d.n_chars, e.label, e.embedding
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@query("ext_multimodal_schema", oracle=_MM_ORACLE, tier=3)
+def ext_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pairing: text metadata joined with vector payloads; the
+    ArrayType(Float) column must survive the join loss-free."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", "embedding"
+    )

@@ -17,6 +17,11 @@ _MODULES = [
     "billing_data_loader_spark.operators.windows",
     "billing_data_loader_spark.operators.sortsets",
     "billing_data_loader_spark.functions.scalar_suites",
+    "billing_data_loader_spark.functions.udfs",
+    "billing_data_loader_spark.operators.llm_pipeline",
+    "billing_data_loader_spark.sources.connectors",
+    "billing_data_loader_spark.sources.clickhouse",
+    "billing_data_loader_spark.streaming.jobs",
 ]
 
 for _m in _MODULES:

@@ -1,0 +1,164 @@
+"""Source/sink connectors (SURVEY.md §2.1) — the reference's actual ETL
+surface re-expressed Spark-first.
+
+The reference is: billing CSV lands in object storage -> parse with declared
+schema -> idempotent partition load -> ClickHouse (SURVEY §1.1, [R-HIGH]).
+Here: CSV/JSONL scans with explicit schemas, partitioned parquet sink
+mirroring ClickHouse ``PARTITION BY toYYYYMM(date)``, and dynamic partition
+overwrite as the idempotent re-load primitive.
+
+Write targets live under a deterministic scratch dir per scale factor; every
+sink query is a write-then-readback so the driver's compare sees the data
+that actually landed (round-trip check, not a write-and-trust).
+
+Scale: partitioned writes shard by (year, month) — at 100 TB that is the
+partition-pruning axis for downstream scans AND the idempotency grain;
+dynamic overwrite rewrites only dirty partitions, never the table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import o_dsum
+from ..plans.registry import query
+from ..tables import SCHEMAS, load
+
+_SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "bdl_spark_scratch")
+
+
+def scratch_dir(sf_dir: str, name: str) -> str:
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(_SCRATCH_ROOT, tag, name)
+
+
+# --- scan_csv_schema --------------------------------------------------------
+
+_CSV_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+_CSV_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+"""
+
+
+@query("scan_csv_schema", oracle=_CSV_ORACLE, tier=2)
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's extract stage: CSV with header + declared schema +
+    timestamp parsing. Round-trip: export orders to CSV, re-read, compare
+    against the original table. Doubles survive via shortest-roundtrip repr.
+    """
+    out = scratch_dir(sf_dir, "orders_csv")
+    load(spark, sf_dir, "orders").write.mode("overwrite").option(
+        "header", True
+    ).option("timestampFormat", _CSV_TS_FMT).csv(out)
+    return (
+        spark.read.schema(SCHEMAS["orders"])
+        .option("header", True)
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(out)
+    )
+
+
+# --- scan_jsonl -------------------------------------------------------------
+
+_JSONL_ORACLE = """
+SELECT event_id, event_type, value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+@query("scan_jsonl", oracle=_JSONL_ORACLE, tier=2)
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with declared schema (labels/props analog):
+    export events as JSONL (props stays a nested object), re-read, flatten."""
+    out = scratch_dir(sf_dir, "events_jsonl")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.from_json("props", "struct<k:bigint>").alias("props"),
+    )
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id bigint, event_type string, value double, props struct<k:bigint>"
+    ).json(out)
+    return back.select(
+        "event_id", "event_type", "value", F.col("props.k").alias("k")
+    )
+
+
+# --- sink_parquet_partitioned ----------------------------------------------
+
+_PART_SINK_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY order_year, order_month
+"""
+
+
+@query("sink_parquet_partitioned", oracle=_PART_SINK_ORACLE, tier=2)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write mirroring ClickHouse PARTITION BY toYYYYMM(date):
+    write orders sharded by (year, month), read back, aggregate per
+    partition — proves partition columns survive the round trip."""
+    out = scratch_dir(sf_dir, "orders_partitioned")
+    o = load(spark, sf_dir, "orders").withColumns(
+        {
+            "order_year": F.year("o_orderdate").cast("long"),
+            "order_month": F.month("o_orderdate").cast("long"),
+        }
+    )
+    o.write.mode("overwrite").partitionBy("order_year", "order_month").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("order_year", "order_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias(
+            "sum_price"
+        ),
+    )
+
+
+# --- sink_idempotent_overwrite ----------------------------------------------
+
+_IDEMPOTENT_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+GROUP BY order_year
+"""
+
+
+@query("sink_idempotent_overwrite", oracle=_IDEMPOTENT_ORACLE, tier=2)
+def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader's key semantic: re-loading one partition must not
+    double-count (billing exports are re-emitted). Dynamic partition
+    overwrite: full load, then re-load year 1996 TWICE; readback must equal
+    the source exactly — the oracle is the untouched orders table."""
+    out = scratch_dir(sf_dir, "orders_idempotent")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    reload_slice = o.filter(F.col("order_year") == 1996)
+    for _ in range(2):  # replayed export file
+        reload_slice.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias(
+            "sum_price"
+        ),
+    )

@@ -1,0 +1,259 @@
+"""Streaming operators (SURVEY.md §2.8).
+
+The reference is trigger-driven micro-batch (object-storage event -> function
+run); the honest Spark analog is Structured Streaming with a file source and
+``Trigger.AvailableNow``. Strategy per SURVEY: each windowed aggregation is
+implemented ONCE as a batch query (hash-checked against DuckDB), and the
+same logic re-runs as a stream whose result must equal the batch result
+(exactly-once replay), so stream_* keys split into:
+
+- batch-form keys (SQL oracle): stream_tumbling_1h, stream_sliding,
+  stream_session_window
+- true-streaming keys (rows-only; semantics not batch-expressible):
+  stream_availablenow_replay, stream_watermark_late, stream_dedup_watermark
+
+Scale: windowed streaming aggs keep state per (window, key) in the state
+store; watermarks bound that state — without one, 100 TB of history pins
+executor memory. Checkpoint dirs are per-run temp dirs here; on a cluster
+they live on DBFS/HDFS/S3.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import o_dsum
+from ..plans.registry import query
+from ..tables import SCHEMAS, load
+
+_DEC = "decimal(28,6)"
+
+# --- stream_tumbling_1h (batch form; re-run as stream in replay below) ------
+
+_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+def _tumbling_agg(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("stream_tumbling_1h", oracle=_TUMBLING_ORACLE, tier=2)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling count+sum per event type (batch form)."""
+    return _tumbling_agg(load(spark, sf_dir, "events"))
+
+
+# --- stream_sliding ---------------------------------------------------------
+
+# Spark hop windows starting every 15 min == union of 4 offset time_buckets.
+_SLIDING_ORACLE = f"""
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts - INTERVAL (o.off) MINUTE)
+           + INTERVAL (o.off) MINUTE AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 15, 30, 45]) AS off) o
+)
+GROUP BY window_start, event_type
+"""
+
+
+@query("stream_sliding", oracle=_SLIDING_ORACLE, tier=3)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (each event in 4 windows)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- stream_session_window --------------------------------------------------
+
+# Session = events of one user with gaps < 30 min; window end = last + gap.
+# Oracle: gaps-and-islands (lag + cumulative new-session flag).
+_SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_window", oracle=_SESSION_ORACLE, tier=3)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- true-streaming helpers -------------------------------------------------
+
+
+def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream with the events schema (nanos handled as in
+    tables.load). The file source requires a directory, so the single
+    fixture file is staged into a scratch dir (the 'landing bucket')."""
+    landing = tempfile.mkdtemp(prefix="bdl_landing_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(landing)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Drive a streaming query to completion synchronously (availableNow)
+    into a memory sink; returns the sink table as a batch DataFrame."""
+    ckpt = tempfile.mkdtemp(prefix=f"bdl_ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+# --- stream_availablenow_replay ---------------------------------------------
+
+
+@query("stream_availablenow_replay", oracle=_TUMBLING_ORACLE, tier=3)
+def stream_availablenow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader's idempotency contract: an incremental file-source replay
+    of the tumbling aggregation must equal the batch result exactly — same
+    oracle as stream_tumbling_1h, but computed through readStream +
+    Trigger.AvailableNow + checkpointed state."""
+    ev = _read_stream_events(spark, sf_dir)
+    agg = _tumbling_agg(ev)
+    return _run_to_memory(agg, "bdl_replay_tumbling", "complete")
+
+
+# --- stream_watermark_late --------------------------------------------------
+
+
+@query("stream_watermark_late", oracle=None, tier=3)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data drop across three micro-batches: days 1-15,
+    then days 16-30 (advances the watermark and evicts/finalizes the day-1
+    windows), then a replayed day-1 slice. Spark's guarantee is that late
+    rows for EVICTED state are dropped (numRowsDroppedByWatermark) — the
+    replay must neither duplicate emitted windows nor change their counts.
+    Not batch-expressible -> rows-only; tests assert both properties."""
+    src = tempfile.mkdtemp(prefix="bdl_late_src_")
+    ev = load(spark, sf_dir, "events")
+    batches = [
+        ev.filter(F.dayofmonth("ts").between(1, 15)),
+        ev.filter(F.dayofmonth("ts") >= 16),
+        ev.filter(F.dayofmonth("ts") == 1),  # late replay, state evicted
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # file-source orders micro-batches by mod time
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return _run_to_memory(agg, "bdl_watermark_late", "append")
+
+
+# --- stream_dedup_watermark -------------------------------------------------
+
+
+@query("stream_dedup_watermark", oracle=None, tier=3)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup within the watermark: the same export file arrives
+    twice (the reference's re-emitted billing export); per-key state drops
+    every second copy. Output counts per event_type == distinct counts."""
+    src = tempfile.mkdtemp(prefix="bdl_dedup_src_")
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{src}/copy=0")
+    ev.coalesce(1).write.mode("append").parquet(f"{src}/copy=1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/copy=*")
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return _run_to_memory(agg, "bdl_dedup_watermark", "complete")
