@@ -42,12 +42,12 @@ def main() -> None:
     specs = catalog()
 
     # warmup: JVM + codegen + parquet footer caches
-    specs["agg_q1_pricing"].fn(spark, sf_dir).collect()
+    specs["agg_q1_pricing"].fn(spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for key in sorted(specs):
         t0 = time.perf_counter()
-        specs[key].fn(spark, sf_dir).collect()
+        specs[key].fn(spark, sf_dir).toPandas()
         timings[key] = round(time.perf_counter() - t0, 4)
 
     headline = sum(v for k, v in timings.items() if k not in _NON_HEADLINE)

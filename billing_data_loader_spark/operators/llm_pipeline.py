@@ -377,39 +377,42 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible in DuckDB (no xxhash64) -> rows-only check; tests assert
     candidates ⊇ the exact all-pairs result.
 
-    100 TB shape: shuffles are (shingle-explode x 32 seeds) then
-    (band, signature) — both O(corpus tokens), never O(n^2) pairs.
+    100 TB shape: ONE shuffle of distinct shingles computes all 32 minhashes
+    as parallel min() aggregates (no 32x row explode), then band signatures
+    derive from the 1-row-per-doc signature matrix; the candidate join is
+    O(docs x bands), never O(n^2) pairs.
     """
     corpus = _corpus_with_dups(spark, sf_dir)
     tok = _shingle_tokens(corpus)
 
-    seeds = F.array([F.lit(s) for s in range(_N_HASHES)])
-    minh = (
-        tok.select(
-            "doc_id", "lang", "token", F.explode(seeds).alias("seed")
-        )
-        .groupBy("doc_id", "lang", "seed")
-        .agg(
+    sig = tok.groupBy("doc_id", "lang").agg(
+        *[
             F.min(
-                F.xxhash64(F.concat_ws("#", F.col("token"), F.col("seed")))
-            ).alias("minh")
-        )
+                F.xxhash64(F.concat_ws("#", F.col("token"), F.lit(str(s))))
+            ).alias(f"h{s}")
+            for s in range(_N_HASHES)
+        ]
     )
-    bands = (
-        minh.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "lang", "band")
-        .agg(
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_sigs = F.array(
+        *[
             F.xxhash64(
                 F.concat_ws(
-                    ",",
-                    F.array_sort(
-                        F.collect_list(
-                            F.concat_ws(":", F.col("seed"), F.col("minh"))
-                        )
-                    ),
+                    ":",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"h{b * _BAND_SIZE + r}")
+                        for r in range(_BAND_SIZE)
+                    ],
                 )
-            ).alias("band_sig")
-        )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        "lang",
+        F.posexplode(band_sigs).alias("band", "band_sig"),
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -1,0 +1,329 @@
+"""Text-analysis operators for training-data pipelines (north-star mandate):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure relational/HOF plans (no UDFs): at 100 TB these run inside
+whole-stage codegen over the documents scan, shuffling only small per-lang /
+per-token aggregates. Signatures (language vocab, stopword lists) are built
+from the corpus itself, deterministically, and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# --- ext_lang_id ------------------------------------------------------------
+
+# N-gram-free heuristic suited to the whitespace-token fixture: per-language
+# signature = top-20 tokens by frequency (count desc, token asc); classify a
+# doc by which signature overlaps most of its tokens (ties -> lang asc).
+_LANG_ID_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+), sig AS (
+  SELECT lang AS sig_lang, token FROM (
+    SELECT lang, token, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY COUNT(*) DESC, token ASC
+    ) AS rn
+    FROM tok GROUP BY lang, token
+  ) WHERE rn <= 20
+), doc_tok AS (
+  SELECT DISTINCT doc_id, lang, token FROM tok
+), overlap AS (
+  SELECT doc_id, any_value(lang) AS true_lang, sig_lang, COUNT(*) AS n_hits
+  FROM doc_tok JOIN sig USING (token)
+  GROUP BY doc_id, sig_lang
+)
+SELECT doc_id, true_lang, pred_lang, (pred_lang = true_lang) AS is_correct
+FROM (
+  SELECT doc_id, true_lang, sig_lang AS pred_lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY n_hits DESC, sig_lang ASC
+         ) AS rn
+  FROM overlap
+) WHERE rn = 1
+"""
+
+
+@query("ext_lang_id", oracle=_LANG_ID_ORACLE, tier=3)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via per-language top-20 token signatures."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    sig_w = W.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    sig = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(sig_w))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("sig_lang"), "token")
+    )
+    doc_tok = tok.distinct()
+    overlap = (
+        doc_tok.join(F.broadcast(sig), "token")
+        .groupBy("doc_id", "sig_lang")
+        .agg(
+            F.any_value(F.col("lang")).alias("true_lang"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    pick_w = W.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("sig_lang").asc()
+    )
+    return (
+        overlap.withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("sig_lang").alias("pred_lang"),
+            (F.col("sig_lang") == F.col("true_lang")).alias("is_correct"),
+        )
+    )
+
+
+# --- ext_quality_score ------------------------------------------------------
+
+# Stopwords = global top-10 tokens (deterministic). All ratios are exact
+# integer divisions -> bit-identical doubles on both engines.
+_QUALITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), stop AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= 10
+), per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(DISTINCT t.token) AS n_distinct,
+         COUNT(*) FILTER (t.token IN (SELECT token FROM stop)) AS n_stop
+  FROM tok t GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       n_tokens,
+       CAST(d.n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+       0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+       + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens) AS quality_score
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+"""
+
+
+@query("ext_quality_score", oracle=_QUALITY_ORACLE, tier=3)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality: length, lexical diversity, stopword ratio,
+    combined score (the filter stage of a pretraining pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    stop_w = W.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    stop = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(stop_w))
+        .filter(F.col("rn") <= 10)
+        .select("token", F.lit(True).alias("is_stop"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(stop), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct"),
+            F.count(F.col("is_stop")).alias("n_stop"),
+        )
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    n_stop = F.col("n_stop").cast("double")
+    n_dist = F.col("n_distinct").cast("double")
+    return per_doc.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("n_chars") - (F.col("n_tokens") - 1)).cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        (n_dist / n_tok).alias("type_token_ratio"),
+        (
+            0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+            + 0.3 * (1.0 - n_stop / n_tok)
+            + 0.3 * (n_dist / n_tok)
+        ).alias("quality_score"),
+    )
+
+
+# --- ext_token_count --------------------------------------------------------
+
+# Whitespace tokens + a BPE-ish subword proxy (greedy <=4-char alpha chunks)
+# + the chars/4 heuristic — the three standard "how many tokens is this
+# corpus" estimators.
+_TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS subword_tokens,
+       CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS chars_div4
+FROM documents
+"""
+
+
+@query("ext_token_count", oracle=_TOKEN_COUNT_ORACLE, tier=3)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex, chars/4."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]{1,4}")).cast("long").alias(
+            "subword_tokens"
+        ),
+        F.ceil(F.col("n_chars").cast("double") / 4.0).cast("long").alias(
+            "chars_div4"
+        ),
+    )
+
+
+# --- ext_doc_fingerprint ----------------------------------------------------
+
+# Rolling-hash fingerprinting: polynomial hash (base 31 mod 2^31-1) of each
+# 3-token shingle's characters, then a min-k sketch (8 smallest distinct
+# hashes, sorted) as the document fingerprint. Integer arithmetic throughout
+# -> SQL-expressible and bit-exact. Exact duplicates share fingerprints;
+# heavily overlapping docs share most sketch entries.
+_FP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingle AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS sh
+  FROM toks
+), hashed AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS h
+  FROM shingle
+), ranked AS (
+  SELECT doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn
+  FROM hashed
+)
+SELECT doc_id,
+       list(h ORDER BY h) AS fingerprint,
+       MIN(h) AS fp_min
+FROM ranked WHERE rn <= 8
+GROUP BY doc_id
+"""
+
+
+@query("ext_doc_fingerprint", oracle=_FP_ORACLE, tier=3)
+def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k sketch of rolling polynomial shingle hashes per document."""
+    d = load(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "transform(sequence(0, size(split(text, ' ')) - 3), "
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+        "split(text, ' ')[i+2])) ELSE array() END"
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("sh")).distinct()
+    # polynomial rolling hash over characters, reduce-style (first code is
+    # the init, like DuckDB's list_reduce)
+    h = F.expr(
+        "aggregate(slice(transform(split(sh, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        "2, size(split(sh, '')) - 1), "
+        "transform(split(sh, ''), c -> CAST(ascii(c) AS BIGINT))[0], "
+        "(a, b) -> (a * 31 + b) % 2147483647)"
+    )
+    hashed = sh.select("doc_id", h.alias("h")).distinct()
+    w = W.partitionBy("doc_id").orderBy(F.col("h").asc())
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("h")).alias("fingerprint"),
+            F.min("h").alias("fp_min"),
+        )
+    )
+
+
+# --- ext_neardup_simhash ----------------------------------------------------
+
+
+@query("ext_neardup_simhash", oracle=None, tier=3)
+def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature from shingle xxhash64 bit votes;
+    candidates share one of four 16-bit chunks (pigeonhole: hamming <= 3
+    guarantees a shared chunk), verified by exact hamming distance <= 3.
+    xxhash64 has no DuckDB equivalent -> rows-only; tests assert exact
+    duplicates land at hamming 0 and are all found.
+
+    100 TB shape: signature build is one shuffle of shingles; the candidate
+    join keys on (chunk_id, chunk_value) — O(docs x 4), never O(n^2)."""
+    from .llm_pipeline import _corpus_with_dups, _shingle_tokens
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    tok = _shingle_tokens(corpus)
+    h = F.xxhash64("token")
+    # bit vote: sum over shingles of +-1 per bit; bit set if sum > 0
+    votes = tok.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0)
+            * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
+        )
+    signed = votes.select("doc_id", "lang", sim.alias("simhash"))
+    chunks = signed.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{c}")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 3)

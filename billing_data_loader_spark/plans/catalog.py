@@ -19,6 +19,9 @@ _MODULES = [
     "billing_data_loader_spark.functions.scalar_suites",
     "billing_data_loader_spark.functions.udfs",
     "billing_data_loader_spark.operators.llm_pipeline",
+    "billing_data_loader_spark.operators.text_analysis",
+    "billing_data_loader_spark.operators.ann",
+    "billing_data_loader_spark.operators.multimodal",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",

@@ -17,6 +17,9 @@ Scale notes (100 TB design intent, tested on local[32]):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -31,6 +34,20 @@ _RUNTIME_CONF = {
 }
 
 
+def _package_zip() -> str:
+    """Zip this package so Spark Python workers can import it regardless of
+    the driver process's cwd (UDF/mapInPandas closures reference
+    module-level helpers, which pickle BY REFERENCE and are re-imported in
+    the worker). On a real cluster this is exactly `--py-files`."""
+    pkg_root = Path(__file__).resolve().parent
+    out = Path(tempfile.gettempdir()) / f"bdl_pkg_{os.getpid()}.zip"
+    if not out.exists():
+        with zipfile.ZipFile(out, "w") as zf:
+            for py in sorted(pkg_root.rglob("*.py")):
+                zf.write(py, f"{pkg_root.name}/{py.relative_to(pkg_root)}")
+    return str(out)
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Apply runtime configs to an existing session (driver's or ours)."""
     for key, value in _RUNTIME_CONF.items():
@@ -38,6 +55,9 @@ def prep(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # not runtime-settable on this build; builder default applies
+    if not getattr(spark, "_bdl_pyfiles_added", False):
+        spark.sparkContext.addPyFile(_package_zip())
+        spark._bdl_pyfiles_added = True  # noqa: SLF001 - per-session marker
     return spark
 
 
