@@ -60,23 +60,106 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+_EMB_THRESHOLD = 0.95
+_EMB_BLOCK_ROWS = 1024  # target rows per block; B×B numpy tile per task
+
+
+def _pairwise_block(pdf):
+    """One block-pair task: numpy matmul prefilter (epsilon margin), then an
+    exact sequential-fold recompute of survivors so the emitted cos_sim is
+    bit-identical to DuckDB's left-to-right ``list_dot_product`` fold."""
+    import numpy as np
+    import pandas as pd
+
+    def _seq_cos(x, y):
+        # IEEE754 left fold, same op order as the SQL oracle's fold.
+        dot = 0.0
+        nx = 0.0
+        ny = 0.0
+        for a, b in zip(x, y):
+            dot += a * b
+            nx += a * a
+            ny += b * b
+        return dot / ((nx ** 0.5) * (ny ** 0.5))
+
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+    )
+    sa = pdf[pdf["side"] == 0]
+    sb = pdf[pdf["side"] == 1]
+    if sa.empty:
+        return empty
+    ida = sa["vec_id"].to_numpy()
+    ma = np.stack(sa["v"].to_numpy())
+    ma = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+    if sb.empty:
+        # diagonal task: within-block upper triangle of one matrix
+        sims = ma @ ma.T
+        ii, jj = np.nonzero(np.triu(sims >= _EMB_THRESHOLD - 1e-9, k=1))
+        idb, vb = ida, sa["v"]
+    else:
+        # cross-block task: every block holds disjoint vec_ids, so each
+        # unordered pair appears exactly once; order is normalized below
+        idb = sb["vec_id"].to_numpy()
+        mb = np.stack(sb["v"].to_numpy())
+        mb = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        ii, jj = np.nonzero(ma @ mb.T >= _EMB_THRESHOLD - 1e-9)
+        vb = sb["v"]
+    rows = []
+    va = sa["v"]
+    for i, j in zip(ii, jj):
+        c = _seq_cos(va.iat[int(i)], vb.iat[int(j)])
+        if c >= _EMB_THRESHOLD:
+            lo, hi = sorted((int(ida[i]), int(idb[j])))
+            rows.append((lo, hi, c))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"]).astype(
+        {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+    )
+
+
 @query("ext_neardup_embedding", oracle=_EMB_DUP_ORACLE, tier=3)
 def ext_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs with cosine >= 0.95 (exact
-    baseline; the LSH/IVF cell join below is the scale path)."""
+    """Embedding-cosine near-dup: all pairs with cosine >= 0.95, by blocked
+    matrix multiply — the exact-all-pairs shape that survives scale-up.
+
+    The corpus is split into ~1024-row blocks; each of the m(m+1)/2 block
+    pairs is one task whose B×B similarity tile is a single BLAS matmul
+    inside ``applyInPandas``. Shuffle volume is n·(m+1) vectors (each block
+    joins every other once), tasks are embarrassingly parallel, and no task
+    ever materializes the n² pair set — at 100 TB you'd put an LSH/IVF
+    candidate filter in front, but the per-tile kernel stays this one.
+    Survivor pairs are re-verified with a sequential fold so values stay
+    bit-identical to the DuckDB oracle."""
     e = load(spark, sf_dir, "embeddings")
     corpus = e.select("vec_id", "embedding").unionAll(
         e.filter(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "embedding"
         )
     )
-    v = corpus.select("vec_id", _as_double("embedding").alias("v"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _cos(F.col("va"), F.col("vb"))
-    return pairs.select("vec_a", "vec_b", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= 0.95
+    n = corpus.count()
+    m = max(1, -(-n // _EMB_BLOCK_ROWS))
+    v = corpus.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)).alias("blk"),
+    )
+
+    # (pair_id, blk, side) task table: diagonal tasks carry one side only
+    # (within-block upper triangle); off-diagonal tasks one block per side.
+    rows = []
+    for i in range(m):
+        rows.append((i * m + i, i, 0))
+        for j in range(i + 1, m):
+            rows.append((i * m + j, i, 0))
+            rows.append((i * m + j, j, 1))
+    task_df = spark.createDataFrame(rows, "pair_id int, blk int, side int")
+    replicated = v.join(F.broadcast(task_df), "blk").select(
+        "pair_id", "side", "vec_id", "v"
+    )
+    return replicated.groupBy("pair_id").applyInPandas(
+        _pairwise_block, "vec_a long, vec_b long, cos_sim double"
     )
 
 

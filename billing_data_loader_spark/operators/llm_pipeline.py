@@ -310,19 +310,21 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.6
 """
 
 
-def _shingles(spark_text_col=None):
-    """3-token shingle array (0-based Spark subscripts; empty if <3 tokens)."""
-    return F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-        "split(text, ' ')[i+2])) ELSE array() END"
-    )
+_SHINGLES_FROM_T = (
+    "CASE WHEN size(t) >= 3 THEN "
+    "transform(sequence(0, size(t) - 3), "
+    "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) ELSE array() END"
+)
 
 
 def _shingle_tokens(corpus: DataFrame) -> DataFrame:
-    return corpus.select(
-        "doc_id", "lang", F.explode(_shingles()).alias("token")
+    """3-token shingle set per doc. `split` is materialized as a column FIRST
+    so the per-shingle lambda reads an attribute, not a re-evaluated split —
+    the naive inline form re-splits the whole text per output element, which
+    is O(tokens²) per document and dominated the sf0.1 bench."""
+    toks = corpus.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    return toks.select(
+        "doc_id", "lang", F.explode(F.expr(_SHINGLES_FROM_T)).alias("token")
     ).distinct()
 
 

@@ -227,23 +227,25 @@ GROUP BY doc_id
 @query("ext_doc_fingerprint", oracle=_FP_ORACLE, tier=3)
 def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-k sketch of rolling polynomial shingle hashes per document."""
+    from .llm_pipeline import _SHINGLES_FROM_T
+
     d = load(spark, sf_dir, "documents")
-    shingles = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "transform(sequence(0, size(split(text, ' ')) - 3), "
-        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-        "split(text, ' ')[i+2])) ELSE array() END"
-    )
-    sh = d.select("doc_id", F.explode(shingles).alias("sh")).distinct()
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_FROM_T)).alias("sh")
+    ).distinct()
     # polynomial rolling hash over characters, reduce-style (first code is
-    # the init, like DuckDB's list_reduce)
+    # the init, like DuckDB's list_reduce); char codes materialized once per
+    # shingle, not once per reduce step
+    codes = sh.select(
+        "doc_id",
+        F.expr("transform(split(sh, ''), c -> CAST(ascii(c) AS BIGINT))").alias("cs"),
+    )
     h = F.expr(
-        "aggregate(slice(transform(split(sh, ''), c -> CAST(ascii(c) AS BIGINT)), "
-        "2, size(split(sh, '')) - 1), "
-        "transform(split(sh, ''), c -> CAST(ascii(c) AS BIGINT))[0], "
+        "aggregate(slice(cs, 2, size(cs) - 1), cs[0], "
         "(a, b) -> (a * 31 + b) % 2147483647)"
     )
-    hashed = sh.select("doc_id", h.alias("h")).distinct()
+    hashed = codes.select("doc_id", h.alias("h")).distinct()
     w = W.partitionBy("doc_id").orderBy(F.col("h").asc())
     return (
         hashed.withColumn("rn", F.row_number().over(w))
