@@ -385,13 +385,16 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs x bands), never O(n^2) pairs.
     """
     corpus = _corpus_with_dups(spark, sf_dir)
-    tok = _shingle_tokens(corpus)
+    # hash the shingle string ONCE; the 32-member family then hashes the
+    # fixed-width (long, seed) pair — avoids 32 string concats + 32
+    # variable-length string hashes per shingle row
+    tok = _shingle_tokens(corpus).select(
+        "doc_id", "lang", F.xxhash64("token").alias("th")
+    )
 
     sig = tok.groupBy("doc_id", "lang").agg(
         *[
-            F.min(
-                F.xxhash64(F.concat_ws("#", F.col("token"), F.lit(str(s))))
-            ).alias(f"h{s}")
+            F.min(F.xxhash64("th", F.lit(s))).alias(f"h{s}")
             for s in range(_N_HASHES)
         ]
     )
@@ -432,13 +435,14 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact verification on candidates only
+    # exact verification on candidates only — shingle identity is carried by
+    # its 64-bit hash, so the intersection join keys on a long, not a string
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("token"))
-    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("token"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("th"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("th"))
     common = (
         candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
+        .join(tb, ["doc_b", "th"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

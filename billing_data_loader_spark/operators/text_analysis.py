@@ -274,21 +274,28 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _corpus_with_dups, _shingle_tokens
 
     corpus = _corpus_with_dups(spark, sf_dir)
-    tok = _shingle_tokens(corpus)
-    h = F.xxhash64("token")
-    # bit vote: sum over shingles of +-1 per bit; bit set if sum > 0
+    # hash each shingle ONCE, then vote on bits of the materialized long —
+    # inlining xxhash64 into the 64 aggregate expressions re-hashes the
+    # string per bit (64x string hashing; dominated the sf0.1 bench)
+    tok = _shingle_tokens(corpus).select(
+        "doc_id", "lang", F.xxhash64("token").alias("h")
+    )
+    # bit vote: sum over shingles of +-1 per bit == 2*sum(bit) - count, so a
+    # bit is set iff 2*sum(bit) > n_shingles (ties -> unset, matching the
+    # original strict "> 0" vote)
     votes = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_sh"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
             for b in range(64)
-        ]
+        ],
     )
     sim = F.lit(0).cast("long")
     for b in range(64):
         sim = sim.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(0)
+            F.when(2 * F.col(f"s{b}") > F.col("n_sh"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
             * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
         )
     signed = votes.select("doc_id", "lang", sim.alias("simhash"))

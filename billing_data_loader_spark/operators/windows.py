@@ -158,12 +158,25 @@ WINDOW w AS (ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 
 @query("win_moving_avg_range", oracle=_MOVAVG_ORACLE, tier=3)
 def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame trailing-hour moving sum/avg over epoch seconds."""
+    """RANGE-frame trailing-hour moving sum/avg over epoch seconds.
+
+    The decimal(28,6) cast quantizes each value to 6dp; summing those is
+    exactly summing micro-units in a long, so the sliding frame aggregates a
+    primitive long under codegen instead of re-adding BigDecimals per frame
+    (O(n*frame) either way, but ~20x cheaper per add). msum/1e6 is then
+    reconstructed losslessly in decimal before the single cast to double.
+    Scale note: a global RANGE window is inherently one partition; the 100 TB
+    path is bucketed two-pass prefix sums (partition by coarse time bucket,
+    carry per-bucket prefix totals), which preserves these exact semantics.
+    """
     ev = load(spark, sf_dir, "events").select(
-        "event_id", "value", F.unix_timestamp("ts").alias("sec")
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        (F.col("value").cast(_DEC) * 1000000).cast("long").alias("micro"),
     )
     w = W.orderBy("sec").rangeBetween(-3600, 0)
-    sum_dec = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    msum = F.sum("micro").over(w)
+    sum_dec = (msum.cast("decimal(38,0)") / 1000000).cast("double")
     return ev.select(
         "event_id",
         sum_dec.alias("sum_1h"),
