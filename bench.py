@@ -49,6 +49,9 @@ def main() -> None:
         t0 = time.perf_counter()
         specs[key].fn(spark, sf_dir).toPandas()
         timings[key] = round(time.perf_counter() - t0, 4)
+        # drop persisted intermediates (near-dup signature matrices) so one
+        # query's cache never inflates a later query's GC pressure
+        spark.catalog.clearCache()
 
     headline = sum(v for k, v in timings.items() if k not in _NON_HEADLINE)
     print(

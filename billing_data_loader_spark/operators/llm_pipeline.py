@@ -392,12 +392,17 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.xxhash64("token").alias("th")
     )
 
+    # persisted: one row per doc; both sides of the band self-join read it
+    # (self-join branches get no ReusedExchange, so unpersisted lineage would
+    # re-shingle the whole corpus per side — measured faster to cache the
+    # signature matrix but NOT the much larger shingle table, whose local
+    # recompute is cheaper than cache materialization)
     sig = tok.groupBy("doc_id", "lang").agg(
         *[
             F.min(F.xxhash64("th", F.lit(s))).alias(f"h{s}")
             for s in range(_N_HASHES)
         ]
-    )
+    ).persist()
     n_bands = _N_HASHES // _BAND_SIZE
     band_sigs = F.array(
         *[

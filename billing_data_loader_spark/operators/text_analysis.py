@@ -298,7 +298,10 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
         )
-    signed = votes.select("doc_id", "lang", sim.alias("simhash"))
+    # one row per doc; persisted because the candidate self-join would
+    # otherwise recompute the whole shingle->vote pipeline for each side
+    # (no ReusedExchange across self-join branches, verified on the plan)
+    signed = votes.select("doc_id", "lang", sim.alias("simhash")).persist()
     chunks = signed.select(
         "doc_id",
         "lang",

@@ -20,9 +20,11 @@ they live on DBFS/HDFS/S3.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import time
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -218,7 +220,12 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for i, b in enumerate(batches):
         b.coalesce(1).write.parquet(f"{src}/b{i}")
-        time.sleep(1.1)  # file-source orders micro-batches by mod time
+    # file-source orders micro-batches by mod time; stamp it explicitly
+    # instead of sleeping between writes
+    base = time.time() - 60
+    for i in range(len(batches)):
+        for p in Path(f"{src}/b{i}").rglob("*"):
+            os.utime(p, (base + i, base + i))
 
     stream = (
         spark.readStream.schema(ev.schema)
