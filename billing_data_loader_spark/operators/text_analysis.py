@@ -124,12 +124,14 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined score (the filter stage of a pretraining pipeline)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    stop_w = W.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    # global top-10 via orderBy+limit -> TakeOrderedAndProject (distributed
+    # top-k), never a single-partition window; (cnt desc, token asc) is a
+    # total order so the row set is deterministic
     stop = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(stop_w))
-        .filter(F.col("rn") <= 10)
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(10)
         .select("token", F.lit(True).alias("is_stop"))
     )
     per_doc = (

@@ -58,7 +58,12 @@ class ParquetStandInWriter:
     def write(self, df: DataFrame) -> None:
         spark = df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").partitionBy("yyyymm").parquet(self.path)
+        # one file per yyyymm partition (repartition on the partition key)
+        # instead of a file per task per partition — the MergeTree analogue
+        # of avoiding too-many-parts on insert
+        df.repartition("yyyymm").write.mode("overwrite").partitionBy(
+            "yyyymm"
+        ).parquet(self.path)
 
     def read_back(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

@@ -119,7 +119,12 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_month": F.month("o_orderdate").cast("long"),
         }
     )
-    o.write.mode("overwrite").partitionBy("order_year", "order_month").parquet(out)
+    # repartition on the partition columns first: one file per (year, month)
+    # instead of every task spraying a file into every partition it touches —
+    # the standard small-files fix for dynamic-partition writes at scale
+    o.repartition("order_year", "order_month").write.mode("overwrite").partitionBy(
+        "order_year", "order_month"
+    ).parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("order_year", "order_month").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -151,8 +156,11 @@ def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
-    o.write.mode("overwrite").partitionBy("order_year").parquet(out)
-    reload_slice = o.filter(F.col("order_year") == 1996)
+    # repartition on the partition key: one file per year per load (see
+    # sink_parquet_partitioned)
+    op = o.repartition("order_year")
+    op.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    reload_slice = op.filter(F.col("order_year") == 1996)
     for _ in range(2):  # replayed export file
         reload_slice.write.mode("overwrite").partitionBy("order_year").parquet(out)
     back = spark.read.parquet(out)

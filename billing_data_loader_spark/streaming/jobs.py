@@ -252,7 +252,12 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="bdl_dedup_src_")
     ev = load(spark, sf_dir, "events")
     ev.coalesce(1).write.mode("overwrite").parquet(f"{src}/copy=0")
-    ev.coalesce(1).write.mode("append").parquet(f"{src}/copy=1")
+    # the re-emitted export is byte-identical; duplicate the file at the OS
+    # level instead of running a second full write job
+    part = next(Path(f"{src}/copy=0").glob("*.parquet"))
+    dst = Path(f"{src}/copy=1")
+    dst.mkdir()
+    shutil.copy(part, dst / part.name)
 
     stream = (
         spark.readStream.schema(ev.schema)
