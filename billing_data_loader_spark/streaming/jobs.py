@@ -172,18 +172,30 @@ def _run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
     """Drive a streaming query to completion synchronously (availableNow)
-    into a memory sink; returns the sink table as a batch DataFrame."""
+    into a memory sink; returns the sink table as a batch DataFrame.
+
+    State partitioning is sized to the stream, not the batch default: each
+    state partition costs a delta+commit file per micro-batch, so 32
+    partitions for a replay this size is pure checkpoint I/O. On a real
+    cluster this knob (fixed at first checkpoint) is sized to peak key
+    cardinality instead."""
+    spark = stream_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"bdl_ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 # --- stream_availablenow_replay ---------------------------------------------
