@@ -328,6 +328,23 @@ def _shingle_tokens(corpus: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _hashed_shingle_tokens(corpus: DataFrame) -> DataFrame:
+    """Distinct 64-bit-hashed shingles per doc, for sketch operators that
+    never need the shingle string back (minhash, simhash): hash BEFORE the
+    distinct so the dedup shuffle moves fixed 8-byte longs instead of
+    variable-length shingle strings. Equal shingles hash equal, so the
+    distinct set is the same as hashing after dedup (modulo xxhash64
+    collisions, which only merge shingles and are vanishing at 64 bits)."""
+    toks = corpus.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    return (
+        toks.select(
+            "doc_id", "lang", F.explode(F.expr(_SHINGLES_FROM_T)).alias("token")
+        )
+        .select("doc_id", "lang", F.xxhash64("token").alias("th"))
+        .distinct()
+    )
+
+
 @query("ext_neardup_jaccard", oracle=_JACCARD_ORACLE, tier=3)
 def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs shingle-set Jaccard >= 0.6 within a language (exact integer
@@ -387,10 +404,9 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_dups(spark, sf_dir)
     # hash the shingle string ONCE; the 32-member family then hashes the
     # fixed-width (long, seed) pair — avoids 32 string concats + 32
-    # variable-length string hashes per shingle row
-    tok = _shingle_tokens(corpus).select(
-        "doc_id", "lang", F.xxhash64("token").alias("th")
-    )
+    # variable-length string hashes per shingle row; the dedup shuffle
+    # likewise moves longs, not strings
+    tok = _hashed_shingle_tokens(corpus)
 
     # persisted: one row per doc; both sides of the band self-join read it
     # (self-join branches get no ReusedExchange, so unpersisted lineage would

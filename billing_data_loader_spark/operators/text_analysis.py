@@ -228,14 +228,21 @@ GROUP BY doc_id
 
 @query("ext_doc_fingerprint", oracle=_FP_ORACLE, tier=3)
 def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-k sketch of rolling polynomial shingle hashes per document."""
+    """Min-k sketch of rolling polynomial shingle hashes per document.
+
+    One shuffle total: hash every shingle occurrence map-side (equal
+    shingles hash equal, so no pre-dedup pass is needed), then
+    ``collect_set`` — which partial-aggregates map-side and dedups — builds
+    the per-doc distinct-hash set, and the min-8 sketch is a sort+slice of
+    that small set. Replaces the explode→distinct→distinct→window chain
+    (three shuffles, one of them of shingle strings). Set size per doc is
+    bounded by tokens per doc, not corpus size, so the agg buffer stays
+    small at any SF."""
     from .llm_pipeline import _SHINGLES_FROM_T
 
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    sh = toks.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_FROM_T)).alias("sh")
-    ).distinct()
+    sh = toks.select("doc_id", F.explode(F.expr(_SHINGLES_FROM_T)).alias("sh"))
     # polynomial rolling hash over characters, reduce-style (first code is
     # the init, like DuckDB's list_reduce); char codes materialized once per
     # shingle, not once per reduce step
@@ -247,15 +254,14 @@ def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(slice(cs, 2, size(cs) - 1), cs[0], "
         "(a, b) -> (a * 31 + b) % 2147483647)"
     )
-    hashed = codes.select("doc_id", h.alias("h")).distinct()
-    w = W.partitionBy("doc_id").orderBy(F.col("h").asc())
+    hashed = codes.select("doc_id", h.alias("h"))
     return (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 8)
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list("h")).alias("fingerprint"),
-            F.min("h").alias("fp_min"),
+        hashed.groupBy("doc_id")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 8).alias("fingerprint"))
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.element_at("fingerprint", 1).alias("fp_min"),
         )
     )
 
@@ -273,29 +279,43 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: signature build is one shuffle of shingles; the candidate
     join keys on (chunk_id, chunk_value) — O(docs x 4), never O(n^2)."""
-    from .llm_pipeline import _corpus_with_dups, _shingle_tokens
+    from .llm_pipeline import _corpus_with_dups, _hashed_shingle_tokens
 
     corpus = _corpus_with_dups(spark, sf_dir)
     # hash each shingle ONCE, then vote on bits of the materialized long —
-    # inlining xxhash64 into the 64 aggregate expressions re-hashes the
+    # inlining xxhash64 into the aggregate expressions re-hashes the
     # string per bit (64x string hashing; dominated the sf0.1 bench)
-    tok = _shingle_tokens(corpus).select(
-        "doc_id", "lang", F.xxhash64("token").alias("h")
-    )
+    tok = _hashed_shingle_tokens(corpus).withColumnRenamed("th", "h")
     # bit vote: sum over shingles of +-1 per bit == 2*sum(bit) - count, so a
     # bit is set iff 2*sum(bit) > n_shingles (ties -> unset, matching the
-    # original strict "> 0" vote)
+    # original strict "> 0" vote). The 64 per-bit counters are PACKED four
+    # per long (16-bit fields, bit b = k + 16*i lives in field i of long k):
+    # 16 sum aggregates instead of 64 — a quarter of the aggregation-buffer
+    # slots and of the generated code, whose janino compile time is what the
+    # one-shot bench actually pays. Field width bounds docs at 65535 shingles
+    # (fixture max ~98); a 100 TB corpus with megabyte documents would chunk
+    # docs upstream or fall back to the unpacked form.
     votes = tok.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
-            for b in range(64)
+            F.sum(
+                sum(
+                    F.shiftleft(
+                        F.shiftrightunsigned("h", k + 16 * i).bitwiseAND(F.lit(1)),
+                        16 * i,
+                    )
+                    for i in range(4)
+                )
+            ).alias(f"p{k}")
+            for k in range(16)
         ],
     )
     sim = F.lit(0).cast("long")
     for b in range(64):
+        k, i = b % 16, b // 16
+        cnt = F.shiftrightunsigned(f"p{k}", 16 * i).bitwiseAND(F.lit(0xFFFF))
         sim = sim.bitwiseOR(
-            F.when(2 * F.col(f"s{b}") > F.col("n_sh"), F.lit(1).cast("long")).otherwise(
+            F.when(2 * cnt > F.col("n_sh"), F.lit(1).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
             * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
