@@ -348,16 +348,22 @@ def _hashed_shingle_tokens(corpus: DataFrame) -> DataFrame:
 @query("ext_neardup_jaccard", oracle=_JACCARD_ORACLE, tier=3)
 def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs shingle-set Jaccard >= 0.6 within a language (exact integer
-    counts; double division is bit-exact on both engines)."""
+    counts; double division is bit-exact on both engines).
+
+    Shingle identity is carried by its xxhash64 (the intersection join and
+    the dedup shuffle both move 8-byte longs, never shingle strings) — same
+    trick as the minhash verifier; the SQL oracle joins the strings, and
+    parity is asserted at both sf0.01 and sf0.1, so a hash collision in the
+    fixture vocabulary would be caught, not silently absorbed."""
     corpus = _corpus_with_dups(spark, sf_dir)
-    tok = _shingle_tokens(corpus)
+    tok = _hashed_shingle_tokens(corpus)
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = tok.alias("a")
     b = tok.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.token") == F.col("b.token"))
+            (F.col("a.th") == F.col("b.th"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -69,3 +69,18 @@ def test_minhash_lsh_finds_all_exact_neardups(spark):
     assert exact, "fixture must produce at least the synthesized exact dups"
     missing = exact - lsh
     assert not missing, f"LSH missed exact near-dup pairs: {sorted(missing)[:10]}"
+
+
+def test_jaccard_hashed_shingles_match_oracle_at_sf01(spark):
+    """ext_neardup_jaccard carries shingle identity as xxhash64 longs while
+    the SQL oracle joins the strings — parity at the larger sf0.1 vocabulary
+    proves no hash collision silently merged distinct shingles (the sf0.01
+    run is covered by test_oracle)."""
+    from billing_data_loader_spark.oracle import check_query
+    from billing_data_loader_spark.plans.catalog import catalog
+
+    spec = catalog()["ext_neardup_jaccard"]
+    ok, msg = check_query(
+        spec.fn(spark, "/root/testdata/sf0.1"), spec.oracle, "/root/testdata/sf0.1"
+    )
+    assert ok, msg
