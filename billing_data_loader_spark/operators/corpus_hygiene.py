@@ -1,0 +1,227 @@
+"""Corpus-hygiene operators for training-data pipelines (north-star
+mandate, SURVEY.md §2.10): PII scrubbing, repetition scoring, stratified
+sampling, and unigram-LM quality scoring over the documents table.
+
+All four are single-pass map-side plans or one-small-shuffle aggregations —
+the shapes that survive 100 TB:
+- PII scrub: pure projection (regexp chains inside whole-stage codegen);
+  shuffles nothing.
+- repetition score: per-row array arithmetic (``array_distinct`` on a
+  bounded per-doc bigram array); shuffles nothing.
+- stratified sample: deterministic hash-threshold keep decision map-side —
+  the selection needs no global state, no sort, no reservoir — then a tiny
+  per-stratum audit aggregate.
+- unigram LM: two token aggregates (vocabulary is corpus-bounded, counts
+  partial-aggregate map-side) + one broadcast join back onto the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import o_davg
+from ..plans.registry import query
+from ..tables import load
+
+# --- ext_pii_scrub ----------------------------------------------------------
+
+# The fixture corpus contains no PII, so each doc gets a deterministic
+# synthetic contact line appended (same expression on both engines); the
+# operator then redacts emails, IPv4s, and phone numbers. Patterns avoid
+# constructs where Java regex and RE2 (DuckDB) semantics could diverge
+# (no backreferences, no word boundaries, no lazy quantifiers).
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_IP_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+_PHONE_RE = "\\+\\d[\\d ]{5,}\\d"
+
+_PII_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 or +1 555 ' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+           AS raw
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IP_RE}', '<IP>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+  FROM synth
+)
+SELECT doc_id, clean_text,
+       CAST(len(regexp_extract_all(clean_text, '<(EMAIL|IP|PHONE)>')) AS BIGINT)
+         AS n_redacted
+FROM scrubbed
+"""
+
+
+@query("ext_pii_scrub", oracle=_PII_ORACLE, tier=3)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers (email first so its digits and
+    dots are gone before the IP/phone passes). Pure projection: at 100 TB
+    this runs inside the scan's codegen stage, no shuffle, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 555 "),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(clean, F.lit("<(EMAIL|IP|PHONE)>"))
+        .cast("long")
+        .alias("n_redacted"),
+    )
+
+
+# --- ext_repetition_score ---------------------------------------------------
+
+# Gopher-style repetition filter: fraction of duplicate 2-grams per doc.
+# Everything is per-row array arithmetic on a bounded array — no explode, no
+# shuffle; the 100 TB plan is scan -> project -> write.
+_REPETITION_ORACLE = """
+WITH bg AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' '))),
+                        i -> string_split(text, ' ')[i] || ' '
+                             || string_split(text, ' ')[i+1]) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams)
+            ELSE 0.0 END AS rep_ratio,
+       CASE WHEN len(grams) > 0
+            THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / len(grams) > 0.05
+            ELSE FALSE END AS is_repetitive
+FROM bg
+"""
+
+_BIGRAMS_FROM_T = (
+    "CASE WHEN size(t) >= 2 THEN "
+    "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) "
+    "ELSE array() END"
+)
+
+
+@query("ext_repetition_score", oracle=_REPETITION_ORACLE, tier=3)
+def ext_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per document (the Gopher repetition
+    signal); docs above 5% flagged. Integer counts + one double division ->
+    bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select("doc_id", F.expr(_BIGRAMS_FROM_T).alias("grams"))
+    n = F.size("grams").cast("long")
+    nd = F.size(F.array_distinct("grams")).cast("long")
+    ratio = F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0))
+    return grams.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+        F.when(n > 0, ratio > 0.05).otherwise(F.lit(False)).alias("is_repetitive"),
+    )
+
+
+# --- ext_sample_stratified --------------------------------------------------
+
+# Deterministic hash-threshold sampling (~20% per stratum): keep iff
+# (doc_id * Knuth-multiplier) mod 1000 < 200. The keep decision is a pure
+# map-side predicate — no reservoir, no sort, no state — so the sample is
+# reproducible on any cluster size; the audit aggregate below is the
+# operator's observable output.
+_SAMPLE_KEEP = "(doc_id * 2654435761) % 1000 < 200"
+
+_SAMPLE_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER ({_SAMPLE_KEEP}) AS n_kept,
+       CAST(COUNT(*) FILTER ({_SAMPLE_KEEP}) AS DOUBLE) / COUNT(*) AS kept_ratio
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("ext_sample_stratified", oracle=_SAMPLE_ORACLE, tier=3)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sample audit: totals, kept counts, rates."""
+    d = load(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * F.lit(2654435761)) % 1000 < 200
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        (F.count(F.when(keep, 1)).cast("double") / F.count(F.lit(1))).alias(
+            "kept_ratio"
+        ),
+    )
+
+
+# --- ext_lm_unigram_score ---------------------------------------------------
+
+# Self-trained unigram LM as a quality signal: token logprob = ln(count /
+# corpus total), per-doc mean logprob (a perplexity proxy — boilerplate and
+# gibberish score low). ln values are 6dp-rounded on both sides (libm ulp
+# differences, same treatment as ext_tfidf) and the per-doc mean uses the
+# exact-decimal-sum davg so reduction order cannot flip hash bits.
+_LM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM tok
+), freq AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+), scored AS (
+  SELECT doc_id, round(ln(CAST(c AS DOUBLE) / n), 6) AS lnp
+  FROM tok JOIN freq USING (token) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens, {o_davg("lnp", "avg_logprob")}
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("ext_lm_unigram_score", oracle=_LM_ORACLE, tier=3)
+def ext_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram distribution. Token-frequency table is corpus-vocabulary-sized
+    -> broadcast back onto the token stream (no second shuffle of tokens)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tot = tok.select(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).alias("lnp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (
+            F.sum(F.col("lnp").cast("decimal(28,6)")).cast("double")
+            / F.count("lnp")
+        ).alias("avg_logprob"),
+    )
