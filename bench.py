@@ -28,6 +28,7 @@ _NON_HEADLINE = {
     "stream_availablenow_replay",
     "stream_watermark_late",
     "stream_dedup_watermark",
+    "stream_stateful_custom",
 }
 
 

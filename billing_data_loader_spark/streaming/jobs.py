@@ -253,6 +253,67 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "bdl_watermark_late", "append")
 
 
+# --- stream_stateful_custom -------------------------------------------------
+
+_STATEFUL_ORACLE = f"""
+SELECT user_id, COUNT(*) AS n_events, {o_dsum("value", "sum_value")},
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def _stateful_update(key, pdfs, state):
+    """Custom per-user state machine for applyInPandasWithState: exact
+    int64 micro-unit sum + count + max-timestamp, updated per batch.
+    Integer state keeps the emitted sum bit-identical to the decimal-sum
+    oracle no matter how rows are batched."""
+    import pandas as pd
+
+    (user_id,) = key
+    cnt, micro, last = state.get() if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        micro += int(pdf["micro"].sum())
+        batch_max = pdf["ts"].max()
+        last = batch_max if last is None else max(last, batch_max)
+    state.update((cnt, micro, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [cnt],
+            "sum_value": [micro / 1e6],
+            "last_ts": [last],
+        }
+    )
+
+
+@query("stream_stateful_custom", oracle=_STATEFUL_ORACLE, tier=3)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (the north-star
+    ``applyInPandasWithState`` path): per-user count / exact sum / last-seen
+    kept in typed group state across micro-batches. The stream pre-quantizes
+    ``value`` to long micro-units JVM-side, so the Python state is pure
+    int64 arithmetic and the final sum equals the batch decimal-sum oracle
+    bit-for-bit — a full SQL oracle for a custom stateful operator.
+
+    Scale: state is 3 scalars per user key, partitioned by the state-store
+    hash; a watermark+timeout would bound key cardinality on an unbounded
+    stream (not needed for the bounded replay here)."""
+    ev = _read_stream_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        (F.col("value").cast(_DEC) * 1000000).cast("long").alias("micro"),
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _stateful_update,
+        "user_id bigint, n_events bigint, sum_value double, last_ts timestamp",
+        "cnt bigint, micro bigint, last timestamp",
+        "update",
+        "NoTimeout",
+    )
+    return _run_to_memory(out, "bdl_stateful_custom", "update")
+
+
 # --- stream_dedup_watermark -------------------------------------------------
 
 
