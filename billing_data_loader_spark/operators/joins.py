@@ -59,6 +59,57 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- join_q3_shipping -------------------------------------------------------
+
+_Q3_DATE = "1997-06-15"
+
+# Deterministic top-10: revenue is a decimal-quantized sum (bit-identical on
+# both engines), and (revenue DESC, o_orderdate, l_orderkey) is a total order.
+_Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("join_q3_shipping", oracle=_Q3_ORACLE, tier=2)
+def join_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (BASELINE.md's `q3_shipping_priority`): segment filter
+    on customer, date filters pushed to both fact scans, 3-way join, grouped
+    revenue, distributed top-10 (`TakeOrderedAndProject`, no global sort).
+    Join strategy is left to Catalyst/AQE: customer broadcast-converts when
+    its filtered side fits, lineitem x orders shuffles on the key — the
+    correct plan at any scale."""
+    d = F.lit(_Q3_DATE).cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < d)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > d)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
 # --- join_star_5way ---------------------------------------------------------
 
 _Q5_ORACLE = f"""

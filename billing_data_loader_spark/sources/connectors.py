@@ -95,6 +95,29 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- scan_orc ---------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+@query("scan_orc", oracle=_ORC_ORACLE, tier=2)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the other first-class columnar format Spark ships a
+    native vectorized reader for): export customer to ORC, re-read with a
+    declared schema. Binary columnar round-trip is exact for doubles —
+    no repr/parse step, unlike the CSV path."""
+    out = scratch_dir(sf_dir, "customer_orc")
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    load(spark, sf_dir, "customer").select(*cols).write.mode(
+        "overwrite"
+    ).orc(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_name string, c_acctbal double, c_mktsegment string"
+    ).orc(out)
+
+
 # --- sink_parquet_partitioned ----------------------------------------------
 
 _PART_SINK_ORACLE = f"""
