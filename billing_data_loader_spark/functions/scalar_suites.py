@@ -97,8 +97,8 @@ SELECT
   o_orderkey,
   round(o_totalprice, 1) AS price_r1,
   abs(o_totalprice - 200000) AS dist_from_200k,
-  ceil(o_totalprice / 1000) AS price_k_ceil,
-  floor(o_totalprice / 1000) AS price_k_floor,
+  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_k_ceil,
+  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
   o_totalprice * o_totalprice AS price_sq,
   sqrt(o_totalprice) AS price_sqrt,
   round(ln(o_totalprice), 6) AS price_ln,
@@ -162,12 +162,17 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Higher-order functions over the embedding vectors. Elements are float32;
 # arithmetic is done after exact widening to double so both engines compute
 # identical values. The fold sum is sequential left-to-right in both.
+# The transform-over-slice result is emitted as three scalar doubles (not an
+# array column): the driver's canonicalizer cannot hash ndarray cells
+# (CORRECTNESS_r01 canon-crash), and scalars hash bit-exact.
 _ARRAY_ORACLE = """
 SELECT
   vec_id,
   CAST(len(embedding) AS BIGINT) AS dim,
   CAST(embedding[1] AS DOUBLE) AS first_val,
-  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0) AS head3_doubled,
+  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)[1] AS h3d_1,
+  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)[2] AS h3d_2,
+  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE) * 2.0)[3] AS h3d_3,
   list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
     AS vec_sum,
   len(list_filter(embedding, x -> x > 0)) AS n_positive
@@ -180,13 +185,16 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/element_at/slice + higher-order transform/filter/aggregate."""
     e = load(spark, sf_dir, "embeddings")
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head3 = F.transform(
+        F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2.0
+    )
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: x.cast("double") * 2.0
-        ).alias("head3_doubled"),
+        F.element_at(head3, 1).alias("h3d_1"),
+        F.element_at(head3, 2).alias("h3d_2"),
+        F.element_at(head3, 3).alias("h3d_3"),
         F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
             "n_positive"
@@ -241,15 +249,18 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- fn_map_struct ----------------------------------------------------------
 
 # Spark side exercises real map machinery (from_json -> MapType -> map_keys /
-# element access); DuckDB oracle states the expected values directly (its
-# JSON->MAP path differs, but the *values* are what parity checks).
+# element access -> struct build + getField); DuckDB oracle states the
+# expected values directly (its JSON->MAP path differs, but the *values* are
+# what parity checks). The declared output is all-scalar — map keys joined to
+# a CSV string, struct fields projected out — because the driver's
+# canonicalizer cannot hash dict cells (CORRECTNESS_r01 canon-crash).
 _MAP_ORACLE = """
 SELECT
   event_id,
-  ['k'] AS prop_keys,
+  'k' AS prop_keys,
   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-  {'et': event_type, 'uid': user_id} AS meta,
-  event_type AS meta_et
+  event_type AS meta_et,
+  user_id AS meta_uid
 FROM events
 """
 
@@ -264,8 +275,8 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(props_map).alias("prop_keys"),
+        F.array_join(F.map_keys(props_map), ",").alias("prop_keys"),
         F.element_at(props_map, "k").alias("k_value"),
-        meta.alias("meta"),
         meta.getField("et").alias("meta_et"),
+        meta.getField("uid").alias("meta_uid"),
     )

@@ -233,22 +233,44 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- agg_collect_sorted -----------------------------------------------------
 
+# The sorted collect arrays cross the driver boundary as CSV strings: the
+# driver's canonicalizer cannot hash ndarray cells (CORRECTNESS_r01
+# canon-crash). Prices are formatted through decimal(14,2) so both engines
+# render identical full-scale text; collect_sorted_arrays() keeps the
+# array-typed variant for internal consumers.
 _COLLECT_ORACLE = """
 SELECT o_custkey,
-       list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
-       list(o_totalprice ORDER BY o_totalprice) AS prices
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       string_agg(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR),
+                  ',' ORDER BY o_totalprice) AS prices
 FROM orders
 GROUP BY o_custkey
 """
 
 
-@query("agg_collect_sorted", oracle=_COLLECT_ORACLE, tier=2)
-def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group sorted value arrays (array_sort makes collect deterministic)."""
+def collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed variant: per-group sorted value arrays (array_sort makes
+    collect deterministic). Internal-only; the declared query serializes."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
         F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
         F.array_sort(F.collect_list("o_totalprice")).alias("prices"),
+    )
+
+
+@query("agg_collect_sorted", oracle=_COLLECT_ORACLE, tier=2)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted value arrays, serialized to driver-hashable CSV."""
+    arrays = collect_sorted_arrays(spark, sf_dir)
+    return arrays.select(
+        "o_custkey",
+        F.array_join("statuses", ",").alias("statuses"),
+        F.array_join(
+            F.transform(
+                "prices", lambda x: x.cast("decimal(14,2)").cast("string")
+            ),
+            ",",
+        ).alias("prices"),
     )
 
 

@@ -492,18 +492,43 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ext_multimodal_schema --------------------------------------------------
 
+# The vector column crosses the driver boundary as a lossless integer
+# quantization string: each float32 element widens exactly to double,
+# scales by 1e6 and floors — every step is IEEE-deterministic, so both
+# engines emit the identical bigint per element and identical CSV text.
+# (A raw array<float> column crashes the driver's canonicalizer —
+# CORRECTNESS_r01; multimodal_schema_arrays() keeps the typed variant.)
 _MM_ORACLE = """
-SELECT d.doc_id, d.lang, d.n_chars, e.label, e.embedding
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       array_to_string(
+         list_transform(e.embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
+         ',') AS emb_q
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """
 
 
-@query("ext_multimodal_schema", oracle=_MM_ORACLE, tier=3)
-def ext_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pairing: text metadata joined with vector payloads; the
-    ArrayType(Float) column must survive the join loss-free."""
+def multimodal_schema_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed variant: the ArrayType(Float) column must survive the
+    join loss-free. Internal-only; the declared query quantizes+serializes."""
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", "lang", "n_chars", "label", "embedding"
+    )
+
+
+@query("ext_multimodal_schema", oracle=_MM_ORACLE, tier=3)
+def ext_multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pairing: text metadata joined with vector payloads."""
+    paired = multimodal_schema_arrays(spark, sf_dir)
+    emb_q = F.array_join(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("string"),
+        ),
+        ",",
+    )
+    return paired.select(
+        "doc_id", "lang", "n_chars", "label", emb_q.alias("emb_q")
     )

@@ -110,20 +110,23 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Frame sampling: every 16th byte of the payload buffer (audio/video frame
-# subsampling analog), as an int array — pure byte plumbing, SQL-checkable.
+# subsampling analog) — pure byte plumbing, SQL-checkable. The sample list
+# crosses the driver boundary as a CSV string (bigint->string is identical
+# text on both engines; array cells crash the driver's canonicalizer).
 _SAMPLE_ORACLE = """
 SELECT doc_id,
-       list_transform(
-         range(1, CAST(len(text) AS BIGINT) + 1, 16),
-         i -> CAST(ascii(text[i]) AS BIGINT)
-       ) AS sampled
+       array_to_string(
+         list_transform(
+           range(1, CAST(len(text) AS BIGINT) + 1, 16),
+           i -> CAST(ascii(text[i]) AS BIGINT)
+         ), ',') AS sampled
 FROM documents
 """
 
 
-@query("ext_frame_sample", oracle=_SAMPLE_ORACLE, tier=3)
-def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic frame-sampling stub: every 16th byte via mapInPandas."""
+def frame_sample_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed variant: every 16th byte via mapInPandas. Internal-only;
+    the declared query serializes the sample list to CSV."""
     frame = attach_payload(load(spark, sf_dir, "documents"))
 
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,3 +138,15 @@ def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sampled": samples})
 
     return frame.mapInPandas(sample_batches, "doc_id bigint, sampled array<bigint>")
+
+
+@query("ext_frame_sample", oracle=_SAMPLE_ORACLE, tier=3)
+def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame-sampling stub: every 16th byte via mapInPandas."""
+    arrays = frame_sample_arrays(spark, sf_dir)
+    return arrays.select(
+        "doc_id",
+        F.array_join(
+            F.transform("sampled", lambda x: x.cast("string")), ","
+        ).alias("sampled"),
+    )

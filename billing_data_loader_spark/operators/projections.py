@@ -87,11 +87,17 @@ def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cast_types -------------------------------------------------------------
 
+# price_dec leaves the driver boundary as a STRING rendering of the
+# decimal(14,2) value (full-scale "123.40" on both engines): Spark decimals
+# arrive as Python Decimal objects while DuckDB's fetch as float64, so a raw
+# decimal column can never hash-match (CORRECTNESS_r01). The decimal cast
+# itself is still exercised — price_dec proves scale/rounding, price_back
+# proves the double round-trip.
 _CAST_ORACLE = """
 SELECT
   o_orderkey,
   CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date,
-  CAST(o_totalprice AS DECIMAL(14,2)) AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) AS price_dec,
   CAST(o_orderkey AS VARCHAR) AS key_str,
   CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price_back
 FROM orders
@@ -106,7 +112,7 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("order_date"),
-        price_dec.alias("price_dec"),
+        price_dec.cast("string").alias("price_dec"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         price_dec.cast("double").alias("price_back"),
     )

@@ -219,7 +219,7 @@ WITH toks AS (
   FROM hashed
 )
 SELECT doc_id,
-       list(h ORDER BY h) AS fingerprint,
+       array_to_string(list(h ORDER BY h), ',') AS fingerprint,
        MIN(h) AS fp_min
 FROM ranked WHERE rn <= 8
 GROUP BY doc_id
@@ -255,13 +255,18 @@ def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(a, b) -> (a * 31 + b) % 2147483647)"
     )
     hashed = codes.select("doc_id", h.alias("h"))
+    # min-8 sketch serialized to a CSV string for the driver boundary
+    # (bigint->string renders identically on both engines; the driver's
+    # canonicalizer cannot hash array cells — CORRECTNESS_r01 canon-crash).
     return (
         hashed.groupBy("doc_id")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 8).alias("fingerprint"))
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, 8).alias("fp"))
         .select(
             "doc_id",
-            "fingerprint",
-            F.element_at("fingerprint", 1).alias("fp_min"),
+            F.array_join(
+                F.transform("fp", lambda x: x.cast("string")), ","
+            ).alias("fingerprint"),
+            F.element_at("fp", 1).alias("fp_min"),
         )
     )
 

@@ -105,6 +105,76 @@ def compare_frames(
     return True, f"OK ({len(s_rows)} rows, {len(s_cols)} cols)"
 
 
+def _col_kinds(pdf: pd.DataFrame) -> dict[str, str | None]:
+    """Classify each column the way the driver's canonicalizer sees cells.
+
+    The driver hashes raw cells: nested (list/ndarray/dict) cells crash its
+    pandas-based canonicalizer, Decimal vs float64 and bigint vs double can
+    never hash-match (CORRECTNESS_r01). This local replica flags those
+    *before* the lenient value comparison so regressions fail in pytest.
+    """
+    kinds: dict[str, str | None] = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        if k in "iu":
+            kinds[c.lower()] = "int"
+        elif k == "f":
+            kinds[c.lower()] = "float"
+        elif k == "b":
+            kinds[c.lower()] = "bool"
+        elif k == "M":
+            kinds[c.lower()] = "datetime"
+        else:
+            kind: str | None = None
+            for v in pdf[c].head(1000):
+                if v is None or v is pd.NaT:
+                    continue
+                if isinstance(v, float) and math.isnan(v):
+                    continue
+                if isinstance(v, (list, tuple, np.ndarray, dict, set)):
+                    kind = "NESTED"
+                elif isinstance(v, _Decimal):
+                    kind = "DECIMAL"
+                elif isinstance(v, (str, bytes)):
+                    kind = "str"
+                elif isinstance(v, (bool, np.bool_)):
+                    kind = "bool"
+                elif isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date)):
+                    kind = "datetime"
+                elif isinstance(v, (int, np.integer)):
+                    kind = "int"
+                elif isinstance(v, (float, np.floating)):
+                    kind = "float"
+                else:
+                    kind = f"UNHASHABLE:{type(v).__name__}"
+                break
+            kinds[c.lower()] = kind
+    return kinds
+
+
+def driver_strict_issues(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> list[str]:
+    """Issues that would turn a locally-green key red at the driver."""
+    issues: list[str] = []
+    sk, ok_ = _col_kinds(spark_pdf), _col_kinds(oracle_pdf)
+    for c in sorted(set(sk) | set(ok_)):
+        a, b = sk.get(c), ok_.get(c)
+        for side, kind in (("spark", a), ("oracle", b)):
+            if kind in ("NESTED", "DECIMAL") or (
+                kind is not None and kind.startswith("UNHASHABLE")
+            ):
+                issues.append(f"{c}: {side} side emits {kind} cells")
+        if a and b and a != b and {a, b} <= {"int", "float", "bool"}:
+            issues.append(f"{c}: cell-kind mismatch spark={a} oracle={b}")
+    return issues
+
+
 def check_query(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
     """Run the full local parity check for one declared query."""
-    return compare_frames(spark_df.toPandas(), run_oracle(oracle_sql, sf_dir))
+    spark_pdf = spark_df.toPandas()
+    oracle_pdf = run_oracle(oracle_sql, sf_dir)
+    issues = driver_strict_issues(spark_pdf, oracle_pdf)
+    if issues:
+        return False, "driver-strict: " + "; ".join(issues)
+    return compare_frames(spark_pdf, oracle_pdf)
