@@ -3,6 +3,11 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The printed line is kept COMPACT — headline value plus a small flagship
+subset in "queries" — because round 1's full 88-key line was truncated in
+the driver's capture (BENCH_r01.json "parsed": null). The full per-query
+timing map is written to BENCH_DETAIL.json beside this script.
+
 Timing = full plan execution + collect to the driver (what the grading
 driver does). One shared SparkSession; a warmup query absorbs JVM/codegen
 startup so per-query numbers reflect the plans, not session boot.
@@ -55,13 +60,45 @@ def main() -> None:
         spark.catalog.clearCache()
 
     headline = sum(v for k, v in timings.items() if k not in _NON_HEADLINE)
-    print(
+
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "declared_query_latency_sum",
                 "value": round(headline, 4),
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
+                "sf": sf,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+        + "\n"
+    )
+
+    # flagship subset only on stdout (BASELINE.md comparison queries);
+    # everything else lives in BENCH_DETAIL.json
+    flagship = [
+        "agg_q1_pricing",
+        "join_q3_shipping",
+        "join_star_5way",
+        "win_topk_per_group",
+        "ext_knn_cosine",
+        "ext_neardup_minhash_lsh",
+        "fn_explode_tokens",
+        "stream_tumbling_1h",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_latency_sum",
+                "value": round(headline, 4),
+                "unit": "sec",
+                "queries": {k: timings[k] for k in flagship if k in timings},
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )
