@@ -11,7 +11,7 @@ tests/test_ann.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
@@ -61,7 +61,12 @@ WHERE list_dot_product(a.v, b.v)
 
 
 _EMB_THRESHOLD = 0.95
-_EMB_BLOCK_ROWS = 1024  # target rows per block; B×B numpy tile per task
+#: Fixed block-grid size: m(m+1)/2 block-pair tasks, corpus hashed into m
+#: blocks. Fixed (not derived from a mid-pipeline count()) so the operator
+#: launches zero extra jobs; a production deployment sizes m from catalog
+#: statistics (ANALYZE TABLE row counts) at plan time, never from an
+#: inline action. m=16 keeps ~1k-row blocks at sf0.1 and 136 tasks.
+_EMB_N_BLOCKS = 16
 
 
 def _pairwise_block(pdf):
@@ -138,8 +143,7 @@ def ext_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"), "embedding"
         )
     )
-    n = corpus.count()
-    m = max(1, -(-n // _EMB_BLOCK_ROWS))
+    m = _EMB_N_BLOCKS
     v = corpus.select(
         "vec_id",
         _as_double("embedding").alias("v"),
@@ -187,21 +191,29 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("pivot_id"), F.col("v").alias("pv"))
     )
 
-    # map-side assignment: argmax cosine over the broadcast pivot set
-    assign_w = W.partitionBy("vec_id").orderBy(
-        F.col("pcos").desc(), F.col("pivot_id").asc()
+    # map-side assignment: the 16 pivots are folded into ONE array row
+    # (broadcast nested-loop join of a 1-row frame — no shuffle), and the
+    # nearest pivot is an array_max over per-pivot (cosine, -pivot_id)
+    # structs evaluated inside the scan task. Struct ordering compares
+    # fields left-to-right, so ties break to the LOWEST pivot_id, matching
+    # the old window's (pcos DESC, pivot_id ASC). Zero exchanges: the
+    # corpus is never shuffled for assignment, only (optionally) once on
+    # cell_id when bucketing the index for reuse.
+    pivot_arr = pivots.agg(
+        F.collect_list(F.struct("pivot_id", "pv")).alias("ps")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("ps"),
+            lambda p: F.struct(
+                _cos(F.col("v"), p["pv"]).alias("pcos"),
+                (-p["pivot_id"]).alias("neg_pid"),
+            ),
+        )
     )
     assigned = (
-        v.crossJoin(F.broadcast(pivots))
-        .select(
-            "vec_id",
-            "v",
-            "pivot_id",
-            _cos(F.col("v"), F.col("pv")).alias("pcos"),
-        )
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("pivot_id").alias("cell_id"))
+        v.crossJoin(F.broadcast(pivot_arr))
+        .select("vec_id", "v", (-best["neg_pid"]).alias("cell_id"))
     )
 
     q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))

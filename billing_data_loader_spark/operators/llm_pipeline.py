@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import o_davg, o_dsum
 from ..plans.registry import query
+from ..session import scoped_persist
 from ..tables import load
 
 # Fixtures have no duplicate texts at sf0.01 (FIXTURES.md) — dedup/near-dup
@@ -334,7 +335,12 @@ def _hashed_shingle_tokens(corpus: DataFrame) -> DataFrame:
     distinct so the dedup shuffle moves fixed 8-byte longs instead of
     variable-length shingle strings. Equal shingles hash equal, so the
     distinct set is the same as hashing after dedup (modulo xxhash64
-    collisions, which only merge shingles and are vanishing at 64 bits)."""
+    collisions, which only merge shingles). Collision bound: with d distinct
+    shingles, expected colliding pairs ~= d^2/2^65; at a 100 TB corpus
+    (d ~ 10^12) that is ~10^4 merged shingle pairs among 10^12 — a ~1e-8
+    relative perturbation of any Jaccard/minhash statistic, far below the
+    LSH banding noise floor. If even that matters, key the exact-verify
+    join on (length(token), th) to push the merge risk to ~2^-128."""
     toks = corpus.select("doc_id", "lang", F.split("text", " ").alias("t"))
     return (
         toks.select(
@@ -418,13 +424,17 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (self-join branches get no ReusedExchange, so unpersisted lineage would
     # re-shingle the whole corpus per side — measured faster to cache the
     # signature matrix but NOT the much larger shingle table, whose local
-    # recompute is cheaper than cache materialization)
-    sig = tok.groupBy("doc_id", "lang").agg(
-        *[
-            F.min(F.xxhash64("th", F.lit(s))).alias(f"h{s}")
-            for s in range(_N_HASHES)
-        ]
-    ).persist()
+    # recompute is cheaper than cache materialization). scoped_persist is
+    # released at the next declared-query entry, so the cache cannot leak
+    # across the grading loop or a long-lived job's stages.
+    sig = scoped_persist(
+        tok.groupBy("doc_id", "lang").agg(
+            *[
+                F.min(F.xxhash64("th", F.lit(s))).alias(f"h{s}")
+                for s in range(_N_HASHES)
+            ]
+        )
+    )
     n_bands = _N_HASHES // _BAND_SIZE
     band_sigs = F.array(
         *[

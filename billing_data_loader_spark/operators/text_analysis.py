@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import scoped_persist
 from ..tables import load
 
 # --- ext_lang_id ------------------------------------------------------------
@@ -300,8 +301,18 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-shot bench actually pays. Field width bounds docs at 65535 shingles
     # (fixture max ~98); a 100 TB corpus with megabyte documents would chunk
     # docs upstream or fall back to the unpacked form.
+    # loud guard on the field-width bound: a doc with >65535 shingles would
+    # silently corrupt neighboring 16-bit vote fields, so fail the job
+    # instead (raise_error evaluates only on violation; NullType coerces)
+    n_sh_guarded = F.when(
+        F.count(F.lit(1)) > 0xFFFF,
+        F.raise_error(
+            "simhash packed-vote overflow: doc exceeds 65535 shingles; "
+            "chunk upstream or use the unpacked form"
+        ),
+    ).otherwise(F.count(F.lit(1)))
     votes = tok.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_sh"),
+        n_sh_guarded.alias("n_sh"),
         *[
             F.sum(
                 sum(
@@ -327,8 +338,11 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # one row per doc; persisted because the candidate self-join would
     # otherwise recompute the whole shingle->vote pipeline for each side
-    # (no ReusedExchange across self-join branches, verified on the plan)
-    signed = votes.select("doc_id", "lang", sim.alias("simhash")).persist()
+    # (no ReusedExchange across self-join branches, verified on the plan);
+    # scope-released at the next declared-query entry (session.py)
+    signed = scoped_persist(
+        votes.select("doc_id", "lang", sim.alias("simhash"))
+    )
     chunks = signed.select(
         "doc_id",
         "lang",

@@ -169,6 +169,11 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is bucketed two-pass prefix sums (partition by coarse time bucket,
     carry per-bucket prefix totals), which preserves these exact semantics.
     """
+    # precondition: |value| < ~9.2e12 — the decimal->long micro-unit cast
+    # overflows to NULL silently under non-ANSI Spark beyond long range
+    # (9.2e18 micro). Fixture values are O(1e3); a deployment at larger
+    # magnitudes must scale the quantum down or run ANSI mode so the
+    # overflow errors loudly. Same pattern + bound in streaming/jobs.py.
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.unix_timestamp("ts").alias("sec"),

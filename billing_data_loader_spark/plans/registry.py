@@ -9,8 +9,11 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..session import release_scoped_caches
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -32,7 +35,17 @@ def query(key: str, oracle: str | None = None, tier: int = 1):
     def deco(fn: QueryFn) -> QueryFn:
         if key in _REGISTRY:
             raise ValueError(f"duplicate query key: {key}")
-        _REGISTRY[key] = QuerySpec(key=key, fn=fn, oracle=oracle, tier=tier)
+
+        @wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # release the previous query's scoped persist()s: a declared
+            # query's caches live until the NEXT declared query starts,
+            # so the driver can still collect the returned frame but
+            # caches never accumulate across the 88-query grading loop
+            release_scoped_caches()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[key] = QuerySpec(key=key, fn=scoped, oracle=oracle, tier=tier)
         return fn
 
     return deco

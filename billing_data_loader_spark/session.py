@@ -19,9 +19,36 @@ from __future__ import annotations
 import os
 import tempfile
 import zipfile
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def conf_override(spark: SparkSession, confs: dict[str, str]):
+    """Scope session-config mutations: set, yield, restore previous values.
+
+    The grading driver (and any long-lived pipeline) reuses ONE session for
+    every query; a sink that sets e.g. partitionOverwriteMode and never
+    restores it bleeds config into every subsequent query. Mirrors the
+    save/restore discipline streaming/jobs.py applies to shuffle.partitions.
+    """
+    saved: dict[str, str | None] = {}
+    for key, value in confs.items():
+        # get(key, None) is None iff the key was never explicitly set
+        # (a bare get(key) returns the entry's built-in default instead,
+        # which would turn "unset" into "explicitly set to the default")
+        saved[key] = spark.conf.get(key, None)
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 #: Configs that are runtime-settable and required for oracle parity / sane
 #: local performance. Applied to *any* session we receive.
@@ -46,6 +73,35 @@ def _package_zip() -> str:
             for py in sorted(pkg_root.rglob("*.py")):
                 zf.write(py, f"{pkg_root.name}/{py.relative_to(pkg_root)}")
     return str(out)
+
+
+#: DataFrames persisted inside a declared query, released at the NEXT
+#: declared-query entry (plans/registry.py wraps every registered fn).
+#: Spark's CacheManager holds strong refs, so an un-released persist()
+#: leaks executor memory for the life of the session — this scope bounds
+#: the leak to exactly one query's caches in any long-lived job.
+_SCOPED_CACHES: list = []
+
+
+def scoped_persist(df):
+    """persist() whose lifetime is one declared query.
+
+    The cache stays alive while the caller's returned DataFrame is
+    collected (the driver collects AFTER the query fn returns), and is
+    unpersisted when the next declared query begins. Long-lived pipelines
+    can call :func:`release_scoped_caches` explicitly at stage boundaries.
+    """
+    df = df.persist()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_scoped_caches() -> None:
+    while _SCOPED_CACHES:
+        try:
+            _SCOPED_CACHES.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped; nothing to release
 
 
 def prep(spark: SparkSession) -> SparkSession:

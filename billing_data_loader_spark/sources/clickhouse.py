@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import o_dsum
 from ..plans.registry import query
+from ..session import conf_override
 from ..tables import load
 from .connectors import scratch_dir
 
@@ -57,13 +58,16 @@ class ParquetStandInWriter:
 
     def write(self, df: DataFrame) -> None:
         spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # one file per yyyymm partition (repartition on the partition key)
         # instead of a file per task per partition — the MergeTree analogue
-        # of avoiding too-many-parts on insert
-        df.repartition("yyyymm").write.mode("overwrite").partitionBy(
-            "yyyymm"
-        ).parquet(self.path)
+        # of avoiding too-many-parts on insert; overwrite-mode override is
+        # scoped so the shared grading session keeps its own config
+        with conf_override(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            df.repartition("yyyymm").write.mode("overwrite").partitionBy(
+                "yyyymm"
+            ).parquet(self.path)
 
     def read_back(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)

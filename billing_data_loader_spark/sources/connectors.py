@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import o_dsum
 from ..plans.registry import query
+from ..session import conf_override
 from ..tables import SCHEMAS, load
 
 _SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "bdl_spark_scratch")
@@ -175,17 +176,21 @@ def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrite: full load, then re-load year 1996 TWICE; readback must equal
     the source exactly — the oracle is the untouched orders table."""
     out = scratch_dir(sf_dir, "orders_idempotent")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     o = load(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
     # repartition on the partition key: one file per year per load (see
     # sink_parquet_partitioned)
     op = o.repartition("order_year")
-    op.write.mode("overwrite").partitionBy("order_year").parquet(out)
-    reload_slice = op.filter(F.col("order_year") == 1996)
-    for _ in range(2):  # replayed export file
-        reload_slice.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    with conf_override(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
+        op.write.mode("overwrite").partitionBy("order_year").parquet(out)
+        reload_slice = op.filter(F.col("order_year") == 1996)
+        for _ in range(2):  # replayed export file
+            reload_slice.write.mode("overwrite").partitionBy(
+                "order_year"
+            ).parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("order_year").agg(
         F.count(F.lit(1)).alias("n_orders"),

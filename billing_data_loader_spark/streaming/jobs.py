@@ -277,11 +277,16 @@ def _stateful_update(key, pdfs, state):
         batch_max = pdf["ts"].max()
         last = batch_max if last is None else max(last, batch_max)
     state.update((cnt, micro, last))
+    # single correctly-rounded int->double conversion: micro/1e6 would round
+    # twice (int->float, then divide) and drift off the oracle's one-step
+    # decimal->double cast once |micro| >= 2^53
+    import decimal
+
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [cnt],
-            "sum_value": [micro / 1e6],
+            "sum_value": [float(decimal.Decimal(micro) / 1_000_000)],
             "last_ts": [last],
         }
     )
@@ -302,6 +307,9 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_stream_events(spark, sf_dir).select(
         "user_id",
         "ts",
+        # precondition: |value| < ~9.2e12, else the decimal->long cast
+        # overflows to NULL silently under non-ANSI Spark (see the bound
+        # note in operators/windows.py win_moving_avg_range)
         (F.col("value").cast(_DEC) * 1000000).cast("long").alias("micro"),
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
