@@ -301,18 +301,8 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-shot bench actually pays. Field width bounds docs at 65535 shingles
     # (fixture max ~98); a 100 TB corpus with megabyte documents would chunk
     # docs upstream or fall back to the unpacked form.
-    # loud guard on the field-width bound: a doc with >65535 shingles would
-    # silently corrupt neighboring 16-bit vote fields, so fail the job
-    # instead (raise_error evaluates only on violation; NullType coerces)
-    n_sh_guarded = F.when(
-        F.count(F.lit(1)) > 0xFFFF,
-        F.raise_error(
-            "simhash packed-vote overflow: doc exceeds 65535 shingles; "
-            "chunk upstream or use the unpacked form"
-        ),
-    ).otherwise(F.count(F.lit(1)))
-    votes = tok.groupBy("doc_id", "lang").agg(
-        n_sh_guarded.alias("n_sh"),
+    votes_raw = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
         *[
             F.sum(
                 sum(
@@ -326,22 +316,50 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(16)
         ],
     )
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        k, i = b % 16, b // 16
-        cnt = F.shiftrightunsigned(f"p{k}", 16 * i).bitwiseAND(F.lit(0xFFFF))
-        sim = sim.bitwiseOR(
-            F.when(2 * cnt > F.col("n_sh"), F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
-        )
+    # loud guard on the field-width bound, applied AFTER the aggregate (one
+    # row per doc, so the conditional stays off the per-shingle hot path):
+    # a doc with >65535 shingles would silently corrupt neighboring 16-bit
+    # vote fields, so fail the job instead
+    votes = votes_raw.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("n_raw") > 0xFFFF,
+            F.raise_error(
+                "simhash packed-vote overflow: doc exceeds 65535 shingles; "
+                "chunk upstream or use the unpacked form"
+            ),
+        ).otherwise(F.col("n_raw")).alias("n_sh"),
+        *[F.col(f"p{k}") for k in range(16)],
+    )
+    # 64-bit signature reconstruction as ONE higher-order fold over
+    # sequence(0,63) instead of a 64-term bitwiseOR chain: the chain's
+    # generated code took janino ~2.5 s to compile per run (the dominant
+    # cost of this query — it runs on only one row per doc); the fold
+    # compiles in milliseconds and its interpreted per-element eval is
+    # trivial at 64 iterations/row. Verified bit-identical to the unrolled
+    # form. shiftleft(1L, 63) carries the Java sign-bit semantics the
+    # unrolled -(2^63) term encoded explicitly.
+    sim_expr = """
+    aggregate(
+      sequence(0, 63),
+      CAST(0 AS BIGINT),
+      (acc, b) -> acc | IF(
+          2 * (shiftrightunsigned(element_at(ps, (b % 16) + 1),
+                                  16 * (b DIV 16)) & CAST(65535 AS BIGINT))
+            > n_sh,
+          shiftleft(CAST(1 AS BIGINT), b),
+          CAST(0 AS BIGINT))
+    )
+    """
     # one row per doc; persisted because the candidate self-join would
     # otherwise recompute the whole shingle->vote pipeline for each side
     # (no ReusedExchange across self-join branches, verified on the plan);
     # scope-released at the next declared-query entry (session.py)
     signed = scoped_persist(
-        votes.select("doc_id", "lang", sim.alias("simhash"))
+        votes.withColumn(
+            "ps", F.array(*[F.col(f"p{k}") for k in range(16)])
+        ).select("doc_id", "lang", F.expr(sim_expr).alias("simhash"))
     )
     chunks = signed.select(
         "doc_id",
