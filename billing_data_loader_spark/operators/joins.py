@@ -369,3 +369,96 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("micros_since_view"),
         F.col("last_view.vid").alias("view_event_id"),
     )
+
+
+# --- join_q10_returns -------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@query("join_q10_returns", oracle=_Q10_ORACLE, tier=2)
+def join_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+
+    Date filter pushed to the orders scan, returnflag filter pushed to the
+    lineitem scan, nation broadcast, distributed top-20 via
+    TakeOrderedAndProject (revenue DESC with a unique c_custkey tie-break
+    so the LIMIT row set is deterministic)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --- join_q18_big_orders ----------------------------------------------------
+
+# The HAVING sum is exact on both engines: fixture quantities are
+# integer-valued doubles (verified), so the >150 threshold cannot flip on
+# reduction order and needs no quantization.
+_Q18_ORACLE = f"""
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {o_dsum("l_quantity", "sum_qty")}
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+      )
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@query("join_q18_big_orders", oracle=_Q18_ORACLE, tier=2)
+def join_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-quantity orders with their customers.
+
+    The HAVING subquery becomes an aggregated key set semi-joined back to
+    the fact — both aggregations group on l_orderkey, so AQE plans the
+    semi-join without re-shuffling lineitem a second time; top-100 is a
+    TakeOrderedAndProject with a unique o_orderkey tie-break."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

@@ -164,3 +164,48 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     doubled = o.unionAll(o.filter(F.col("o_orderkey") % 10 == 0))
     return doubled.distinct()
+
+
+# --- dedup_keep_latest ------------------------------------------------------
+
+# ReplacingMergeTree-style keep-latest: one surviving row per key, chosen by
+# the highest version column. The loader's reprocessing semantics — a
+# re-emitted billing line replaces its predecessor — expressed as ONE
+# hash aggregate (max over a version-led struct) instead of the textbook
+# window + row_number, which would sort every partition. The aggregate
+# partial-combines map-side, so at 100 TB the shuffle carries one row per
+# key per map task, not the full table. The fixture's l_linenumber is NOT
+# unique within an order, so the version order is made total by tie-breaking
+# through every carried column — the oracle's ORDER BY lists the struct
+# fields in the same sequence the struct max compares them.
+_KEEP_LATEST_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber DESC, l_quantity DESC,
+                                     l_extendedprice DESC, l_returnflag DESC
+                           ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@query("dedup_keep_latest", oracle=_KEEP_LATEST_ORACLE, tier=2)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest row per key (version = l_linenumber) via struct-max."""
+    li = load(spark, sf_dir, "lineitem")
+    latest = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.struct(
+                "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+            )
+        ).alias("s")
+    )
+    return latest.select(
+        "l_orderkey",
+        F.col("s.l_linenumber").alias("l_linenumber"),
+        F.col("s.l_quantity").alias("l_quantity"),
+        F.col("s.l_extendedprice").alias("l_extendedprice"),
+        F.col("s.l_returnflag").alias("l_returnflag"),
+    )

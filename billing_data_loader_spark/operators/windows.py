@@ -243,3 +243,66 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     )
+
+
+# --- win_sessionize ---------------------------------------------------------
+
+# Batch sessionization (gap > 30 min starts a new session) — the batch twin
+# of stream_session_window, built from lag + running sum. Gap comparison is
+# done on fractional epoch seconds on BOTH engines (fixture timestamps are
+# sub-second; whole-second truncation would flip boundary decisions).
+# Scale: one shuffle on user_id; both window passes and the final session
+# aggregate share that partitioning, so the session ids and per-session
+# rollup never reshuffle.
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM s
+GROUP BY user_id, session_id
+"""
+
+_SESSION_GAP_SEC = 1800
+
+
+@query("win_sessionize", oracle=_SESSIONIZE_ORACLE, tier=2)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: lag -> new-session flag -> running
+    sum session id -> per-session rollup."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp->double = fractional epoch seconds, exact at µs resolution
+    sec = F.col("ts").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_SEC), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+    )
+    return (
+        ev.select("user_id", "ts", sess.alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
