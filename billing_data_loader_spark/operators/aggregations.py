@@ -364,8 +364,25 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_distinct", oracle=None, tier=3)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct per event type (rows-only: HLL values differ across
-    engines by design; exactness checked by agg_count_distinct)."""
+    engines by design; exactness checked by agg_count_distinct).
+
+    The rows-only check is made meaningful by a self-check column: each row
+    carries the exact distinct count and a boolean asserting the sketch is
+    within 5x its configured 1% relative error. A wrong HLL wiring (wrong
+    column, wrong rsd, broken merge) flips hll_ok to false, visible in the
+    driver's recorded rows even without a value oracle. Both aggregates
+    share one shuffle; the exact count is fixture-scale diagnostics — at
+    100 TB you would drop it and trust the sketch (that being the point)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    ).select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
+        ).alias("hll_ok"),
     )

@@ -66,6 +66,67 @@ AUDITED = {
 }
 
 
+#: Anti-pattern flags the full-catalog sweep looks for, with the keys where
+#: each is EXPECTED and why. Any flagged key not listed here is a plan
+#: regression: the sweep prints it as UNEXPLAINED and exits nonzero.
+EXPECTED_FLAGS: dict[str, dict[str, str]] = {
+    # Exchange SinglePartition: a global (unpartitioned) window or ordered
+    # frame — inherently one partition. Documented 100 TB alternative in
+    # each operator's docstring (bucketed two-pass prefix sums).
+    "single_partition": {
+        "win_running_sum": "global cumulative sum (reporting output)",
+        "win_moving_avg_range": "global RANGE frame (bucketed 2-pass at scale)",
+        "win_ntile_pctrank": "global quantile ranks (reporting output)",
+        "sort_nulls_order": "full ordered output is the query's contract",
+        "fn_unpivot": "AQE coalesces the tiny post-Expand result",
+        # global-scalar aggregates: the SinglePartition exchange carries one
+        # partial-agg row per upstream task (O(tasks), not O(rows)) — the
+        # standard way to compute a corpus-wide constant without collect()
+        "ext_tfidf": "1-row global n_docs aggregate for the IDF term",
+        "ext_lm_unigram_score": "1-row global token-total aggregate",
+        "ext_ann_ivf": "1-row pivot-array fold (16 pivots -> one array row)",
+    },
+    # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
+    # (a scalar query vector, a 1-row pivot array, a tiny task table).
+    "bnlj": {
+        "join_cross_small": "deliberate cross join of two tiny dims",
+        "join_theta_band": "theta component; equi key keeps the hash join",
+        "ext_knn_cosine": "1-row broadcast query vector",
+        "ext_knn_per_label": "1-row broadcast query vector",
+        "ext_ann_ivf": "1-row pivot array + 1-row query vector",
+        "ext_neardup_embedding": "broadcast block-pair task table",
+        "agg_approx_distinct": "self-check scalar join",
+        "ext_tfidf": "1-row broadcast n_docs frame (IDF denominator)",
+        "ext_lm_unigram_score": "1-row broadcast token-total frame",
+    },
+    # CartesianProduct without broadcast: never acceptable.
+    "cartesian": {},
+    # Row-at-a-time Python UDF (BatchEvalPython): the slow path; only the
+    # operator that exists to DEMONSTRATE it may use it.
+    "python_row_udf": {
+        "udf_python_scalar": "deliberate row-at-a-time baseline (vs pandas)",
+        "udtf_tokenize_ordinal": "Python UDTF surface (Arrow UDTF at scale)",
+    },
+}
+
+#: Streaming keys execute eagerly into a memory sink; their returned frame
+#: is a batch read of the sink, so the sweep records them as such.
+_STREAMING_PREFIX = "stream_"
+
+
+def _sweep_flags(plan: str) -> set[str]:
+    flags = set()
+    if "Exchange SinglePartition" in plan:
+        flags.add("single_partition")
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.add("bnlj")
+    if "CartesianProduct" in plan:
+        flags.add("cartesian")
+    if "BatchEvalPython" in plan:
+        flags.add("python_row_udf")
+    return flags
+
+
 def main() -> None:
     spark = get_spark("bdl-plan-audit")
     specs = catalog()
@@ -112,10 +173,60 @@ def main() -> None:
                 out.append(f"- `PushedFilters: {filters}`")
                 out.append(f"  reads {cols} cols: `{schema[:150]}`")
         out.append("")
+    # ---- full-catalog sweep: every declared key, anti-pattern flags ----
+    out.append("## Full-catalog sweep")
+    out.append("")
+    out.append(
+        "Every declared key's physical plan, scanned for scale"
+        " anti-patterns: `single_partition` (Exchange SinglePartition),"
+        " `bnlj` (BroadcastNestedLoopJoin), `cartesian`, `python_row_udf`"
+        " (row-at-a-time BatchEvalPython). A flag is either expected —"
+        " justified in `tools/plan_audit.py:EXPECTED_FLAGS` and the"
+        " operator's docstring — or an UNEXPLAINED regression (sweep exits"
+        " nonzero). Streaming keys run eagerly to a memory sink; the plan"
+        " recorded here is the post-materialization batch read, so their"
+        " shuffle story lives in `streaming/jobs.py` docstrings instead."
+    )
+    out.append("")
+    out.append("| Key | Exchanges | Flags | Status |")
+    out.append("| --- | --- | --- | --- |")
+    unexplained: list[str] = []
+    for key, spec in specs.items():
+        df = spec.fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        n_exchange = plan.count("Exchange ") - plan.count("BroadcastExchange ")
+        flags = _sweep_flags(plan)
+        if key.startswith(_STREAMING_PREFIX):
+            out.append(f"| `{key}` | — | — | streaming (memory-sink read) |")
+            continue
+        notes = []
+        bad = []
+        for flag in sorted(flags):
+            why = EXPECTED_FLAGS.get(flag, {}).get(key)
+            if why:
+                notes.append(f"`{flag}` ok: {why}")
+            else:
+                bad.append(flag)
+        if bad:
+            unexplained.append(f"{key}: {bad}")
+        status = "**UNEXPLAINED: " + ", ".join(bad) + "**" if bad else "ok"
+        out.append(
+            f"| `{key}` | {n_exchange} | {'; '.join(notes) or '—'} | {status} |"
+        )
+        spark.catalog.clearCache()
+    out.append("")
     Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
         "\n".join(out) + "\n"
     )
-    print(f"PLANS.md written ({len(AUDITED)} plans audited)")
+    print(
+        f"PLANS.md written ({len(AUDITED)} deep audits, "
+        f"{len(specs)} keys swept)"
+    )
+    if unexplained:
+        print("UNEXPLAINED plan flags:")
+        for line in unexplained:
+            print(f"  {line}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
