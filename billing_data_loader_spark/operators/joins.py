@@ -462,3 +462,54 @@ def join_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# --- join_skew_salted -------------------------------------------------------
+
+# A deliberately skewed fact (80% of events collapse onto one hot key) hash-
+# joined to a dim WITHOUT broadcasting: the portable skew treatment is an
+# explicit salt — the fact side splits its hot key across _N_SALT reducer
+# partitions and the dim side replicates each key _N_SALT times (bounded:
+# dims are small by definition). AQE's skew-join split handles this
+# automatically for sort-merge joins; the explicit salt is the form that
+# works on any engine version, keeps deterministic reducer sizing, and is
+# what you reach for when the skew is in an aggregation key, not a join.
+# The oracle is the plain unsalted join — salting must not change results.
+_SKEW_ORACLE = f"""
+SELECT CASE WHEN user_id % 10 < 8 THEN 1 ELSE user_id END AS k,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM events JOIN customer
+  ON c_custkey = (CASE WHEN user_id % 10 < 8 THEN 1 ELSE user_id END)
+GROUP BY k, c_mktsegment
+"""
+
+_N_SALT = 8
+
+
+@query("join_skew_salted", oracle=_SKEW_ORACLE, tier=3)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe shuffle join: salt the hot fact key, replicate the dim."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    hot = F.when(F.col("user_id") % 10 < 8, F.lit(1)).otherwise(
+        F.col("user_id")
+    ).cast("long")
+    fact = ev.select(
+        hot.alias("k"),
+        "value",
+        # deterministic per-row salt: the hot key's rows spread over
+        # _N_SALT reducer partitions instead of one
+        F.pmod(F.xxhash64("event_id"), F.lit(_N_SALT)).alias("salt"),
+    )
+    dim = c.select(F.col("c_custkey").alias("k"), "c_mktsegment").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)))
+    )
+    # shuffle_hash hint: without it the planner would broadcast this small
+    # dim and hide the skew path the operator exists to demonstrate
+    joined = fact.join(dim.hint("shuffle_hash"), ["k", "salt"])
+    return joined.groupBy("k", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )

@@ -398,3 +398,58 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 3)
+
+
+# --- ext_ngram_freq ---------------------------------------------------------
+
+# Top-5 bigrams per language. One shuffle for the (lang, bigram) count, then
+# a per-lang window over the already-aggregated count table. With few
+# languages the window partitions are coarse; at 100 TB the merge step
+# becomes hierarchical (per-partition top-5, then merge the tiny per-
+# partition lists) — the count table, not the corpus, is what flows into it
+# either way. element_at keeps indexing 1-based to match DuckDB's lists.
+_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+), b AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bigram
+  FROM toks
+), c AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY lang, bigram
+)
+SELECT lang, bigram, n, rn FROM (
+  SELECT lang, bigram, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, bigram ASC) AS BIGINT) AS rn
+  FROM c
+) WHERE rn <= 5
+"""
+
+
+@query("ext_ngram_freq", oracle=_NGRAM_ORACLE, tier=3)
+def ext_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 bigram frequencies (n-gram corpus statistics)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split("text", " ").alias("t"))
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.select(
+            "lang", "bigram", "n",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )

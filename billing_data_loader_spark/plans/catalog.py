@@ -76,6 +76,10 @@ _GRADING_PRIORITY = [
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",
     "fn_string_suite", "fn_date_suite", "fn_conditional",
     "fn_explode_tokens", "fn_json_extract", "udf_python_scalar",
+    # added late in round 2, deliberately BEHIND the grading window so they
+    # don't evict keys still waiting for their first green row; rotate
+    # forward in round 3
+    "join_skew_salted", "ext_ngram_freq", "stream_join_static",
 ]
 
 

@@ -350,3 +350,35 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return _run_to_memory(agg, "bdl_dedup_watermark", "complete")
+
+
+# --- stream_join_static -----------------------------------------------------
+
+_JOIN_STATIC_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("stream_join_static", oracle=_JOIN_STATIC_ORACLE, tier=3)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (the loader's 'attach account metadata on ingest'
+    step), then aggregates revenue per segment.
+
+    Stream-static inner joins are stateless — each micro-batch hash-joins
+    against the (re-scanned, broadcastable) static side, so no state store
+    grows with the stream; only the downstream aggregate keeps state, and
+    its key space (segments) is bounded. Result must equal the batch join
+    oracle exactly (availableNow replay)."""
+    ev = _read_stream_events(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, "bdl_join_static", "complete")
