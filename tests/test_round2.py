@@ -1,0 +1,134 @@
+"""Round-2 semantic/property tests: new operators' invariants plus the
+cache-scoping and config-restore hygiene contracts (VERDICT.md r1 items)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from billing_data_loader_spark.operators.joins import join_skew_salted
+from billing_data_loader_spark.operators.projections import dedup_keep_latest
+from billing_data_loader_spark.operators.reshape import agg_pivot
+from billing_data_loader_spark.operators.windows import win_sessionize
+from billing_data_loader_spark.plans.catalog import catalog
+from billing_data_loader_spark.session import conf_override
+from billing_data_loader_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def test_keep_latest_invariants(spark):
+    """One row per key; every survivor is a genuine source row; no source
+    row has a strictly higher version than its key's survivor."""
+    out = dedup_keep_latest(spark, SF_DIR)
+    li = load(spark, SF_DIR, "lineitem")
+    n_keys = li.select("l_orderkey").distinct().count()
+    assert out.count() == n_keys
+    # survivors ⊆ source (exact row membership on the carried columns)
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_returnflag"]
+    missing = out.join(li.select(cols), cols, "left_anti")
+    assert missing.count() == 0, "keep-latest fabricated a row"
+    # survivor carries its key's max version
+    vmax = li.groupBy("l_orderkey").agg(F.max("l_linenumber").alias("vmax"))
+    stale = out.join(vmax, "l_orderkey").filter(
+        F.col("l_linenumber") < F.col("vmax")
+    )
+    assert stale.count() == 0, "keep-latest kept a stale version"
+
+
+def test_sessionize_invariants(spark):
+    """Per-user event counts are conserved; consecutive sessions of one
+    user are separated by more than the 30-minute gap."""
+    out = win_sessionize(spark, SF_DIR)
+    ev = load(spark, SF_DIR, "events")
+    per_user_out = out.groupBy("user_id").agg(
+        F.sum("n_events").alias("n")
+    )
+    per_user_src = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    diff = per_user_out.join(per_user_src, "user_id").filter(
+        per_user_out.n != per_user_src.n
+    )
+    assert diff.count() == 0, "sessionization lost or duplicated events"
+    # session k+1 must start > 1800s after session k ends (same user)
+    nxt = (
+        out.alias("a")
+        .join(
+            out.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.session_id") == F.col("a.session_id") + 1),
+        )
+        .filter(
+            F.col("b.session_start").cast("double")
+            - F.col("a.session_end").cast("double")
+            <= 1800
+        )
+    )
+    assert nxt.count() == 0, "adjacent sessions violate the gap contract"
+
+
+def test_salted_join_equals_unsalted(spark):
+    """Salting is a physical rewrite only: the salted join's aggregate must
+    equal the straightforward unsalted plan row-for-row."""
+    salted = join_skew_salted(spark, SF_DIR)
+    ev = load(spark, SF_DIR, "events")
+    c = load(spark, SF_DIR, "customer")
+    hot = F.when(F.col("user_id") % 10 < 8, F.lit(1)).otherwise(
+        F.col("user_id")
+    ).cast("long")
+    plain = (
+        ev.select(hot.alias("k"), "value")
+        .join(c.select(F.col("c_custkey").alias("k"), "c_mktsegment"), "k")
+        .groupBy("k", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_pivot_counts_conserve_total(spark):
+    """Pivoted status counts sum back to the joined row total."""
+    out = agg_pivot(spark, SF_DIR)
+    total = out.agg(
+        F.sum(F.col("n_f") + F.col("n_o") + F.col("n_p"))
+    ).collect()[0][0]
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer")
+    assert total == o.join(c, o.o_custkey == c.c_custkey).count()
+
+
+def test_hll_self_check_green(spark):
+    """The approx-distinct self-check bound holds on the fixture."""
+    out = catalog()["agg_approx_distinct"].fn(spark, SF_DIR)
+    assert out.filter(~F.col("hll_ok")).count() == 0
+
+
+def test_scoped_caches_released_between_queries(spark):
+    """A declared query's persist()s must be gone once the next declared
+    query begins (VERDICT r1: CacheManager leak)."""
+    c = catalog()
+    c["ext_neardup_minhash_lsh"].fn(spark, SF_DIR).count()
+    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+    assert jsc.getPersistentRDDs().size() >= 1  # its own signature cache
+    c["scan_parquet"].fn(spark, SF_DIR).count()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_conf_override_restores_unset(spark):
+    """conf_override restores both explicit values and unset-ness."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.unset(key)
+    with conf_override(spark, {key: "dynamic"}):
+        assert spark.conf.get(key, None) == "dynamic"
+    assert spark.conf.get(key, None) is None
+    spark.conf.set(key, "dynamic")
+    try:
+        with conf_override(spark, {key: "static"}):
+            assert spark.conf.get(key, None) == "static"
+        assert spark.conf.get(key, None) == "dynamic"
+    finally:
+        spark.conf.unset(key)
