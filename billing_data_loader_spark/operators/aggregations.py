@@ -370,13 +370,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the exact distinct count and a boolean asserting the sketch is
     within 5x its configured 1% relative error. A wrong HLL wiring (wrong
     column, wrong rsd, broken merge) flips hll_ok to false, visible in the
-    driver's recorded rows even without a value oracle. Both aggregates
-    share one shuffle; the exact count is fixture-scale diagnostics — at
-    100 TB you would drop it and trust the sketch (that being the point)."""
+    driver's recorded rows even without a value oracle.
+
+    Both counts run over the PRE-DEDUPED (event_type, user_id) pairs: HLL
+    registers are duplicate-insensitive, so sketching the distinct pairs
+    yields the identical estimate while the exact count becomes a plain
+    COUNT(*) — mixing countDistinct with another aggregate in one agg
+    forces Spark's expand-based distinct plan (measured 2x slower). At
+    100 TB you would drop the exact column and sketch the raw stream in
+    one pass (that being HLL's point)."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    pairs = ev.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("exact_users"),
     ).select(
         "event_type",
         "approx_users",
