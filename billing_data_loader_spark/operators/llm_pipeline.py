@@ -391,6 +391,119 @@ def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ext_dedup_cluster ------------------------------------------------------
+
+# Connected components over the near-dup graph — the final step of every
+# dedup pipeline: group mutually-similar docs into clusters and elect a
+# canonical keeper (min doc_id) per cluster. Oracle: DuckDB recursive CTE
+# computes exact reachability closure and min-reachable-id per node; the
+# graph here (planted duplicate pairs + any natural near-dups) is small, so
+# the quadratic closure is fine as an oracle.
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus
+),
+tok AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS token
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+jac AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM jac
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT c.doc_id, c.cluster_id, s.cluster_size
+FROM comp c
+JOIN (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+) s USING (cluster_id)
+"""
+
+_CLUSTER_MAX_ITERS = 10
+
+
+@query("ext_dedup_cluster", oracle=_CLUSTER_ORACLE, tier=3)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over jaccard>=0.6 pairs
+    via iterative min-label propagation (Pregel-style, plain DataFrames).
+
+    Each iteration is one edges⋈labels shuffle + a min-aggregate; labels
+    are scope-persisted per iteration so lineage stays one-iteration deep.
+    Convergence needs O(component diameter) rounds — near-dup clusters are
+    shallow (duplicates of one document form a clique), so this terminates
+    in 2-3 rounds; the per-round driver-side convergence count is the one
+    driver action an iterative fixpoint legitimately needs. At 100 TB the
+    identical loop runs with the label table hash-partitioned on doc_id;
+    GraphFrames/Pregel is the packaged form of the same plan."""
+    pair_df = ext_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = scoped_persist(
+        pair_df.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).unionAll(
+            pair_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+    )
+    labels = scoped_persist(
+        _corpus_with_dups(spark, sf_dir).select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+    )
+    for _ in range(_CLUSTER_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = scoped_persist(
+            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left").select(
+                labels.doc_id,
+                F.least(
+                    labels.cluster_id,
+                    F.coalesce(F.col("nbr_min"), labels.cluster_id),
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 # --- ext_neardup_minhash_lsh ------------------------------------------------
 
 _N_HASHES = 32

@@ -86,6 +86,7 @@ _GRADING_PRIORITY = [
     # don't evict keys still waiting for their first green row; rotate
     # forward in round 3
     "join_skew_salted", "ext_ngram_freq", "stream_join_static",
+    "ext_dedup_cluster",
 ]
 
 

@@ -132,3 +132,26 @@ def test_conf_override_restores_unset(spark):
         assert spark.conf.get(key, None) == "dynamic"
     finally:
         spark.conf.unset(key)
+
+
+def test_dedup_cluster_groups_planted_copies(spark):
+    """Every planted copy (doc_id + 1_000_000) must land in its original's
+    cluster, and cluster_id must equal the minimum member id."""
+    from billing_data_loader_spark.operators.llm_pipeline import (
+        _COPY_OFFSET,
+        ext_dedup_cluster,
+    )
+
+    out = ext_dedup_cluster(spark, SF_DIR)
+    copies = out.filter(F.col("doc_id") >= _COPY_OFFSET)
+    orig = out.filter(F.col("doc_id") < _COPY_OFFSET).select(
+        F.col("doc_id").alias("o_id"), F.col("cluster_id").alias("o_cluster")
+    )
+    misgrouped = copies.join(
+        orig, copies.doc_id - _COPY_OFFSET == orig.o_id
+    ).filter(F.col("cluster_id") != F.col("o_cluster"))
+    assert misgrouped.count() == 0, "copy not clustered with its original"
+    bad_rep = out.groupBy("cluster_id").agg(F.min("doc_id").alias("mn")).filter(
+        F.col("cluster_id") != F.col("mn")
+    )
+    assert bad_rep.count() == 0, "cluster_id is not the min member id"
