@@ -451,8 +451,12 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over jaccard>=0.6 pairs
     via iterative min-label propagation (Pregel-style, plain DataFrames).
 
-    Each iteration is one edges⋈labels shuffle + a min-aggregate; labels
-    are scope-persisted per iteration so lineage stays one-iteration deep.
+    Labels propagate only over the EDGE-ENDPOINT subgraph — docs with no
+    near-dup edge keep their own id and never enter the loop, so each
+    iteration joins a table of O(#dup-pairs) rows, not O(corpus). Each
+    iteration is one edges⋈labels shuffle + a min-aggregate; the
+    changed-flag is computed inside the same persisted frame, so the
+    convergence check is a filter-count on the cache, not a second join.
     Convergence needs O(component diameter) rounds — near-dup clusters are
     shallow (duplicates of one document form a clique), so this terminates
     in 2-3 rounds; the per-round driver-side convergence count is the one
@@ -468,9 +472,9 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     labels = scoped_persist(
-        _corpus_with_dups(spark, sf_dir).select(
-            "doc_id", F.col("doc_id").alias("cluster_id")
-        )
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
     )
     for _ in range(_CLUSTER_MAX_ITERS):
         nbr_min = (
@@ -485,21 +489,26 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                     labels.cluster_id,
                     F.coalesce(F.col("nbr_min"), labels.cluster_id),
                 ).alias("cluster_id"),
+                (
+                    F.col("nbr_min").isNotNull()
+                    & (F.col("nbr_min") < labels.cluster_id)
+                ).alias("chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    sizes = labels.groupBy("cluster_id").agg(
+    member = _corpus_with_dups(spark, sf_dir).select("doc_id").join(
+        labels, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = member.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return labels.join(sizes, "cluster_id").select(
+    return member.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
 
