@@ -280,3 +280,49 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.getField("et").alias("meta_et"),
         meta.getField("uid").alias("meta_uid"),
     )
+
+
+# --- fn_regex_suite ---------------------------------------------------------
+
+# The regex surface beyond fn_string_suite's basics: count / like / full
+# match-list extraction / first-match position. Patterns stay in the
+# Java-regex ∩ RE2 common subset (no backreferences, no lookaround); the
+# match list crosses the driver boundary as a comma-joined string.
+# first_match_pos is emulated in DuckDB as strpos of the first match —
+# equivalent for context-free patterns, where the leftmost occurrence of
+# the matched text IS the leftmost match.
+_REGEX_ORACLE = """
+SELECT
+  p_partkey,
+  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+  regexp_matches(p_name, '[a-z]{5,}') AS has_long_word,
+  COALESCE(array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'), ','), '')
+    AS long_words,
+  CASE WHEN regexp_extract(p_name, '[b-df-hj-np-tv-z]{2}') = '' THEN 0
+       ELSE CAST(strpos(p_name, regexp_extract(p_name, '[b-df-hj-np-tv-z]{2}'))
+            AS BIGINT)
+  END AS first_cc_pos,
+  CAST(len(string_split_regex(p_name, '[ -]')) AS BIGINT) AS n_fields
+FROM part
+"""
+
+
+@query("fn_regex_suite", oracle=_REGEX_ORACLE, tier=1)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count / rlike / regexp_extract_all / regexp_instr /
+    regex-delimited split — all JVM-side codegen expressions."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]+")).cast("long").alias(
+            "n_vowel_runs"
+        ),
+        F.col("p_name").rlike("[a-z]{5,}").alias("has_long_word"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("[a-z]{4,}"), 0), ","
+        ).alias("long_words"),
+        F.regexp_instr("p_name", F.lit("[b-df-hj-np-tv-z]{2}")).cast(
+            "long"
+        ).alias("first_cc_pos"),
+        F.size(F.split("p_name", "[ -]")).cast("long").alias("n_fields"),
+    )

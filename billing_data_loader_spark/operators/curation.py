@@ -1,0 +1,277 @@
+"""Corpus-curation operators for training-data pipelines (north-star
+mandate, SURVEY.md §2.10): benchmark decontamination, temperature-flattened
+domain mixing, dedup application, and sequence packing.
+
+Scale design:
+- decontamination: the benchmark n-gram set is tiny relative to the corpus
+  (eval suites are MBs, corpora are TBs), so it broadcasts; the corpus side
+  streams through one explode + broadcast-hash-join + one groupBy shuffle
+  keyed by doc_id. N-grams cross the join as xxhash64 longs, never strings.
+- domain mix: per-source counts are a 20-row aggregate; the keep decision is
+  a pure map-side hash-threshold predicate (same discipline as
+  ext_sample_stratified) — no reservoir, no global sort, reproducible on
+  any cluster size.
+- dedup apply: one hash-shuffle to find keepers (window over sha256) + one
+  small audit aggregate. The shuffle key is a 64-char digest, never text.
+- sequence packing: first-fit-decreasing bin packing is inherently
+  sequential WITHIN a bin stream, so it runs per-language via
+  ``applyInPandas`` (each language's stream packs independently); at 100 TB
+  the group key would be (lang, shard) with one packer per shard — packing
+  quality degrades only at shard boundaries (FFD is 11/9·OPT+1 per shard).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# --- ext_decontaminate ------------------------------------------------------
+
+# Benchmark set = every 97th doc plus one fixed 8-token eval snippet (a
+# held-out eval suite); docs with doc_id % 23 == 1 get that snippet
+# appended — a planted leak, so the operator demonstrably fires on ~4% of
+# the corpus (plus the benchmark docs themselves, which self-overlap and
+# act as positive controls). Overlap is counted on 8-gram shingles, the standard
+# decontamination unit scaled to these ~50-token fixtures (real pipelines
+# use 13-grams on full documents).
+_SNIPPET = "eval probe alpha beta gamma delta epsilon zeta"
+
+_DECON_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 1 THEN text || ' {_SNIPPET}' ELSE text END
+           AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM synth
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+  UNION
+  SELECT '{_SNIPPET}' AS g
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(b.g) AS n_shared,
+       COUNT(b.g) > 0 AS contaminated,
+       doc_id % 97 = 0 AS is_benchmark
+FROM grams LEFT JOIN bench b USING (g)
+GROUP BY doc_id
+"""
+
+
+@query("ext_decontaminate", oracle=_DECON_ORACLE, tier=3)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any 8-gram with the
+    held-out benchmark subset. The benchmark gram set broadcasts (eval
+    suites are tiny next to the corpus); grams travel as xxhash64 longs.
+    64-bit collisions could miscount at extreme scale (same caveat as the
+    minhash shingle space — birthday bound ~4e9 distinct grams)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 1,
+            F.concat(F.col("text"), F.lit(f" {_SNIPPET}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.split(F.col("text"), " ")
+    grams_arr = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .union(spark.range(1).select(F.xxhash64(F.lit(_SNIPPET)).alias("g")))
+        .distinct()
+    )
+    hit = bench.withColumn("hit", F.lit(1))
+    return (
+        grams.join(F.broadcast(hit), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+            (F.count("hit") > 0).alias("contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            "contaminated",
+            (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+        )
+    )
+
+
+# --- ext_domain_mix_sample --------------------------------------------------
+
+# Temperature-flattened source mixing (alpha = 0.5): target per-source keep
+# rate r_s = sqrt(min_count / n_s) — the smallest source keeps everything,
+# larger sources are downsampled toward a flatter mix (the multilingual /
+# multi-domain sampling rule from public LM training recipes). The keep
+# decision is the same deterministic Knuth-hash threshold the stratified
+# sampler uses, evaluated map-side; sqrt and the division are IEEE-exact in
+# both engines, so the bigint threshold matches bit-for-bit.
+_MIX_ORACLE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), mn AS (
+  SELECT MIN(n_docs) AS min_n FROM counts
+), rates AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n_docs) * 1000000) AS BIGINT)
+           AS keep_threshold
+  FROM counts CROSS JOIN mn
+)
+SELECT d.source, r.n_docs, r.keep_threshold,
+       COUNT(*) FILTER ((d.doc_id * 2654435761) % 1000000 < r.keep_threshold)
+         AS n_kept
+FROM documents d JOIN rates r USING (source)
+GROUP BY d.source, r.n_docs, r.keep_threshold
+"""
+
+
+@query("ext_domain_mix_sample", oracle=_MIX_ORACLE, tier=3)
+def ext_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature sampling audit: counts, bigint hash threshold,
+    kept rows. Rates derive from a 20-row aggregate (broadcast back); the
+    per-doc decision is map-side, so the plan is two tiny shuffles
+    regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("min_n").cast("double") / F.col("n_docs")) * 1000000
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    keep = (F.col("doc_id") * F.lit(2654435761)) % 1000000 < F.col(
+        "keep_threshold"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "keep_threshold")
+        .agg(F.count(F.when(keep, 1)).alias("n_kept"))
+        .select("source", "n_docs", "keep_threshold", "n_kept")
+    )
+
+
+# --- ext_dedup_apply --------------------------------------------------------
+
+# The "apply" stage of exact dedup: keep the min-doc_id copy of each text,
+# audit the reduction per (lang, source). Reuses the synthesized-duplicates
+# corpus from llm_pipeline so the reduction is non-trivial.
+_APPLY_ORACLE = """
+WITH corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0
+), keyed AS (
+  SELECT lang, source, doc_id, n_chars,
+         MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+  FROM corpus
+)
+SELECT lang, source,
+       COUNT(*) AS n_before,
+       COUNT(*) FILTER (doc_id = keeper) AS n_after,
+       COALESCE(CAST(SUM(n_chars) FILTER (doc_id <> keeper) AS BIGINT), 0)
+         AS chars_dropped
+FROM keyed
+GROUP BY lang, source
+"""
+
+
+@query("ext_dedup_apply", oracle=_APPLY_ORACLE, tier=3)
+def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup application audit: per (lang, source) rows before/after
+    keeping only the min-doc_id copy of each distinct text. One window
+    shuffle keyed on the 32-byte digest + one small audit aggregate."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    keeper = F.min("doc_id").over(W.partitionBy(F.sha2("text", 256)))
+    keyed = corpus.select(
+        "lang", "source", "doc_id", "n_chars", keeper.alias("keeper")
+    )
+    dropped = F.col("doc_id") != F.col("keeper")
+    return keyed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.count(F.when(~dropped, 1)).alias("n_after"),
+        F.coalesce(
+            F.sum(F.when(dropped, F.col("n_chars"))), F.lit(0)
+        ).alias("chars_dropped"),
+    )
+
+
+# --- ext_seq_pack -----------------------------------------------------------
+
+_PACK_CAPACITY = 2048
+
+_PACK_SCHEMA = "doc_id bigint, lang string, n_tok bigint, bin_id bigint"
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """First-fit-decreasing packing of one language's docs into
+    token-capacity bins. Deterministic: sort by (n_tok desc, doc_id)."""
+    pdf = pdf.sort_values(
+        ["n_tok", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    bin_free: list[int] = []
+    bin_ids = []
+    for n_tok in pdf["n_tok"]:
+        for b, free in enumerate(bin_free):
+            if free >= n_tok:
+                bin_free[b] = free - n_tok
+                bin_ids.append(b)
+                break
+        else:
+            bin_free.append(_PACK_CAPACITY - n_tok)
+            bin_ids.append(len(bin_free) - 1)
+    pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+    return pdf[["doc_id", "lang", "n_tok", "bin_id"]]
+
+
+@query("ext_seq_pack", oracle=None, tier=3)
+def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: group docs into <=2048-token training bins per
+    language via first-fit-decreasing inside ``applyInPandas``.
+
+    Packing is the one curation step that is genuinely sequential per
+    output stream, so it's the honest Pandas-UDF case (Arrow batches, one
+    group per language; shard the group key to scale out). Not
+    SQL-expressible without a recursive scan -> rows-only check; semantic
+    invariants (capacity, completeness, FFD efficiency bound) are pinned in
+    tests/test_round2.py."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    return d.groupBy("lang").applyInPandas(_pack_group, schema=_PACK_SCHEMA)

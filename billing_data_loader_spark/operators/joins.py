@@ -513,3 +513,150 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+# --- join_q4_exists ---------------------------------------------------------
+
+# TPC-H Q4 shape adapted to the fixture schema (no l_commitdate /
+# l_receiptdate columns -> the EXISTS predicate uses returned lineitems;
+# fixture dates span 1995-2001 -> the quarter window is 1996-Q3).
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@query("join_q4_exists", oracle=_Q4_ORACLE, tier=2)
+def join_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS subquery through the SQL surface.
+    Catalyst rewrites the EXISTS into a left-semi hash join on l_orderkey
+    with the date filter pushed to the orders scan — the subquery never
+    materializes per-row (no nested-loop re-execution), so the plan is the
+    same one the DataFrame semi-join API would produce at any scale."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM {o}
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM {li}
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        """,
+        o=o,
+        li=li,
+    )
+
+
+# --- join_not_in_subquery ---------------------------------------------------
+
+_NOT_IN_ORACLE = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity >= 45
+)
+"""
+
+
+@query("join_not_in_subquery", oracle=_NOT_IN_ORACLE, tier=2)
+def join_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery: parts never shipped in a large returned lineitem.
+    NOT IN is null-aware (one NULL in the subquery empties the result), so
+    Catalyst plans a null-aware anti join rather than a plain left-anti —
+    the SQL surface is the point; semantics checked against DuckDB."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM {p}
+        WHERE p_partkey NOT IN (
+          SELECT l_partkey FROM {li}
+          WHERE l_returnflag = 'R' AND l_quantity >= 45
+        )
+        """,
+        p=p,
+        li=li,
+    )
+
+
+# --- join_q7_volume ---------------------------------------------------------
+
+# TPC-H Q7 shape (volume shipping): the same dimension table joined TWICE
+# under different roles (supplier nation vs customer nation) with a
+# symmetric two-nation predicate — the self-aliased-dimension pattern Q5 /
+# join_star_5way doesn't cover. Nations adapted to the fixture's synthetic
+# names; year bucket from l_shipdate.
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+@query("join_q7_volume", oracle=_Q7_ORACLE, tier=2)
+def join_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the nation
+    dimension joins twice under different aliases (supplier side vs
+    customer side) with a symmetric OR predicate across the pair. Both
+    nation sides broadcast; the nation filters cut supplier/customer
+    BEFORE the fact joins, so the fact side shuffles pre-filtered —
+    the plan that survives 100 TB. Revenue is decimal-quantized."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+    cn = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+    return (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_3")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_3")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )

@@ -382,3 +382,48 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
     )
     return _run_to_memory(agg, "bdl_join_static", "complete")
+
+
+# --- stream_stream_join -----------------------------------------------------
+
+_STREAM_JOIN_ORACLE = """
+SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("stream_stream_join", oracle=_STREAM_JOIN_ORACLE, tier=3)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 hour of a view by
+    the same user (attribution). Both sides carry a watermark and the join
+    condition bounds event time on both ends, so Spark can evict buffered
+    rows once the watermark passes view_ts + 1h — state is O(events in the
+    watermark horizon), not O(stream). Inner time-interval joins are the
+    only stream-stream form with provable state cleanup; the availableNow
+    replay must equal the static self-join oracle exactly."""
+    ev = _read_stream_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
+    return _run_to_memory(joined, "bdl_stream_stream_join", "append")

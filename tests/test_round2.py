@@ -155,3 +155,59 @@ def test_dedup_cluster_groups_planted_copies(spark):
         F.col("cluster_id") != F.col("mn")
     )
     assert bad_rep.count() == 0, "cluster_id is not the min member id"
+
+
+def test_seq_pack_invariants(spark):
+    """Every doc binned exactly once; no bin exceeds capacity; bin count per
+    language stays within the FFD guarantee (11/9 * OPT + 1)."""
+    import math
+
+    from billing_data_loader_spark.operators.curation import (
+        _PACK_CAPACITY,
+        ext_seq_pack,
+    )
+
+    out = ext_seq_pack(spark, SF_DIR).toPandas()
+    docs = load(spark, SF_DIR, "documents")
+    assert len(out) == docs.count()
+    assert out.doc_id.is_unique, "a doc landed in two bins"
+    fills = out.groupby(["lang", "bin_id"]).n_tok.sum()
+    assert (fills <= _PACK_CAPACITY).all(), "bin over capacity"
+    for lang, grp in out.groupby("lang"):
+        opt_lb = math.ceil(grp.n_tok.sum() / _PACK_CAPACITY)  # lower bound
+        n_bins = grp.bin_id.nunique()
+        assert n_bins <= math.floor(11 / 9 * opt_lb) + 1, (
+            f"{lang}: {n_bins} bins vs OPT lower bound {opt_lb}"
+        )
+
+
+def test_decontaminate_planted_leaks_flagged(spark):
+    """Every doc with the planted eval snippet (doc_id % 23 == 1) must be
+    flagged contaminated; benchmark docs self-overlap so they flag too."""
+    from billing_data_loader_spark.operators.curation import ext_decontaminate
+
+    out = ext_decontaminate(spark, SF_DIR)
+    planted_clean = out.filter(
+        (F.col("doc_id") % 23 == 1) & ~F.col("contaminated")
+    )
+    assert planted_clean.count() == 0, "planted leak not flagged"
+    bench_clean = out.filter(F.col("is_benchmark") & ~F.col("contaminated"))
+    assert bench_clean.count() == 0, "benchmark doc not self-flagged"
+
+
+def test_domain_mix_flattens_sources(spark):
+    """The kept mix must be flatter than the input mix: the max/min source
+    ratio shrinks, and the smallest source is kept (nearly) whole."""
+    from billing_data_loader_spark.operators.curation import (
+        ext_domain_mix_sample,
+    )
+
+    pdf = ext_domain_mix_sample(spark, SF_DIR).toPandas()
+    before = pdf.n_docs.max() / pdf.n_docs.min()
+    kept = pdf[pdf.n_kept > 0]
+    after = kept.n_kept.max() / kept.n_kept.min()
+    assert after <= before, "temperature sampling did not flatten the mix"
+    smallest = pdf.loc[pdf.n_docs.idxmin()]
+    assert smallest.keep_threshold == 1_000_000, (
+        "smallest source should keep everything (rate 1.0)"
+    )

@@ -85,6 +85,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_tfidf": "1-row global n_docs aggregate for the IDF term",
         "ext_lm_unigram_score": "1-row global token-total aggregate",
         "ext_ann_ivf": "1-row pivot-array fold (16 pivots -> one array row)",
+        "ext_domain_mix_sample": "1-row global min-source-count aggregate",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -98,6 +99,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_approx_distinct": "self-check scalar join",
         "ext_tfidf": "1-row broadcast n_docs frame (IDF denominator)",
         "ext_lm_unigram_score": "1-row broadcast token-total frame",
+        "ext_domain_mix_sample": "1-row broadcast min-count frame (rate denom)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
