@@ -326,3 +326,37 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_cc_pos"),
         F.size(F.split("p_name", "[ -]")).cast("long").alias("n_fields"),
     )
+
+
+# --- fn_bitwise_suite -------------------------------------------------------
+
+# Bit arithmetic on the order key: masks, shifts, popcount — the hash/
+# bucket/bloom-filter primitive layer. DuckDB's xor() is a function, &,|
+# are operators; Spark's are all operators plus bit_count. All stay in
+# whole-stage codegen.
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 21845) AS xored,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount,
+       o_orderkey << 3 AS shifted_l,
+       o_orderkey >> 2 AS shifted_r
+FROM orders
+"""
+
+
+@query("fn_bitwise_suite", oracle=_BITWISE_ORACLE, tier=1)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and/or/xor, popcount, shifts on bigint keys."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.bit_count(k).cast("long").alias("popcount"),
+        F.shiftleft(k, 3).alias("shifted_l"),
+        F.shiftright(k, 2).alias("shifted_r"),
+    )

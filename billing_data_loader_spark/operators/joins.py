@@ -660,3 +660,40 @@ def join_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# --- join_scalar_subquery ---------------------------------------------------
+
+_SCALAR_SUB_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       (SELECT MAX(l_extendedprice) FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS max_item_price,
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey = o_orderkey) AS n_items
+FROM orders
+WHERE o_totalprice > 400000
+"""
+
+
+@query("join_scalar_subquery", oracle=_SCALAR_SUB_ORACLE, tier=2)
+def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the projection: per-order max item
+    price and item count. Catalyst de-correlates each into an aggregate +
+    left-outer join (one shuffle per subquery, merged under AQE) — never a
+    per-row re-execution, so the SQL sugar costs the same as the manual
+    join+agg at any scale."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT MAX(l_extendedprice) FROM {li}
+                WHERE l_orderkey = o_orderkey) AS max_item_price,
+               (SELECT COUNT(*) FROM {li}
+                WHERE l_orderkey = o_orderkey) AS n_items
+        FROM {o}
+        WHERE o_totalprice > 400000
+        """,
+        o=o,
+        li=li,
+    )

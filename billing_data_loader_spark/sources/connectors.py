@@ -198,3 +198,41 @@ def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price"
         ),
     )
+
+
+# --- scan_partition_pruned --------------------------------------------------
+
+_PRUNED_ORACLE = f"""
+SELECT CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE year(o_orderdate) = 1997
+GROUP BY order_month
+"""
+
+
+@query("scan_partition_pruned", oracle=_PRUNED_ORACLE, tier=2)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning on a partitioned layout: write orders partitioned
+    by year once (scratch cache), then read with a partition filter — the
+    scan lists ONLY the year=1997 directory (PartitionFilters in the plan;
+    at 100 TB this is the difference between reading one partition and
+    listing the whole table). The readback aggregate must equal the
+    unpartitioned oracle."""
+    out = scratch_dir(sf_dir, "orders_by_year")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    o.repartition("order_year").write.mode("overwrite").partitionBy(
+        "order_year"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    return back.groupBy(
+        F.month("o_orderdate").cast("long").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias(
+            "sum_price"
+        ),
+    )

@@ -211,3 +211,49 @@ def test_domain_mix_flattens_sources(spark):
     assert smallest.keep_threshold == 1_000_000, (
         "smallest source should keep everything (rate 1.0)"
     )
+
+
+def test_scd2_intervals_tile(spark):
+    """Per customer: exactly one open row; intervals don't overlap; each
+    interval's valid_to equals the next interval's valid_from."""
+    from billing_data_loader_spark.operators.billing_history import (
+        scd2_history,
+    )
+
+    out = scd2_history(spark, SF_DIR)
+    open_rows = out.filter(F.col("is_current")).groupBy("custkey").count()
+    assert open_rows.filter(F.col("count") != 1).count() == 0
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("custkey").orderBy("valid_from")
+    seq = out.withColumn("next_from", F.lead("valid_from").over(w))
+    gaps = seq.filter(
+        F.col("next_from").isNotNull()
+        & (F.col("valid_to") != F.col("next_from"))
+    )
+    assert gaps.count() == 0, "intervals do not tile"
+    # consecutive intervals never carry the same status (change compression)
+    runs = seq.withColumn("next_status", F.lead("status").over(w)).filter(
+        F.col("next_status").isNotNull()
+        & (F.col("status") == F.col("next_status"))
+    )
+    assert runs.count() == 0, "uncompressed status run"
+
+
+def test_cdc_merge_conserves_rows(spark):
+    """|merged| == |base| - |deletes| + |inserts|; applied ops partition."""
+    from billing_data_loader_spark.operators.billing_history import (
+        cdc_merge_upsert,
+    )
+
+    base = load(spark, SF_DIR, "customer")
+    out = cdc_merge_upsert(spark, SF_DIR)
+    n_base = base.count()
+    n_del = base.filter(F.col("c_custkey") % 11 == 3).count()
+    n_ins = base.filter(F.col("c_custkey") % 13 == 0).count()
+    assert out.count() == n_base - n_del + n_ins
+    by_op = dict(
+        out.groupBy("applied_op").count().rdd.map(tuple).collect()
+    )
+    assert by_op.get("I", 0) == n_ins
+    assert "D" not in by_op, "deleted rows leaked into the post-image"
