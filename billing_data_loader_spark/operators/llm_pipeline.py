@@ -362,7 +362,14 @@ def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity is asserted at both sf0.01 and sf0.1, so a hash collision in the
     fixture vocabulary would be caught, not silently absorbed."""
     corpus = _corpus_with_dups(spark, sf_dir)
-    tok = _hashed_shingle_tokens(corpus)
+    # persist the shingle set: it feeds BOTH sides of the self-join plus the
+    # sizes aggregate, and only the self-join's two exchanges are reusable
+    # (same keys) — sizes shuffles on doc_id, so without the cache the
+    # explode+distinct pipeline runs again for it. The frame is 8-byte
+    # hashes, ~shingles(corpus) rows — the compact intermediate this
+    # operator is built around; at 100 TB the same cache (or a checkpoint)
+    # is what you'd want anyway to avoid re-reading the raw text.
+    tok = scoped_persist(_hashed_shingle_tokens(corpus))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -463,53 +470,88 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver action an iterative fixpoint legitimately needs. At 100 TB the
     identical loop runs with the label table hash-partitioned on doc_id;
     GraphFrames/Pregel is the packaged form of the same plan."""
+    # mirror each pair into both directions with ONE explode over the pair
+    # frame — a union of two selects would put the exact-jaccard pipeline
+    # (shingle explode + inverted-index self-join) under both branches and
+    # compute it twice; explode keeps a single linear lineage, so one cache
+    # build pays for the pipeline exactly once.
     pair_df = ext_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = scoped_persist(
         pair_df.select(
-            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-        ).unionAll(
-            pair_df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
     )
     labels = scoped_persist(
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    for _ in range(_CLUSTER_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = scoped_persist(
-            labels.join(nbr_min, labels.doc_id == nbr_min.a, "left").select(
-                labels.doc_id,
+    # one eager action builds BOTH caches (labels reads through edges), so
+    # the loop below starts fully warm without an extra materialize job
+    labels.count()
+    # BATCH two propagation hops per driver action: the convergence count is
+    # the expensive part at low latency (each count is a full job), and
+    # near-dup components are shallow (cliques/stars, diameter <= 2), so
+    # pairing hops halves the driver round-trips — typical corpora converge
+    # in ONE count instead of two-three. The chg flag reflects the second
+    # hop of the pair: if hop 2 changed nothing, hop 2 was a no-op AND the
+    # fixpoint is proven, because labels can only decrease monotonically.
+    for _ in range(_CLUSTER_MAX_ITERS // 2):
+        cur = labels
+        for hop in range(2):
+            nbr_min = (
+                edges.join(cur, edges.b == cur.doc_id)
+                .groupBy("a")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+            )
+            cur = cur.join(nbr_min, cur.doc_id == nbr_min.a, "left").select(
+                cur.doc_id,
                 F.least(
-                    labels.cluster_id,
-                    F.coalesce(F.col("nbr_min"), labels.cluster_id),
+                    cur.cluster_id,
+                    F.coalesce(F.col("nbr_min"), cur.cluster_id),
                 ).alias("cluster_id"),
                 (
                     F.col("nbr_min").isNotNull()
-                    & (F.col("nbr_min") < labels.cluster_id)
+                    & (F.col("nbr_min") < cur.cluster_id)
                 ).alias("chg"),
             )
-        )
+        new_labels = scoped_persist(cur)
         changed = new_labels.filter("chg").count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    member = _corpus_with_dups(spark, sf_dir).select("doc_id").join(
-        labels, "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    # cluster sizes come from the LABEL table (every non-singleton member is
+    # an edge endpoint, so labels covers it); docs absent from labels are
+    # singletons with size 1. A count-over-window on the cached label frame
+    # (one tiny shuffle, no join) replaces a corpus-wide groupBy plus a
+    # corpus x sizes shuffle join — the corpus is touched exactly once, by
+    # one join whose small side AQE broadcasts when it fits.
+    labeled = labels.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
     )
-    sizes = member.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return member.join(sizes, "cluster_id").select(
-        "doc_id", "cluster_id", "cluster_size"
+    return (
+        _corpus_with_dups(spark, sf_dir)
+        .select("doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+        )
     )
 
 
