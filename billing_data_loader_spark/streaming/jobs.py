@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from ..functions.determinism import o_dsum
 from ..plans.registry import query
-from ..tables import SCHEMAS, load
+from ..tables import (
+    events_finalize_ts,
+    events_read_schema,
+    events_ts_unit,
+    load,
+)
 
 _DEC = "decimal(28,6)"
 
@@ -158,14 +163,16 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream with the events schema (nanos handled as in
-    tables.load). The file source requires a directory, so the single
-    fixture file is staged into a scratch dir (the 'landing bucket')."""
+    """File-source stream with the events schema (parquet time unit handled
+    as in tables.load — ns layouts need the legacy long-read). The file
+    source requires a directory, so the single fixture file is staged into a
+    scratch dir (the 'landing bucket')."""
     landing = tempfile.mkdtemp(prefix="bdl_landing_events_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(SCHEMAS["events"]).parquet(landing)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(events_read_schema(sf_dir)).parquet(landing)
+    return events_finalize_ts(raw, sf_dir)
 
 
 def _run_to_memory(

@@ -73,11 +73,7 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
     "events": _st(
         ("event_id", T.LongType()),
-        # Parquet physical type is TIMESTAMP(NANOS), which Spark's vectorized
-        # reader refuses to map to its µs TimestampType. Read as raw nanos
-        # (legacy nanosAsLong) and convert below — lossless: all fixture
-        # values are µs-aligned (verified), matching DuckDB's µs view.
-        ("ts", T.LongType()),
+        ("ts", T.TimestampType()),
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),
@@ -104,13 +100,57 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+#: sf_dir -> parquet time unit of events.ts ('ns' | 'us' | 'ms').
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Parquet time unit of ``events.ts`` for this fixture dir.
+
+    The fixture generator has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) layouts across rounds; Spark's vectorized reader maps
+    µs/ms to TimestampType natively but refuses ns, which needs the legacy
+    nanosAsLong long-read + explicit conversion. One driver-side footer read
+    (cached per dir) picks the right path instead of hardcoding either.
+    """
+    unit = _EVENTS_TS_UNIT.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        unit = pq.read_schema(table_path(sf_dir, "events")).field("ts").type.unit
+        _EVENTS_TS_UNIT[sf_dir] = unit
+    return unit
+
+
+def events_read_schema(sf_dir: str) -> T.StructType:
+    """Schema to hand ``spark.read``/``readStream`` for events at this dir
+    (ts as raw long under the ns layout; TimestampType otherwise)."""
+    if events_ts_unit(sf_dir) != "ns":
+        return SCHEMAS["events"]
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+        for f in SCHEMAS["events"].fields
+    ]
+    return T.StructType(fields)
+
+
+def events_finalize_ts(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Convert a ns-layout raw-long ts to TimestampType; no-op otherwise."""
+    if events_ts_unit(sf_dir) != "ns":
+        return df
+    # `div` is integer division — `/` would round-trip through double and
+    # lose precision on epoch-nanos magnitudes (~1.7e18 > 2^53).
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema (prepped session)."""
     spark = prep(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
-        # `div` is integer division — `/` would round-trip through double and
-        # lose precision on epoch-nanos magnitudes (~1.7e18 > 2^53).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if events_ts_unit(sf_dir) == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(events_read_schema(sf_dir)).parquet(
+            table_path(sf_dir, name)
+        )
+        return events_finalize_ts(df, sf_dir)
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
