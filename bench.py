@@ -60,6 +60,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     headline = sum(v for k, v in timings.items() if k not in _NON_HEADLINE)
+    excluded = {k: timings[k] for k in sorted(_NON_HEADLINE) if k in timings}
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
@@ -70,6 +71,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
+                # value == sum(queries) - sum(excluded_from_headline):
+                # streaming-state keys stage files + run micro-batches, so
+                # they are timed but kept out of the batch-latency headline
+                "excluded_from_headline": excluded,
+                "all_queries_sum": round(sum(timings.values()), 4),
                 "sf": sf,
             },
             indent=1,
@@ -98,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: timings[k] for k in flagship if k in timings},
                 "n_queries": len(timings),
+                "all_queries_sum": round(sum(timings.values()), 4),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

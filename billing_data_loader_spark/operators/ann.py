@@ -178,8 +178,12 @@ _TOP_K = 10
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-10 for the vec_id=0 query: assign every
     vector to its nearest of 16 deterministic pivots (vec_id 1..16), search
-    only the 8 cells nearest the query. Probabilistic recall -> rows-only;
-    tests assert recall vs the exact top-10 and correct cosine values.
+    only the 8 cells nearest the query. Deterministic, but genuinely
+    approximate — measured recall at sf0.01 is 7/10 against the exact
+    top-10 (the 3 misses live in unprobed cells), which is the honest ANN
+    trade-off; an exact-KNN oracle would therefore always hash-mismatch.
+    Rows-only check here; tests/test_ann.py pins the recall floor and
+    verifies every returned cosine is exact.
 
     100 TB shape: pivots broadcast (KB); assignment is a map-side argmin —
     the corpus shuffles ONCE on cell_id and is then bucketed for every

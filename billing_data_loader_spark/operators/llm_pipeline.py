@@ -564,13 +564,18 @@ _N_HASHES = 32
 _BAND_SIZE = 2
 
 
-@query("ext_neardup_minhash_lsh", oracle=None, tier=3)
+@query("ext_neardup_minhash_lsh", oracle=_JACCARD_ORACLE, tier=3)
 def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup at scale: seeded xxhash64 family -> per-band
     signatures -> candidate pairs via band-bucket equi-join -> exact Jaccard
-    verification on candidates only. Deterministic (fixed seeds) but not
-    SQL-expressible in DuckDB (no xxhash64) -> rows-only check; tests assert
-    candidates ⊇ the exact all-pairs result.
+    verification on candidates only. The sketch itself is not
+    SQL-expressible (DuckDB has no xxhash64), but the DECLARED output — the
+    exact-verified pair set — is: banding at 16 bands x 2 rows recalls
+    every >=0.6 pair on the fixtures (verified pair-for-pair against the
+    all-pairs result at sf0.01 AND sf0.1, seeds fixed), so the exact
+    all-pairs oracle applies verbatim. A banding regression that drops a
+    true pair now breaks the hash, instead of hiding behind a rows-only
+    check; tests additionally assert candidates ⊇ the exact result.
 
     100 TB shape: ONE shuffle of distinct shingles computes all 32 minhashes
     as parallel min() aggregates (no 32x row explode), then band signatures

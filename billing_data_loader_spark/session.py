@@ -104,6 +104,20 @@ def release_scoped_caches() -> None:
             pass  # session already stopped; nothing to release
 
 
+#: One Python worker runs per task slot (32 on local[32]); a BLAS that also
+#: fans out N threads per worker oversubscribes the box ~32x and turns the
+#: Pandas-UDF operators (embedding tiles, grouped maps) into lock convoys
+#: with wildly bimodal latency. Pin library-internal pools to 1 thread —
+#: parallelism comes from Spark's partitioning, not from nested BLAS.
+_WORKER_THREAD_ENV = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Apply runtime configs to an existing session (driver's or ours)."""
     for key, value in _RUNTIME_CONF.items():
@@ -111,6 +125,13 @@ def prep(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # not runtime-settable on this build; builder default applies
+    try:
+        # sc.environment is copied into every PythonFunction's envVars at
+        # UDF pickle time, so this reaches workers even on a session whose
+        # JVM we didn't launch (the grading driver's).
+        spark.sparkContext.environment.update(_WORKER_THREAD_ENV)
+    except Exception:
+        pass
     if not getattr(spark, "_bdl_pyfiles_added", False):
         spark.sparkContext.addPyFile(_package_zip())
         spark._bdl_pyfiles_added = True  # noqa: SLF001 - per-session marker
@@ -120,6 +141,10 @@ def prep(spark: SparkSession) -> SparkSession:
 def get_spark(app_name: str = "billing-data-loader-spark") -> SparkSession:
     """Build (or join) the shared local session used by tests and bench."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    for key, value in _WORKER_THREAD_ENV.items():
+        # before JVM launch: the JVM (and the Python workers it forks)
+        # inherit the process environment
+        os.environ.setdefault(key, value)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

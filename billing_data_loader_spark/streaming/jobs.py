@@ -9,8 +9,11 @@ same logic re-runs as a stream whose result must equal the batch result
 
 - batch-form keys (SQL oracle): stream_tumbling_1h, stream_sliding,
   stream_session_window
-- true-streaming keys (rows-only; semantics not batch-expressible):
-  stream_availablenow_replay, stream_watermark_late, stream_dedup_watermark
+- true-streaming keys, still SQL-oracled because the bounded availableNow
+  replay makes emission deterministic: stream_availablenow_replay,
+  stream_watermark_late (windows closed under the final watermark),
+  stream_dedup_watermark (per-type counts after dropping the re-delivered
+  file)
 
 Scale: windowed streaming aggs keep state per (window, key) in the state
 store; watermarks bound that state — without one, 100 TB of history pins
@@ -222,14 +225,32 @@ def stream_availablenow_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- stream_watermark_late --------------------------------------------------
 
 
-@query("stream_watermark_late", oracle=None, tier=3)
+# Append-mode emission is deterministic for this bounded replay: a window
+# row is emitted exactly once, when the watermark (max seen ts - 10 min)
+# passes its end — so the final table is the tumbling counts over every
+# window that closed under the final watermark, counting each source row
+# once (the batch-3 day-1 replay targets evicted state and is dropped).
+_WATERMARK_LATE_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY window_start, event_type
+HAVING window_start + INTERVAL 1 HOUR
+         <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+"""
+
+
+@query("stream_watermark_late", oracle=_WATERMARK_LATE_ORACLE, tier=3)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark + late-data drop across three micro-batches: days 1-15,
     then days 16-30 (advances the watermark and evicts/finalizes the day-1
     windows), then a replayed day-1 slice. Spark's guarantee is that late
     rows for EVICTED state are dropped (numRowsDroppedByWatermark) — the
     replay must neither duplicate emitted windows nor change their counts.
-    Not batch-expressible -> rows-only; tests assert both properties."""
+    Both properties are hash-checked: the oracle counts every event exactly
+    once and keeps only windows closed under the final watermark, so a
+    duplicated emission, a re-counted late row, or a leaked open window all
+    break parity."""
     src = tempfile.mkdtemp(prefix="bdl_late_src_")
     ev = load(spark, sf_dir, "events")
     batches = [
@@ -332,11 +353,21 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- stream_dedup_watermark -------------------------------------------------
 
 
-@query("stream_dedup_watermark", oracle=None, tier=3)
+# Every event_id is unique in the fixture, so a correct dedup of the
+# twice-delivered file yields exactly the per-type counts of the source
+# table; a missed duplicate doubles a count and breaks the hash.
+_DEDUP_WM_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+@query("stream_dedup_watermark", oracle=_DEDUP_WM_ORACLE, tier=3)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful dedup within the watermark: the same export file arrives
     twice (the reference's re-emitted billing export); per-key state drops
-    every second copy. Output counts per event_type == distinct counts."""
+    every second copy (rows of the replayed file are behind the watermark
+    by then, so each is discarded as late or as a duplicate — either path
+    keeps the count exact). Output == per-type counts of the source."""
     src = tempfile.mkdtemp(prefix="bdl_dedup_src_")
     ev = load(spark, sf_dir, "events")
     ev.coalesce(1).write.mode("overwrite").parquet(f"{src}/copy=0")
