@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import scoped_persist
 from ..tables import load
 
 _DEC = "decimal(28,6)"
@@ -125,18 +126,49 @@ FROM orders
 
 @query("win_running_sum", oracle=_RUNNING_ORACLE, tier=2)
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative revenue by date (global ordered frame; single-partition
-    window — fine for reporting outputs, not for 100 TB fact tables)."""
-    o = load(spark, sf_dir, "orders")
-    w = (
-        W.orderBy("o_orderdate", "o_orderkey")
+    """Cumulative revenue by date, DISTRIBUTED: global prefix sum as
+    range-partition + per-partition prefix + broadcast partition offsets
+    (same two-pass shape as win_ntile_pctrank) instead of a one-partition
+    global window. Decimal addition is exact and associative, so the
+    decomposed running total is bit-identical to the single-pass oracle."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast(_DEC).alias("price_dec"),
+    )
+    rp = scoped_persist(
+        o.repartitionByRange(n_part, "o_orderdate", "o_orderkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    ptot = rp.groupBy("pid").agg(F.sum("price_dec").alias("ptot"))
+    # offsets via triangular self-join over the P-row totals frame (P^2
+    # tuples, P = O(cluster)): no window, so nothing for WindowExec to
+    # collapse — cumulative anything over per-partition stats is just
+    # "sum of strictly-earlier partitions"
+    offs = (
+        ptot.alias("a")
+        .join(
+            ptot.alias("b"), F.col("b.pid") < F.col("a.pid"), "left"
+        )
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(
+            F.coalesce(
+                F.sum("b.ptot"), F.lit(0).cast("decimal(38,6)")
+            ).alias("off")
+        )
+    )
+    w_local = (
+        W.partitionBy("pid")
+        .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return o.select(
+    return rp.join(F.broadcast(offs), "pid").select(
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias(
-            "running_total"
-        ),
+        (F.sum("price_dec").over(w_local) + F.col("off"))
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -158,16 +190,30 @@ WINDOW w AS (ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 
 @query("win_moving_avg_range", oracle=_MOVAVG_ORACLE, tier=3)
 def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE-frame trailing-hour moving sum/avg over epoch seconds.
+    """RANGE-frame trailing-hour moving sum/avg, DISTRIBUTED: the global
+    RANGE window is decomposed into per-bucket windows so no stage ever
+    funnels the table into one partition (the naive ``W.orderBy("sec")``
+    form does exactly that — Spark's WindowExec warns and serializes).
 
-    The decimal(28,6) cast quantizes each value to 6dp; summing those is
-    exactly summing micro-units in a long, so the sliding frame aggregates a
-    primitive long under codegen instead of re-adding BigDecimals per frame
-    (O(n*frame) either way, but ~20x cheaper per add). msum/1e6 is then
-    reconstructed losslessly in decimal before the single cast to double.
-    Scale note: a global RANGE window is inherently one partition; the 100 TB
-    path is bucketed two-pass prefix sums (partition by coarse time bucket,
-    carry per-bucket prefix totals), which preserves these exact semantics.
+    Decomposition: bucket ``b = floor(sec/3600)``. A trailing-3600s frame
+    ``[s-3600, s]`` spans at most buckets ``b-1`` and ``b`` (same-bucket
+    rows are always within 3600s; bucket b-2 rows never are), so
+
+        frame(s) = prefix_b(<= s)  +  total_{b-1} - prefix_{b-1}(< s-3600)
+
+    prefix_b is an in-bucket RANGE window (peers included); the strict
+    prefix at ``s-3600`` is read by unioning one zero-weight PROBE row per
+    event into bucket b-1, ordered (k, is_data) so a probe sorts before
+    data rows at the same key — its running sum then counts exactly the
+    rows with k < s-3600. Every window/aggregate here partitions on the
+    bucket key; at 100 TB this is ~rows/3600s-bucket per task plus one
+    broadcast of per-bucket totals, and the plan scales with the number of
+    buckets instead of collapsing on a global sort.
+
+    Exactness: sums are fixed-point micro-unit longs (integer addition is
+    associative), so the decomposed sum is bit-identical to the one-pass
+    oracle; the decimal reconstruction and the final double casts are the
+    same expressions as before.
     """
     # precondition: |value| < ~9.2e12 — the decimal->long micro-unit cast
     # overflows to NULL silently under non-ANSI Spark beyond long range
@@ -179,13 +225,85 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("sec"),
         (F.col("value").cast(_DEC) * 1000000).cast("long").alias("micro"),
     )
-    w = W.orderBy("sec").rangeBetween(-3600, 0)
-    msum = F.sum("micro").over(w)
+    data = ev.withColumn("b", F.floor(F.col("sec") / 3600))
+
+    # pass 1: in-bucket inclusive prefix (RANGE frame -> peers at equal sec
+    # are all included, matching the oracle's RANGE semantics)
+    w_incl = (
+        W.partitionBy("b")
+        .orderBy("sec")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_prefix = data.select(
+        "event_id",
+        "b",
+        "sec",
+        F.sum("micro").over(w_incl).alias("psum"),
+        F.count(F.lit(1)).over(w_incl).alias("pcnt"),
+    )
+
+    # pass 2: strict prefix of bucket b-1 at k = sec-3600, via probe rows.
+    # is_data sorts probes (0) before data (1) at equal k, so the running
+    # sum at a probe covers exactly the rows with k < sec-3600.
+    dat = data.select(
+        "b",
+        F.col("sec").alias("k"),
+        F.lit(1).alias("is_data"),
+        "micro",
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    prb = data.select(
+        (F.col("b") - 1).alias("b"),
+        (F.col("sec") - 3600).alias("k"),
+        F.lit(0).alias("is_data"),
+        F.lit(0).cast("long").alias("micro"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w_strict = (
+        W.partitionBy("b")
+        .orderBy("k", "is_data")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    strict = (
+        dat.unionAll(prb)
+        .select(
+            "b",
+            "probe_id",
+            "is_data",
+            F.sum("micro").over(w_strict).alias("ssum"),
+            F.sum("is_data").over(w_strict).alias("scnt"),
+        )
+        .filter(F.col("is_data") == 0)
+        .select(
+            F.col("probe_id").alias("event_id"),
+            F.col("b").alias("b_prev"),
+            "ssum",
+            "scnt",
+        )
+    )
+
+    # per-bucket totals: tiny (one row per hour of data), broadcast
+    totals = data.groupBy("b").agg(
+        F.sum("micro").alias("tsum"), F.count(F.lit(1)).alias("tcnt")
+    )
+    joined = with_prefix.join(strict, "event_id").join(
+        F.broadcast(totals.withColumnRenamed("b", "b_prev")),
+        "b_prev",
+        "left",
+    )
+    msum = (
+        F.col("psum")
+        + F.coalesce(F.col("tsum") - F.col("ssum"), F.lit(0).cast("long"))
+    )
+    mcnt = (
+        F.col("pcnt")
+        + F.coalesce(F.col("tcnt") - F.col("scnt"), F.lit(0).cast("long"))
+    )
     sum_dec = (msum.cast("decimal(38,0)") / 1000000).cast("double")
-    return ev.select(
+    return joined.select(
         "event_id",
         sum_dec.alias("sum_1h"),
-        (sum_dec / F.count(F.lit(1)).over(w)).alias("avg_1h"),
+        (sum_dec / mcnt).alias("avg_1h"),
     )
 
 
@@ -203,14 +321,53 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 
 @query("win_ntile_pctrank", oracle=_NTILE_ORACLE, tier=3)
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over account balance."""
-    c = load(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """ntile / percent_rank / cume_dist over account balance, DISTRIBUTED:
+    global rank via range-partition + per-partition rank + partition
+    offsets, instead of the single-partition global window (which WindowExec
+    warns about and which serializes the table at scale).
+
+    Pass 1 range-partitions on the full sort key and ranks locally; pass 2
+    turns per-partition row counts (P rows — O(cluster), not O(data)) into
+    cumulative offsets, broadcast back. The ORDER BY key is unique
+    ((c_acctbal, c_custkey) — custkey is a key), so there are no peer rows
+    and the rank functions have closed forms: percent_rank = (r-1)/(n-1),
+    cume_dist = r/n, and ntile(4) assigns the first n%4 tiles one extra row
+    (the SQL-standard split both engines implement). The cached
+    range-partitioned frame guarantees the counts and the ranks see the
+    same sampled partition boundaries."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rp = scoped_persist(
+        c.repartitionByRange(n_part, "c_acctbal", "c_custkey").withColumn(
+            "pid", F.spark_partition_id()
+        )
+    )
+    counts = rp.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # offsets via triangular self-join over the P-row counts frame (same
+    # no-window pattern as win_running_sum); total n rides along broadcast
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    offs = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left"
+        )
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
+        .crossJoin(F.broadcast(tot))
+    )
+    w_local = W.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    r = F.col("off") + F.row_number().over(w_local)
+    n = F.col("n")
+    q, rem = (n / 4).cast("long"), n % 4
+    boundary = rem * (q + 1)
+    quartile = F.when(r <= boundary, ((r - 1) / (q + 1)).cast("long") + 1).otherwise(
+        rem + ((r - boundary - 1) / q).cast("long") + 1
+    )
+    return rp.join(F.broadcast(offs), "pid").select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        quartile.cast("long").alias("quartile"),
+        ((r - 1).cast("double") / (n - 1)).alias("pct_rank"),
+        (r.cast("double") / n).alias("cume"),
     )
 
 
