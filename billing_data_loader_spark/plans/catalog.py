@@ -92,10 +92,11 @@ _GRADING_PRIORITY = [
 ]
 
 
-def _recorded_keys() -> set[str]:
-    """Keys that already have a usable driver CORRECTNESS record: a green
-    hash row, or (for no-oracle keys) a rows-only row with a row count."""
-    recorded: set[str] = set()
+def _scan_records() -> tuple[set[str], set[str]]:
+    """(hash-green keys, rows-only-recorded keys) across all CORRECTNESS
+    files on disk."""
+    green: set[str] = set()
+    rows_only: set[str] = set()
     repo_root = Path(__file__).resolve().parents[2]
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         try:
@@ -108,10 +109,10 @@ def _recorded_keys() -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                recorded.add(key)
+                green.add(key)
             elif row.get("err") == "no_oracle" and row.get("spark_rows"):
-                recorded.add(key)  # rows-only by design; record exists
-    return recorded
+                rows_only.add(key)
+    return green, rows_only
 
 
 def catalog() -> dict[str, QuerySpec]:
@@ -120,8 +121,16 @@ def catalog() -> dict[str, QuerySpec]:
     base = [k for k in _GRADING_PRIORITY if k in registered]
     base += [k for k in registered if k not in set(base)]
     # auto-rotation: keys with a driver record on disk yield their window
-    # slot to keys still waiting for their first green row
-    recorded = _recorded_keys()
+    # slot to keys still waiting for their first green row. A rows-only
+    # record only counts for keys that are STILL oracle-less — once an
+    # oracle is attached (e.g. stream_dedup_watermark in round 3), the key
+    # re-enters the window to earn a hash-checked row.
+    green, rows_only = _scan_records()
+    recorded = green | {
+        k
+        for k in rows_only
+        if k in registered and registered[k].oracle is None
+    }
     ordered = [k for k in base if k not in recorded]
     ordered += [k for k in base if k in recorded]
     return {k: registered[k] for k in ordered}
