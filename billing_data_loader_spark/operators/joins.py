@@ -697,3 +697,74 @@ def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         o=o,
         li=li,
     )
+
+
+# --- join_bucketed ----------------------------------------------------------
+
+_BUCKETED_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders, {o_dsum("o_totalprice", "sum_price")}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_bucketed", oracle=_BUCKETED_ORACLE, tier=3)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables — the 100 TB answer
+    to repeated fact⋈fact joins on the same key: both sides are written
+    ``bucketBy(8, custkey)`` + in-bucket sort, so the join reads
+    bucket i ⋈ bucket i directly and the plan contains NO Exchange on
+    either side (asserted in tests/test_round3.py). At scale this is the
+    difference between re-shuffling 100 TB per join and shuffling once at
+    write time, amortized over every subsequent join on that key.
+
+    Implementation notes: ``bucketBy`` requires the table catalog, so both
+    sides land as named external tables under a scratch path (overwritten
+    idempotently per run). Buckets are also written pre-sorted (one file
+    per bucket via an aligned repartition); Spark >=3.0 still re-sorts
+    below SMJ unless spark.sql.legacy.bucketedTableScan.outputOrdering is
+    set, but that sort runs over already-sorted runs — the expensive part,
+    the shuffle, is gone.
+    """
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "bdl_bucketed_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name, df, key in (
+        ("bdl_orders_bucketed", o, "o_custkey"),
+        ("bdl_customer_bucketed", c, "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            # repartition on the bucket key first: HashPartitioning and the
+            # bucket spec share the same murmur3-pmod function, so each
+            # writer task holds exactly one bucket -> ONE file per bucket,
+            # which is the precondition for Spark to trust sortBy() and
+            # drop the Sort below the join as well
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(out, name))
+            .saveAsTable(name)
+        )
+    ob = spark.table("bdl_orders_bucketed")
+    # merge hint: at fixture size Catalyst would (correctly) broadcast the
+    # small side, which hides the bucket path this operator demonstrates;
+    # the hint pins the SMJ fact⋈fact shape whose buckets align 1:1
+    cb = spark.table("bdl_customer_bucketed").hint("merge")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )

@@ -119,6 +119,54 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orc(out)
 
 
+# --- scan_binaryfile --------------------------------------------------------
+
+# Opaque-payload ingestion (multimodal mandate): stage a deterministic
+# subset of documents as raw .bin files, scan them with Spark's binaryFile
+# source, and emit (doc_id, byte length, sha256). The oracle recomputes all
+# three from the source table, so a truncated read, an encoding slip, or a
+# lost file breaks the hash.
+_BINARYFILE_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@query("scan_binaryfile", oracle=_BINARYFILE_ORACLE, tier=3)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` scan: the ingestion path for image/audio/video blobs
+    (operators/multimodal.py consumes the same shape). Staging collects the
+    tiny doc_id%50 slice driver-side to write real files — setup, not the
+    measured operator; the scan itself is the distributed binaryFile
+    source, which at 100 TB is exactly how a lake of media objects enters
+    the engine (with pathGlobFilter/recursiveFileLookup pruning)."""
+    out = scratch_dir(sf_dir, "binary_docs")
+    os.makedirs(out, exist_ok=True)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for row in docs:
+        with open(os.path.join(out, f"doc_{row.doc_id:08d}.bin"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+    )
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+
+
 # --- sink_parquet_partitioned ----------------------------------------------
 
 _PART_SINK_ORACLE = f"""

@@ -253,24 +253,32 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     break parity."""
     src = tempfile.mkdtemp(prefix="bdl_late_src_")
     ev = load(spark, sf_dir, "events")
-    batches = [
-        ev.filter(F.dayofmonth("ts").between(1, 15)),
-        ev.filter(F.dayofmonth("ts") >= 16),
-        ev.filter(F.dayofmonth("ts") == 1),  # late replay, state evicted
-    ]
-    for i, b in enumerate(batches):
-        b.coalesce(1).write.parquet(f"{src}/b{i}")
+    # stage all three micro-batches with ONE write job: tag each row with
+    # its batch id(s) (day-1 rows belong to batch 0 AND the late replay,
+    # batch 2) and write partitioned by the tag
+    tags = F.when(F.dayofmonth("ts") == 1, F.array(F.lit(0), F.lit(2))).otherwise(
+        F.when(F.dayofmonth("ts") <= 15, F.array(F.lit(0))).otherwise(
+            F.array(F.lit(1))
+        )
+    )
+    (
+        ev.withColumn("mb", F.explode(tags))
+        .repartition("mb")
+        .write.mode("overwrite")
+        .partitionBy("mb")
+        .parquet(src)
+    )
     # file-source orders micro-batches by mod time; stamp it explicitly
     # instead of sleeping between writes
     base = time.time() - 60
-    for i in range(len(batches)):
-        for p in Path(f"{src}/b{i}").rglob("*"):
+    for i in range(3):
+        for p in Path(f"{src}/mb={i}").rglob("*"):
             os.utime(p, (base + i, base + i))
 
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/b*")
+        .parquet(f"{src}/mb=*")
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")

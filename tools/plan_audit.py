@@ -63,6 +63,28 @@ AUDITED = {
         "hash predicate (no reservoir, no sort, no driver state); the only "
         "exchange carries one row per language stratum."
     ),
+    "win_moving_avg_range": (
+        "Distributed RANGE frame (round 3): the trailing-3600s window is "
+        "decomposed into per-hour-bucket prefix windows plus probe rows "
+        "for the cross-bucket remainder — every exchange hashes on the "
+        "bucket key; no Exchange SinglePartition anywhere."
+    ),
+    "win_ntile_pctrank": (
+        "Distributed global rank (round 3): range-partition on the sort "
+        "key, rank locally, add broadcast partition offsets; ntile/"
+        "percent_rank/cume_dist in closed form over the unique key."
+    ),
+    "join_bucketed": (
+        "Bucketed co-located join (round 3): both sides bucketBy(8) on the "
+        "join key, one file per bucket; the SortMergeJoin reads buckets "
+        "directly — zero Exchange below the join, the only shuffle is the "
+        "final aggregate's."
+    ),
+    "ts_gapfill": (
+        "Gap-fill/LOCF (round 3): per-day last readings in one user-keyed "
+        "shuffle, the day grid generated map-side by sequence()+explode, "
+        "forward fill in a per-user window — nothing global anywhere."
+    ),
 }
 
 
@@ -74,9 +96,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # frame — inherently one partition. Documented 100 TB alternative in
     # each operator's docstring (bucketed two-pass prefix sums).
     "single_partition": {
-        "win_running_sum": "global cumulative sum (reporting output)",
-        "win_moving_avg_range": "global RANGE frame (bucketed 2-pass at scale)",
-        "win_ntile_pctrank": "global quantile ranks (reporting output)",
+        # round 3: win_running_sum / win_moving_avg_range / win_ntile_pctrank
+        # were REMOVED from this list — they now decompose into per-bucket /
+        # per-range-partition windows and must never flag again.
         "sort_nulls_order": "full ordered output is the query's contract",
         "fn_unpivot": "AQE coalesces the tiny post-Expand result",
         # global-scalar aggregates: the SinglePartition exchange carries one
@@ -86,6 +108,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_lm_unigram_score": "1-row global token-total aggregate",
         "ext_ann_ivf": "1-row pivot-array fold (16 pivots -> one array row)",
         "ext_domain_mix_sample": "1-row global min-source-count aggregate",
+        "ts_gapfill": "1-row global end-day aggregate (O(tasks) partials)",
+        "win_ntile_pctrank": "1-row global row-count aggregate for n",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -100,6 +124,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_tfidf": "1-row broadcast n_docs frame (IDF denominator)",
         "ext_lm_unigram_score": "1-row broadcast token-total frame",
         "ext_domain_mix_sample": "1-row broadcast min-count frame (rate denom)",
+        "ts_gapfill": "1-row broadcast global-end-day bound for the grid",
+        "win_ntile_pctrank": "1-row broadcast total-row-count frame",
+        "win_running_sum": "P-row triangular partition-offset self-join",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
