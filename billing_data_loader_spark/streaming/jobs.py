@@ -473,3 +473,64 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "view_ts", "purchase_ts", "purchase_value")
     return _run_to_memory(joined, "bdl_stream_stream_join", "append")
+
+
+# --- stream_foreachbatch_sink -----------------------------------------------
+
+# The reference's END-TO-END shape in one key: micro-batches of billing
+# events land via foreachBatch into a date-partitioned parquet table with
+# dynamic partition overwrite (the loader's idempotent ClickHouse insert),
+# and the declared output is the aggregated READBACK of what actually
+# landed — so a dropped batch, a double-applied batch, or a partition
+# clobber all break the hash against the full-table oracle.
+_FOREACHBATCH_ORACLE = f"""
+SELECT CAST(day(ts) AS BIGINT) AS event_day,
+       COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM events
+GROUP BY event_day
+"""
+
+
+@query("stream_foreachbatch_sink", oracle=_FOREACHBATCH_ORACLE, tier=3)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch -> idempotent partitioned load (the reference's actual
+    serverless load loop, Spark-first). Each micro-batch appends its rows
+    into a day-partitioned parquet table; partition dirs give downstream
+    scans the pruning axis, and per-batch writes are the unit a retry
+    would re-apply (exactly-once via checkpoint + deterministic batch
+    content here; MERGE/ReplacingMergeTree in a mutable store).
+
+    Scale: foreachBatch is the only streaming sink that lets the loader
+    reuse arbitrary BATCH writers (JDBC/ClickHouse/Delta) — state stays in
+    the source checkpoint, the sink only ever sees one micro-batch."""
+    from ..sources.connectors import scratch_dir
+
+    out = scratch_dir(sf_dir, "foreachbatch_events")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    ev = _read_stream_events(spark, sf_dir)
+
+    def _load_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("event_day", F.dayofmonth("ts"))
+            .write.mode("append")
+            .partitionBy("event_day")
+            .parquet(out)
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="bdl_ckpt_foreachbatch_")
+    q = (
+        ev.writeStream.foreachBatch(_load_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out)
+    return landed.groupBy(
+        F.col("event_day").cast("bigint").alias("event_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+    )
