@@ -187,3 +187,38 @@ def udtf_tokenize_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bdl_udtf_docs d, LATERAL bdl_tokenize_ordinal(d.text) t
         """
     )
+
+
+# --- udf_arrow_scalar -------------------------------------------------------
+
+# IEEE double arithmetic is identical in Python, the JVM, and DuckDB for a
+# fixed evaluation order, so the charge formula needs no rounding to match.
+_ARROW_UDF_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+
+@query("udf_arrow_scalar", oracle=_ARROW_UDF_ORACLE, tier=2)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True`` — SPARK-40307): the
+    third Python execution path next to the pickled row UDF
+    (udf_python_scalar) and the pandas UDF (udf_pandas_scalar). Scalars
+    cross as Arrow columns but the function still sees one row at a time —
+    ~2-5x over pickling from serialization alone, while the pandas UDF
+    keeps the vectorization win; the plan shows ArrowEvalPython instead of
+    BatchEvalPython. The filter is pushed to the scan BEFORE the UDF runs
+    (Catalyst keeps deterministic-UDF-free predicates below the Python
+    stage), so Python only ever sees the surviving rows."""
+
+    @F.udf(T.DoubleType(), useArrow=True)
+    def charge(price: float, discount: float, tax: float) -> float:
+        return price * (1 - discount) * (1 + tax)
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
