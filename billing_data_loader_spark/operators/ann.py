@@ -237,3 +237,146 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(_TOP_K)
     )
+
+
+# --- ext_kmeans_lite --------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+
+# Deterministic mini-k-means oracle. DuckDB's list sums are NOT a plain
+# left fold (measured: list_aggregate/list_reduce disagree with a
+# sequential fold in the last bits), so squared distances are quantized to
+# 9dp on BOTH sides before the argmin and the output — engine-side
+# last-bit noise (~1e-15) vanishes, and any quantization tie breaks to the
+# lowest centroid id identically. Centroid means are decimal-quantized
+# sums / counts so the reduction order cannot perturb iteration 2.
+_KMEANS_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id BETWEEN 1 AND 8),
+d1 AS (
+  SELECT v.vec_id, c.cid,
+         round(list_aggregate(
+           list_transform(range(1, 65),
+                          i -> (v.ve[i] - c.cv[i]) * (v.ve[i] - c.cv[i])),
+           'sum'), 9) AS dist
+  FROM v CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, min(cid) AS cid FROM (
+    SELECT vec_id, cid, dist, min(dist) OVER (PARTITION BY vec_id) AS mind
+    FROM d1
+  ) WHERE dist = mind GROUP BY vec_id
+),
+c1 AS (
+  SELECT cid, list(mean_val ORDER BY idx) AS cv FROM (
+    SELECT cid, idx,
+           CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+             AS mean_val
+    FROM (
+      SELECT a1.cid,
+             unnest(v.ve) AS val,
+             unnest(range(1, len(v.ve) + 1)) AS idx
+      FROM a1 JOIN v USING (vec_id)
+    )
+    GROUP BY cid, idx
+  ) GROUP BY cid
+),
+d2 AS (
+  SELECT v.vec_id, c.cid,
+         round(list_aggregate(
+           list_transform(range(1, 65),
+                          i -> (v.ve[i] - c.cv[i]) * (v.ve[i] - c.cv[i])),
+           'sum'), 9) AS dist
+  FROM v CROSS JOIN c1 c
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist AS sq_dist FROM (
+  SELECT vec_id, cid, dist, min(dist) OVER (PARTITION BY vec_id) AS mind
+  FROM d2
+) WHERE dist = mind
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cid) = 1
+"""
+
+
+def _sq_dist(ve, cv):
+    return F.aggregate(
+        F.zip_with(ve, cv, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-side nearest-centroid: centroids fold into ONE broadcast array
+    row; argmin is an array_min over (dist, cid) structs inside the scan
+    task — the corpus never shuffles for assignment (same shape as
+    ext_ann_ivf's pivot assignment)."""
+    cent_arr = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                F.round(_sq_dist(F.col("ve"), c["cv"]), 9).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return v.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "ve",
+        best["cid"].alias("cid"),
+        best["dist"].alias("sq_dist"),
+    )
+
+
+@query("ext_kmeans_lite", oracle=_KMEANS_ORACLE, tier=3)
+def ext_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mini-k-means over the embedding corpus (k=8, 2
+    Lloyd iterations, centroids seeded from vec_id 1..8) — the semantic
+    clustering step a training-data pipeline uses for corpus mix balancing
+    and cluster-level dedup, with a full SQL oracle.
+
+    100 TB shape per iteration: centroids broadcast (k x dim doubles, KB),
+    assignment is map-side argmin (zero shuffles), and the centroid update
+    is one explode to (cid, dim_idx) partial sums -> k x dim rows — the
+    classic distributed-ML aggregation; k iterations cost k linear passes,
+    never a pairwise anything. Determinism: squared distances fold
+    sequentially over the vector on both engines, ties break to the lowest
+    cid, and centroid means use exact decimal sums (see
+    functions/determinism.py) so iteration 2 sees bit-identical centroids.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double("embedding").alias("ve"))
+    cents = v.filter(F.col("vec_id").between(1, _KM_K)).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("cv")
+    )
+    assigned = _assign(v, cents)
+    for _ in range(_KM_ITERS - 1):
+        means = (
+            assigned.select(
+                "cid", F.posexplode("ve").alias("idx", "val")
+            )
+            .groupBy("cid", "idx")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mean_val")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "mean_val"))
+                    ),
+                    lambda s: s["mean_val"],
+                ).alias("cv")
+            )
+        )
+        assigned = _assign(v, means)
+    return assigned.select(
+        "vec_id", F.col("cid").cast("bigint").alias("cluster_id"), "sq_dist"
+    )
