@@ -34,6 +34,7 @@ _NON_HEADLINE = {
     "stream_watermark_late",
     "stream_dedup_watermark",
     "stream_stateful_custom",
+    "stream_foreachbatch_sink",
 }
 
 
