@@ -393,3 +393,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.col("exact_users") * 0.05, F.lit(1.0))
         ).alias("hll_ok"),
     )
+
+
+# --- agg_minmax_by ----------------------------------------------------------
+
+# max_by/min_by (SQL-2023 ANY_VALUE-family ordered-arg aggregates): per
+# customer, the order key of the most/least expensive order and its date.
+# Deterministic because (o_custkey, o_totalprice) has no ties in the
+# fixtures (verified at sf0.01 and sf0.1); with ties you'd order by a
+# (price, orderkey) composite.
+_MINMAX_BY_ORACLE = """
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice) AS top_order,
+       arg_max(o_totalprice, o_totalprice) AS top_price,
+       arg_min(o_orderkey, o_totalprice) AS bottom_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("agg_minmax_by", oracle=_MINMAX_BY_ORACLE, tier=2)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by ordered-argument aggregates — one hash aggregate with
+    map-side combine (each partial keeps only the current winner, O(groups)
+    state), where the window-function formulation would sort per group."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("top_order"),
+        F.max("o_totalprice").alias("top_price"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

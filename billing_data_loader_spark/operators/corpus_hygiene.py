@@ -225,3 +225,58 @@ def ext_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("lnp")
         ).alias("avg_logprob"),
     )
+
+
+# --- ext_outlier_clip -------------------------------------------------------
+
+# Winsorization: clamp per-source document lengths to the [p05, p95] band —
+# the standard heavy-tail guard before length-based quality filtering or
+# packing. Quantiles interpolate identically in both engines on doubles
+# (agg_percentiles proves the pattern); bounds are rounded to 4dp on both
+# sides so the clamp compares identical values.
+_OUTLIER_CLIP_ORACLE = """
+WITH b AS (
+  SELECT source,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4) AS lo,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi) AS n_chars_clipped,
+       CAST(CAST(d.n_chars AS DOUBLE) < b.lo
+            OR CAST(d.n_chars AS DOUBLE) > b.hi AS BIGINT) AS was_clipped
+FROM documents d JOIN b USING (source)
+"""
+
+
+@query("ext_outlier_clip", oracle=_OUTLIER_CLIP_ORACLE, tier=3)
+def ext_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization of document length to [p05, p95].
+
+    Scale shape: one exchange carries a handful of per-source partial
+    quantile sketches (exact percentile at this cardinality; t-digest at
+    100 TB), the tiny bounds frame broadcasts back, and the clamp itself is
+    map-side arithmetic inside the scan stage — the corpus shuffles zero
+    times."""
+    d = load(spark, sf_dir, "documents")
+    bounds = d.groupBy("source").agg(
+        F.round(
+            F.percentile(F.col("n_chars").cast("double"), F.lit(0.05)), 4
+        ).alias("lo"),
+        F.round(
+            F.percentile(F.col("n_chars").cast("double"), F.lit(0.95)), 4
+        ).alias("hi"),
+    )
+    nd = F.col("n_chars").cast("double")
+    return d.join(F.broadcast(bounds), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.least(F.greatest(nd, F.col("lo")), F.col("hi")).alias(
+            "n_chars_clipped"
+        ),
+        ((nd < F.col("lo")) | (nd > F.col("hi"))).cast("long").alias(
+            "was_clipped"
+        ),
+    )

@@ -25,9 +25,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import o_dsum
+from ..functions.determinism import o_dsum, o_dsum_expr
 from ..plans.registry import query
-from ..session import conf_override
+from ..session import conf_override, scoped_persist
 from ..tables import SCHEMAS, load
 
 _SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "bdl_spark_scratch")
@@ -283,4 +283,91 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias(
             "sum_price"
         ),
+    )
+
+
+# --- scan_csv_malformed -----------------------------------------------------
+
+# A real billing-export feed contains the occasional mangled line; the
+# loader must quarantine those rows, not fail the batch and not silently
+# drop data. PERMISSIVE mode + columnNameOfCorruptRecord is Spark's
+# quarantine path. Three deliberately malformed lines are appended to the
+# staged export; the declared output books valid rows against the source
+# table (count + exact decimal sum) and the quarantine count separately.
+_CSV_MALFORMED_ORACLE = f"""
+SELECT (SELECT COUNT(*) FROM orders) AS n_valid,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       (SELECT {o_dsum_expr("o_totalprice")} FROM orders) AS sum_price
+"""
+
+_BAD_CSV_LINES = [
+    "not,a,valid,row,at,all,extra,fields,here,x,y\n",
+    "12345,99,O,not_a_number,1996-01-02 00:00:00,1-URGENT\n",
+    "garbage line without any commas at all plus trailing text\n",
+]
+
+
+@query("scan_csv_malformed", oracle=_CSV_MALFORMED_ORACLE, tier=3)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingest with quarantine: export orders to CSV, append
+    3 malformed lines, re-read with a declared schema + _corrupt_record
+    column, and book valid vs quarantined rows. FAILFAST would kill a
+    100 TB batch for one bad line; DROPMALFORMED silently loses billing
+    rows — quarantine is the loader-correct mode, and the oracle proves
+    nothing valid was lost (count + exact sum) and all 3 bad lines were
+    caught."""
+    out = scratch_dir(sf_dir, "orders_csv_malformed")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    (
+        load(spark, sf_dir, "orders")
+        .select(*cols)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", _CSV_TS_FMT)
+        .csv(out)
+    )
+    part = next(
+        p for p in os.listdir(out) if p.endswith(".csv") and p.startswith("part")
+    )
+    with open(os.path.join(out, part), "a") as fh:
+        fh.writelines(_BAD_CSV_LINES)
+    for p in os.listdir(out):
+        # drop Hadoop's .crc sidecars: the out-of-band append (simulating a
+        # corrupted upload) invalidates them and ChecksumFileSystem would
+        # fail the read before the CSV parser ever saw the bad lines
+        if p.endswith(".crc"):
+            os.remove(os.path.join(out, p))
+
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string, "
+        "_corrupt_record string"
+    )
+    parsed = scoped_persist(
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("timestampFormat", _CSV_TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        # caching before splitting valid/corrupt is the documented Spark
+        # requirement for referencing the corrupt-record column; scoped so
+        # the cache is released when the next declared query begins
+    )
+    return parsed.agg(
+        F.count(
+            F.when(F.col("_corrupt_record").isNull(), F.lit(1))
+        ).alias("n_valid"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("o_totalprice")
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sum_price"),
     )

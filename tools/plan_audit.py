@@ -110,6 +110,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_domain_mix_sample": "1-row global min-source-count aggregate",
         "ts_gapfill": "1-row global end-day aggregate (O(tasks) partials)",
         "win_ntile_pctrank": "1-row global row-count aggregate for n",
+        "ext_kmeans_lite": "1-row centroid-array fold per iteration (k x dim)",
+        "scan_csv_malformed": "1-row global quarantine summary aggregate",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -127,6 +129,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ts_gapfill": "1-row broadcast global-end-day bound for the grid",
         "win_ntile_pctrank": "1-row broadcast total-row-count frame",
         "win_running_sum": "P-row triangular partition-offset self-join",
+        "ext_kmeans_lite": "1-row broadcast centroid array (map-side argmin)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
