@@ -768,3 +768,91 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "sum_price"),
         )
     )
+
+
+# --- join_q12_priority ------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+@query("join_q12_priority", oracle=_Q12_ORACLE, tier=2)
+def join_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact⋈fact join + conditional counts per bucket
+    (returnflag stands in for the fixture's missing shipmode column). The
+    join carries only the two columns the aggregate needs, the CASE counts
+    combine map-side, and output is bounded by bucket cardinality."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- join_q19_bracket -------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {o_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("join_q19_bracket", oracle=_Q19_ORACLE, tier=2)
+def join_q19_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates across both join
+    sides. Catalyst splits the OR: the part-only conjuncts
+    (brand IN (...)) and lineitem-only conjuncts (quantity ranges) are
+    derivable as single-side filters pushed BELOW the join, so each scan
+    prunes before shuffling; the full bracket predicate is re-applied
+    above. That pre-join pruning is the difference between joining 3
+    brands' parts and joining the whole table at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

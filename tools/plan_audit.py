@@ -112,6 +112,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "win_ntile_pctrank": "1-row global row-count aggregate for n",
         "ext_kmeans_lite": "1-row centroid-array fold per iteration (k x dim)",
         "scan_csv_malformed": "1-row global quarantine summary aggregate",
+        "join_q19_bracket": "1-row global revenue aggregate (Q19 contract)",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
