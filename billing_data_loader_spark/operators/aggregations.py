@@ -361,16 +361,29 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- agg_approx_distinct ----------------------------------------------------
 
 
-@query("agg_approx_distinct", oracle=None, tier=3)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct per event type (rows-only: HLL values differ across
-    engines by design; exactness checked by agg_count_distinct).
+_APPROX_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hll_ok
+FROM events
+GROUP BY event_type
+"""
 
-    The rows-only check is made meaningful by a self-check column: each row
-    carries the exact distinct count and a boolean asserting the sketch is
-    within 5x its configured 1% relative error. A wrong HLL wiring (wrong
-    column, wrong rsd, broken merge) flips hll_ok to false, visible in the
-    driver's recorded rows even without a value oracle.
+
+@query("agg_approx_distinct", oracle=_APPROX_ORACLE, tier=3)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct per event type, hash-oracled via a bound assertion.
+
+    Raw HLL estimates differ across engines by design, so the estimate
+    itself can't be hash-compared. Instead the DECLARED output carries the
+    exact distinct count plus ``hll_ok`` — a boolean asserting the sketch
+    landed within 5x its configured 1% relative error — and the oracle
+    emits the exact counts with ``TRUE``. A wrong HLL wiring (wrong column,
+    wrong rsd, broken merge) flips ``hll_ok`` and now FAILS the driver's
+    value-hash check, where the old rows-only declaration could only have
+    caught a row-count change. (The raw estimate stays observable through
+    the bound: upgrading from rows-only to hash-checked costs us the
+    estimate column but buys a real pass/fail signal on the sketch.)
 
     Both counts run over the PRE-DEDUPED (event_type, user_id) pairs: HLL
     registers are duplicate-insensitive, so sketching the distinct pairs
@@ -386,7 +399,6 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("exact_users"),
     ).select(
         "event_type",
-        "approx_users",
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))

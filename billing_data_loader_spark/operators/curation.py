@@ -258,20 +258,76 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf[["doc_id", "lang", "n_tok", "bin_id"]]
 
 
-@query("ext_seq_pack", oracle=None, tier=3)
-def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: group docs into <=2048-token training bins per
-    language via first-fit-decreasing inside ``applyInPandas``.
+def seq_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bin assignment: first-fit-decreasing packing into
+    <=2048-token training bins per language inside ``applyInPandas``.
 
     Packing is the one curation step that is genuinely sequential per
     output stream, so it's the honest Pandas-UDF case (Arrow batches, one
-    group per language; shard the group key to scale out). Not
-    SQL-expressible without a recursive scan -> rows-only check; semantic
-    invariants (capacity, completeness, FFD efficiency bound) are pinned in
-    tests/test_round2.py."""
+    group per language; shard the group key to scale out). This is the
+    user-facing surface; the declared query below aggregates it into an
+    oracle-checkable summary."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
     )
     return d.groupBy("lang").applyInPandas(_pack_group, schema=_PACK_SCHEMA)
+
+
+_SEQ_PACK_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+       TRUE AS packing_ok
+FROM (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+) t
+GROUP BY lang
+"""
+
+
+@query("ext_seq_pack", oracle=_SEQ_PACK_ORACLE, tier=3)
+def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, hash-oracled via conservation laws: runs the full
+    FFD packing (:func:`seq_pack_assignments`), then declares the per-lang
+    summary whose exact values ARE SQL-expressible — doc count and total
+    tokens (conservation: packing must neither drop nor duplicate a doc or
+    a token) — plus ``packing_ok``, an in-plan assertion of the invariants
+    a SQL oracle cannot recompute: every over-capacity bin holds exactly
+    one (oversize) doc, and the bin count stays within the FFD guarantee
+    ``n_bins - n_oversize <= (11 * ceil(norm_tok/C)) DIV 9 + 1``. The
+    oracle emits ``TRUE``, so a packing bug (lost doc, split doc,
+    over-filled bin, pathological bin blowup) now FAILS the value-hash
+    check — strictly stronger than the old rows-only declaration. All
+    bound arithmetic is integer (DIV), so no float rounding at the edge.
+    Per-doc assignments remain available via :func:`seq_pack_assignments`
+    and are invariant-tested directly in tests/test_round2.py."""
+    cap = _PACK_CAPACITY
+    packed = seq_pack_assignments(spark, sf_dir)
+    fills = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tok").alias("fill"), F.count(F.lit(1)).alias("n_in_bin")
+    )
+    over = F.col("fill") > cap
+    summary = fills.groupBy("lang").agg(
+        F.sum("n_in_bin").alias("n_docs"),
+        F.sum("fill").alias("total_tok"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("n_over"),
+        F.sum(F.when(over, F.col("fill")).otherwise(0)).alias("over_tok"),
+        F.max(F.when(over, F.col("n_in_bin")).otherwise(1)).alias(
+            "max_over_docs"
+        ),
+    )
+    # FFD bound with norm_lb = ceil((total_tok - over_tok)/cap), all DIV
+    ffd_ok = (F.col("n_bins") - F.col("n_over")) <= (
+        F.expr(f"(11 * ((total_tok - over_tok + {cap} - 1) DIV {cap})) DIV 9")
+        + 1
+    )
+    return summary.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tok").cast("bigint").alias("total_tok"),
+        ((F.col("max_over_docs") <= 1) & ffd_ok).alias("packing_ok"),
+    )

@@ -353,45 +353,81 @@ def _hashed_shingle_tokens(corpus: DataFrame) -> DataFrame:
 
 @query("ext_neardup_jaccard", oracle=_JACCARD_ORACLE, tier=3)
 def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs shingle-set Jaccard >= 0.6 within a language (exact integer
-    counts; double division is bit-exact on both engines).
+    """All-pairs shingle-set Jaccard >= 0.6 within a language — EXACT, via
+    prefix filtering (the AllPairs/PPJoin candidate bound), so the inverted
+    index never explodes on hot shingles.
 
-    Shingle identity is carried by its xxhash64 (the intersection join and
-    the dedup shuffle both move 8-byte longs, never shingle strings) — same
-    trick as the minhash verifier; the SQL oracle joins the strings, and
+    The r3 form joined the full inverted index with itself: a boilerplate
+    shingle appearing in d documents contributed O(d²) join rows, quadratic
+    on any real corpus. Prefix filtering keeps the join exact while
+    restricting it to each document's (n - ceil(t*n) + 1) globally RAREST
+    shingles (global order = (doc-frequency asc, hash asc), shared by all
+    docs): if |A∩B| >= α, the globally smallest common element sits within
+    the first |A|-α+1 elements of A *and* the first |B|-α+1 of B (at least
+    α elements of each set — the intersection — order at-or-after it), so
+    the rare-prefix self-join loses no qualifying pair; with the size
+    filter 5*min(n_a,n_b) >= 3*max(n_a,n_b) implied by J >= 3/5, α >=
+    ceil(t*n) per doc. Hot shingles have maximal doc-frequency, i.e. sort
+    LAST — they enter a prefix only when a doc consists almost entirely of
+    boilerplate, exactly when its near-dup pairs are real output, not noise.
+    Candidate verification intersects the two full (distinct) hashed
+    shingle arrays per candidate pair — O(n_a+n_b) per pair, never a
+    re-join of the inverted index. Thresholds use integer arithmetic
+    (ceil(3n/5) = (3n+4) DIV 5): no float rounding at the bound.
+
+    Shingle identity is carried by its xxhash64 (every shuffle moves 8-byte
+    longs, never shingle strings); the SQL oracle joins the strings, and
     parity is asserted at both sf0.01 and sf0.1, so a hash collision in the
     fixture vocabulary would be caught, not silently absorbed."""
     corpus = _corpus_with_dups(spark, sf_dir)
-    # persist the shingle set: it feeds BOTH sides of the self-join plus the
-    # sizes aggregate, and only the self-join's two exchanges are reusable
-    # (same keys) — sizes shuffles on doc_id, so without the cache the
-    # explode+distinct pipeline runs again for it. The frame is 8-byte
-    # hashes, ~shingles(corpus) rows — the compact intermediate this
-    # operator is built around; at 100 TB the same cache (or a checkpoint)
-    # is what you'd want anyway to avoid re-reading the raw text.
+    # persist the shingle set: it feeds the doc-frequency aggregate, the
+    # prefix ranking, and the verification arrays. 8-byte hashes,
+    # ~shingles(corpus) rows — the compact intermediate this operator is
+    # built around; at 100 TB the same cache (or a checkpoint) avoids
+    # re-reading raw text.
     tok = scoped_persist(_hashed_shingle_tokens(corpus))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    pairs = (
+    dfreq = tok.groupBy("lang", "th").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(dfreq, ["lang", "th"])
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "th")),
+        )
+        .withColumn("n_tok", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_tok") - F.expr("(3*n_tok + 4) DIV 5") + 1
+    ).select("doc_id", "lang", "th", "n_tok")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.th") == F.col("b.th"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= 3/5 forces 5*min(n) >= 3*max(n)
+            & (
+                5 * F.least(F.col("a.n_tok"), F.col("b.n_tok"))
+                >= 3 * F.greatest(F.col("a.n_tok"), F.col("b.n_tok"))
+            ),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common")
+    sets = tok.groupBy("doc_id").agg(
+        F.collect_list("th").alias("ths"), F.count(F.lit(1)).alias("n_tok")
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    n_common = F.size(F.array_intersect(F.col("sa.ths"), F.col("sb.ths")))
+    jac = n_common.cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - n_common
     )
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
@@ -524,7 +560,16 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("nbr_min") < cur.cluster_id)
                 ).alias("chg"),
             )
-        new_labels = scoped_persist(cur)
+        # localCheckpoint (eager) materializes the round AND truncates the
+        # lineage to the checkpointed RDD: without it every round's plan
+        # embeds all previous rounds' joins, and the final plan accumulated
+        # 500+ exchanges by round 3 (analyzer cost + cache-miss blast radius
+        # both grow per iteration at scale). With it each round's plan is
+        # O(1) exchanges regardless of iteration count — the standard
+        # iterative-fixpoint idiom. On a real cluster prefer
+        # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``:
+        # localCheckpoint data does not survive executor loss.
+        new_labels = cur.localCheckpoint(eager=True)
         changed = new_labels.filter("chg").count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
@@ -557,10 +602,17 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ext_neardup_minhash_lsh ------------------------------------------------
 
-_N_HASHES = 32
-# 16 bands of 2: candidate prob at jaccard 0.6 is 1-(1-0.36)^16 ≈ 0.9992 —
-# recall-heavy banding is correct when an exact verification pass follows
-# (precision comes from the verifier, recall must come from the bands).
+_N_HASHES = 64
+# 32 bands of 2: candidate prob at jaccard exactly 0.6 is 1-(1-0.36)^32 ≈
+# 1 - 6.3e-7 per pair — recall-heavy banding is correct when an exact
+# verification pass follows (precision comes from the verifier, recall must
+# come from the bands). Sized so the exact all-pairs oracle stays valid
+# across fixture REGENERATION, not just on today's fixtures: even a
+# regenerated corpus with ~10^3 borderline (J≈0.6) pairs has expected
+# banding misses ~6e-4, and planted duplicates (J>=0.8 → per-band 0.64,
+# miss (1-0.64)^32 ≈ 5e-15) can never miss. The r3 16x2 banding had
+# per-borderline-pair miss 8e-4 — one unlucky regeneration away from an
+# honest approximation reading as a hash failure (ADVICE.md r3).
 _BAND_SIZE = 2
 
 

@@ -112,6 +112,33 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _det_range_bucket(df: DataFrame, numeric: F.Column, n_buckets: int) -> DataFrame:
+    """Append a DETERMINISTIC range-bucket column ``bucket`` derived from
+    row data, for two-pass global-window decompositions.
+
+    The r3 form (``repartitionByRange(...).withColumn("pid",
+    spark_partition_id())`` + persist) was recompute-unsafe:
+    repartitionByRange samples its boundaries nondeterministically, so a
+    cache miss (eviction, executor loss on a real cluster) could assign
+    different pids to the per-partition-stats read and the final-join read
+    and silently corrupt offsets. Here the boundaries are computed ONCE via
+    driver-side ``approxQuantile`` and embedded in the plan as literals;
+    the bucket is then pure row arithmetic — identical on every recompute,
+    on any executor. Ties on the bucketing value land in a single bucket
+    (keeps buckets contiguous in the global order, which the offset
+    decomposition requires); quantile error and tie mass only skew bucket
+    SIZES, never results. The boundary scan is one extra pass over a single
+    numeric column — at 100 TB that is a column-pruned parquet scan, the
+    same cost repartitionByRange's own sampling pass pays."""
+    tmp = "__bucket_num"
+    with_num = df.withColumn(tmp, numeric.cast("double"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(with_num.stat.approxQuantile(tmp, probs, 0.001)))
+    arr = F.array(*[F.lit(b) for b in bounds])
+    bucket = F.size(F.filter(arr, lambda x: x < F.col(tmp)))
+    return with_num.withColumn("bucket", bucket).drop(tmp)
+
+
 # --- win_running_sum --------------------------------------------------------
 
 _RUNNING_ORACLE = """
@@ -127,32 +154,35 @@ FROM orders
 @query("win_running_sum", oracle=_RUNNING_ORACLE, tier=2)
 def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue by date, DISTRIBUTED: global prefix sum as
-    range-partition + per-partition prefix + broadcast partition offsets
-    (same two-pass shape as win_ntile_pctrank) instead of a one-partition
-    global window. Decimal addition is exact and associative, so the
-    decomposed running total is bit-identical to the single-pass oracle."""
+    range-bucket (deterministic, see :func:`_det_range_bucket`) +
+    per-bucket prefix + broadcast bucket offsets (same two-pass shape as
+    win_ntile_pctrank) instead of a one-partition global window. Decimal
+    addition is exact and associative, so the decomposed running total is
+    bit-identical to the single-pass oracle."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderdate",
         F.col("o_totalprice").cast(_DEC).alias("price_dec"),
     )
+    # bucket on the leading sort column only; o_orderkey tie-break happens
+    # inside the bucket (all rows of one date share a bucket by design)
     rp = scoped_persist(
-        o.repartitionByRange(n_part, "o_orderdate", "o_orderkey").withColumn(
-            "pid", F.spark_partition_id()
+        _det_range_bucket(
+            o, F.col("o_orderdate").cast("timestamp").cast("double"), n_part
         )
     )
-    ptot = rp.groupBy("pid").agg(F.sum("price_dec").alias("ptot"))
+    ptot = rp.groupBy("bucket").agg(F.sum("price_dec").alias("ptot"))
     # offsets via triangular self-join over the P-row totals frame (P^2
     # tuples, P = O(cluster)): no window, so nothing for WindowExec to
     # collapse — cumulative anything over per-partition stats is just
-    # "sum of strictly-earlier partitions"
+    # "sum of strictly-earlier buckets"
     offs = (
         ptot.alias("a")
         .join(
-            ptot.alias("b"), F.col("b.pid") < F.col("a.pid"), "left"
+            ptot.alias("b"), F.col("b.bucket") < F.col("a.bucket"), "left"
         )
-        .groupBy(F.col("a.pid").alias("pid"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
         .agg(
             F.coalesce(
                 F.sum("b.ptot"), F.lit(0).cast("decimal(38,6)")
@@ -160,11 +190,11 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_local = (
-        W.partitionBy("pid")
+        W.partitionBy("bucket")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return rp.join(F.broadcast(offs), "pid").select(
+    return rp.join(F.broadcast(offs), "bucket").select(
         "o_orderkey",
         (F.sum("price_dec").over(w_local) + F.col("off"))
         .cast("double")
@@ -326,36 +356,32 @@ def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets, instead of the single-partition global window (which WindowExec
     warns about and which serializes the table at scale).
 
-    Pass 1 range-partitions on the full sort key and ranks locally; pass 2
-    turns per-partition row counts (P rows — O(cluster), not O(data)) into
-    cumulative offsets, broadcast back. The ORDER BY key is unique
+    Pass 1 buckets on the leading sort column (deterministic
+    :func:`_det_range_bucket` — boundary literals in the plan, so a
+    recompute can never re-bucket rows between passes) and ranks locally;
+    pass 2 turns per-bucket row counts (P rows — O(cluster), not O(data))
+    into cumulative offsets, broadcast back. The ORDER BY key is unique
     ((c_acctbal, c_custkey) — custkey is a key), so there are no peer rows
     and the rank functions have closed forms: percent_rank = (r-1)/(n-1),
     cume_dist = r/n, and ntile(4) assigns the first n%4 tiles one extra row
-    (the SQL-standard split both engines implement). The cached
-    range-partitioned frame guarantees the counts and the ranks see the
-    same sampled partition boundaries."""
+    (the SQL-standard split both engines implement)."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    rp = scoped_persist(
-        c.repartitionByRange(n_part, "c_acctbal", "c_custkey").withColumn(
-            "pid", F.spark_partition_id()
-        )
-    )
-    counts = rp.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    rp = scoped_persist(_det_range_bucket(c, F.col("c_acctbal"), n_part))
+    counts = rp.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     # offsets via triangular self-join over the P-row counts frame (same
     # no-window pattern as win_running_sum); total n rides along broadcast
     tot = counts.agg(F.sum("cnt").alias("n"))
     offs = (
         counts.alias("a")
         .join(
-            counts.alias("b"), F.col("b.pid") < F.col("a.pid"), "left"
+            counts.alias("b"), F.col("b.bucket") < F.col("a.bucket"), "left"
         )
-        .groupBy(F.col("a.pid").alias("pid"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
         .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("off"))
         .crossJoin(F.broadcast(tot))
     )
-    w_local = W.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    w_local = W.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
     r = F.col("off") + F.row_number().over(w_local)
     n = F.col("n")
     q, rem = (n / 4).cast("long"), n % 4
@@ -363,7 +389,7 @@ def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartile = F.when(r <= boundary, ((r - 1) / (q + 1)).cast("long") + 1).otherwise(
         rem + ((r - boundary - 1) / q).cast("long") + 1
     )
-    return rp.join(F.broadcast(offs), "pid").select(
+    return rp.join(F.broadcast(offs), "bucket").select(
         "c_custkey",
         quartile.cast("long").alias("quartile"),
         ((r - 1).cast("double") / (n - 1)).alias("pct_rank"),

@@ -7,9 +7,11 @@ Add new operator modules to ``_MODULES`` as they come online.
 from __future__ import annotations
 
 import json
+import re
 from importlib import import_module
 from pathlib import Path
 
+from .impl_hash import stale_keys
 from .registry import QuerySpec, all_queries
 
 _MODULES = [
@@ -93,13 +95,15 @@ _GRADING_PRIORITY = [
 ]
 
 
-def _scan_records() -> tuple[set[str], set[str]]:
-    """(hash-green keys, rows-only-recorded keys) across all CORRECTNESS
-    files on disk."""
-    green: set[str] = set()
-    rows_only: set[str] = set()
+def _scan_records() -> tuple[dict[str, int], dict[str, int]]:
+    """(hash-green key -> latest round, rows-only key -> latest round)
+    across all CORRECTNESS files on disk."""
+    green: dict[str, int] = {}
+    rows_only: dict[str, int] = {}
     repo_root = Path(__file__).resolve().parents[2]
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -110,9 +114,9 @@ def _scan_records() -> tuple[set[str], set[str]]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                green.add(key)
+                green[key] = max(rnd, green.get(key, 0))
             elif row.get("err") == "no_oracle" and row.get("spark_rows"):
-                rows_only.add(key)
+                rows_only[key] = max(rnd, rows_only.get(key, 0))
     return green, rows_only
 
 
@@ -121,17 +125,23 @@ def catalog() -> dict[str, QuerySpec]:
     # stable base order: static priority list, then any brand-new key
     base = [k for k in _GRADING_PRIORITY if k in registered]
     base += [k for k in registered if k not in set(base)]
-    # auto-rotation: keys with a driver record on disk yield their window
-    # slot to keys still waiting for their first green row. A rows-only
-    # record only counts for keys that are STILL oracle-less — once an
-    # oracle is attached (e.g. stream_dedup_watermark in round 3), the key
-    # re-enters the window to earn a hash-checked row.
+    # Auto-rotation, three tiers inside the driver's 50-key window:
+    #   1. keys with no valid driver record at all (never graded, or their
+    #      rows-only record predates an oracle being attached);
+    #   2. keys whose implementation/oracle changed since their record was
+    #      earned (plans/impl_hash.py sidecar comparison) — the record
+    #      vouches for code that no longer ships, so re-grade;
+    #   3. recorded keys, ordered stalest-grade-first so the r1 cohort
+    #      cycles back through the window over successive rounds.
     green, rows_only = _scan_records()
-    recorded = green | {
-        k
-        for k in rows_only
-        if k in registered and registered[k].oracle is None
-    }
-    ordered = [k for k in base if k not in recorded]
-    ordered += [k for k in base if k in recorded]
+    recorded: dict[str, int] = dict(green)
+    for k, rnd in rows_only.items():
+        if k in registered and registered[k].oracle is None:
+            recorded[k] = max(rnd, recorded.get(k, 0))
+    stale = stale_keys(registered) & set(recorded)
+    unrecorded = [k for k in base if k not in recorded]
+    changed = [k for k in base if k in stale]
+    fresh = [k for k in base if k in recorded and k not in stale]
+    fresh.sort(key=lambda k: recorded[k])  # stable: ties keep base order
+    ordered = unrecorded + changed + fresh
     return {k: registered[k] for k in ordered}

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,6 +144,9 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     source, which at 100 TB is exactly how a lake of media objects enters
     the engine (with pathGlobFilter/recursiveFileLookup pruning)."""
     out = scratch_dir(sf_dir, "binary_docs")
+    # restage from zero: fixtures are regenerated in place between rounds,
+    # so a keep-if-exists staging dir can scan stale doc_*.bin files
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     docs = (
         load(spark, sf_dir, "documents")

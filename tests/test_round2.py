@@ -159,15 +159,18 @@ def test_dedup_cluster_groups_planted_copies(spark):
 
 def test_seq_pack_invariants(spark):
     """Every doc binned exactly once; no bin exceeds capacity; bin count per
-    language stays within the FFD guarantee (11/9 * OPT + 1)."""
+    language stays within the FFD guarantee (11/9 * OPT + 1). Also checks
+    the declared summary query agrees with the per-doc assignments and
+    asserts its own invariants (packing_ok everywhere)."""
     import math
 
     from billing_data_loader_spark.operators.curation import (
         _PACK_CAPACITY,
         ext_seq_pack,
+        seq_pack_assignments,
     )
 
-    out = ext_seq_pack(spark, SF_DIR).toPandas()
+    out = seq_pack_assignments(spark, SF_DIR).toPandas()
     docs = load(spark, SF_DIR, "documents")
     assert len(out) == docs.count()
     assert out.doc_id.is_unique, "a doc landed in two bins"
@@ -179,6 +182,15 @@ def test_seq_pack_invariants(spark):
         assert n_bins <= math.floor(11 / 9 * opt_lb) + 1, (
             f"{lang}: {n_bins} bins vs OPT lower bound {opt_lb}"
         )
+
+    summary = ext_seq_pack(spark, SF_DIR).toPandas().set_index("lang")
+    assert summary.packing_ok.all(), "declared packing_ok flipped false"
+    per_lang = out.groupby("lang").agg(
+        n_docs=("doc_id", "count"), total_tok=("n_tok", "sum")
+    )
+    for lang, row in per_lang.iterrows():
+        assert summary.loc[lang, "n_docs"] == row.n_docs
+        assert summary.loc[lang, "total_tok"] == row.total_tok
 
 
 def test_decontaminate_planted_leaks_flagged(spark):

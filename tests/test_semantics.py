@@ -68,6 +68,24 @@ def test_minhash_lsh_finds_all_exact_neardups(spark):
     }
     assert exact, "fixture must produce at least the synthesized exact dups"
     missing = exact - lsh
+    # Distinguish the two possible causes before failing: banding recall is
+    # probabilistic IN THE INPUT, so a regenerated fixture can legitimately
+    # contain a borderline (J≈0.6) pair the 32x2 bands miss (~6e-7/pair) —
+    # that calls for re-declaring the oracle, not debugging the operator.
+    if missing:
+        jac = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ext_neardup_jaccard(spark, SF_DIR).collect()
+        }
+        borderline = [p for p in missing if jac[p] < 0.65]
+        if borderline and len(borderline) == len(missing):
+            raise AssertionError(
+                "LSH missed ONLY borderline (J<0.65) pairs "
+                f"{sorted(missing)[:10]} — consistent with fixture "
+                "regeneration producing pairs at the banding noise floor, "
+                "NOT an operator regression. Re-evaluate the exact-oracle "
+                "declaration for ext_neardup_minhash_lsh (see ADVICE r3)."
+            )
     assert not missing, f"LSH missed exact near-dup pairs: {sorted(missing)[:10]}"
 
 
