@@ -1,0 +1,268 @@
+"""Product-analytics operators over the events stream (SURVEY.md §2.11,
+round 4): cohort retention, funnel conversion, OHLC resampling, and
+revenue proration — the query shapes a billing/usage warehouse serves
+daily, each expressed as pure DataFrame relational algebra with a DuckDB
+oracle twin.
+
+Scale stance: everything here keys its shuffles on (user_id) or a
+coarse time bucket; no global windows, no driver loops. Cohort and
+funnel both collapse the fact table to one row per user FIRST (map-side
+combined min/count aggregates), so the expensive joins run on the
+distinct-user frame — 1e9 users, not 1e13 events — and the final
+matrices are O(days² ) / O(steps) rows at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import dsum, o_dsum
+from ..plans.registry import query
+from ..tables import load
+
+# --- agg_retention_cohort ---------------------------------------------------
+
+# Day-granularity cohort retention triangle: users grouped by first-seen
+# day, counted on each later active day. day_n is the offset so the frame
+# is the classic retention matrix (cohort_day x day_n).
+_RETENTION_ORACLE = """
+WITH firstday AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day, CAST(e.ts AS DATE) AS active_day
+  FROM events e JOIN firstday f ON e.user_id = f.user_id
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, active_day) AS INTEGER) AS day_n,
+       COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_day, day_n
+"""
+
+
+@query("agg_retention_cohort", oracle=_RETENTION_ORACLE, tier=2)
+def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: for each first-seen-day cohort, how many
+    of its users were active N days later. ONE user_id-keyed shuffle, no
+    join: collect_set(day) per user (map-side combined, state bounded by
+    the day-granularity horizon — 31 here, a few thousand on any real
+    retention window), cohort day = array_min of the same set, explode,
+    then the tiny (cohort, offset) matrix aggregate whose key space is
+    O(days²) regardless of user count. The naive join form (first-day
+    frame ⋈ distinct activity) costs a second shuffle of the activity
+    table for the same answer."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("active_day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("active_day").alias("days")
+    )
+    exploded = per_user.select(
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("active_day"),
+    )
+    return (
+        exploded.groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").alias("day_n"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- agg_funnel_steps -------------------------------------------------------
+
+# Ordered funnel view -> click -> purchase: each step's timestamp must be
+# >= the previous step's FIRST qualifying timestamp (the standard
+# first-touch funnel). Output is the 3-row step/count table.
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT step, n_users FROM (
+  SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+)
+"""
+
+
+@query("agg_funnel_steps", oracle=_FUNNEL_ORACLE, tier=2)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel conversion (view -> click -> purchase): a user
+    advances a step only with an event at-or-after their first qualifying
+    event of the previous step. ONE user_id-keyed shuffle for the whole
+    funnel: per user, min view ts plus sorted click/purchase ts arrays
+    (map-side combined), then the step chain is pure array algebra —
+    t_click = min click >= t_view, t_purchase = min purchase >= t_click —
+    inside codegen, and one 1-row aggregate emits all three counts
+    (unpivoted to the step/count rows with inline, no extra exchange).
+    The per-step join form costs one shuffle of the filtered fact table
+    PER STEP for the same answer. Hot-user caveat: the collected arrays
+    are O(events/user); a per-(user, day) pre-aggregate bounds them if a
+    single user can exceed executor memory."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    per_user = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            )
+        ).alias("purchases"),
+    )
+    stepped = per_user.withColumn(
+        "t_click",
+        F.array_min(F.filter("clicks", lambda c: c >= F.col("t_view"))),
+    ).withColumn(
+        "t_purchase",
+        F.array_min(F.filter("purchases", lambda p: p >= F.col("t_click"))),
+    )
+    counts = stepped.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    return counts.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("step"), F.col("n_view").alias("n_users")
+                ),
+                F.struct(
+                    F.lit("2_click").alias("step"),
+                    F.col("n_click").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("step"),
+                    F.col("n_purchase").alias("n_users"),
+                ),
+            )
+        )
+    )
+
+
+# --- ts_resample_ohlc -------------------------------------------------------
+
+# Hourly OHLC downsample per event type: open/close pick the value at the
+# min/max of the (ts, event_id) TOTAL order — Spark via min_by/max_by on
+# the struct, DuckDB via ordered-set FIRST/LAST (its min_by cannot take a
+# struct key). No window, no sort, one hash aggregate. Values are raw
+# parquet doubles carried through un-arithmetic'd, so both engines agree
+# bitwise; high/low likewise.
+_OHLC_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+       FIRST(value ORDER BY ts, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       LAST(value ORDER BY ts, event_id) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY bucket, event_type
+"""
+
+
+@query("ts_resample_ohlc", oracle=_OHLC_ORACLE, tier=2)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the billing meter's hourly rollup): open/high/
+    low/close of `value` per (hour, event_type). min_by/max_by over the
+    (ts, event_id) struct gives the first/last value under a TOTAL order
+    (event_id breaks ts ties), so the result is deterministic without any
+    window or sort — a single map-side-combinable aggregate whose state
+    is 4 scalars + a struct per group. The 100 TB plan is scan -> partial
+    agg -> one exchange of O(hours x types) rows."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+# --- bill_proration_daily ---------------------------------------------------
+
+# Revenue recognition: each order's total is recognized evenly over a
+# 30-day service window from the order date. The per-day rate is ONE
+# double division (o_totalprice / 30.0) — identical IEEE result on both
+# engines — and the per-day totals are decimal-quantized sums.
+_PRORATION_ORACLE = f"""
+SELECT recog_day, {o_dsum("daily_rev", "recognized")},
+       COUNT(*) AS n_orders
+FROM (
+  SELECT UNNEST(generate_series(
+           CAST(o_orderdate AS DATE),
+           CAST(o_orderdate AS DATE) + 29,
+           INTERVAL 1 DAY
+         )) AS recog_day,
+         o_totalprice / 30.0 AS daily_rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-03-01'
+)
+GROUP BY recog_day
+"""
+
+
+@query("bill_proration_daily", oracle=_PRORATION_ORACLE, tier=2)
+def bill_proration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue recognition: prorate each order's total over a
+    30-day service window (the billing engine's accrual view). sequence()
+    + explode generates the 30 recognition days map-side — no join against
+    a calendar dim — and the per-day rollup is one hash aggregate keyed on
+    day. Row inflation is a fixed 30x before the partial aggregate, which
+    combines map-side, so the exchange carries O(days) rows per task.
+    The date filter prunes the orders scan to the recognition quarter."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    days = F.sequence(
+        F.to_date("o_orderdate"),
+        F.date_add(F.to_date("o_orderdate"), 29),
+    )
+    exploded = o.select(
+        F.explode(days).alias("recog_day"),
+        (F.col("o_totalprice") / 30.0).alias("daily_rev"),
+    )
+    # DuckDB's generate_series over DATE yields TIMESTAMP elements; match.
+    return (
+        exploded.groupBy(F.col("recog_day").cast("timestamp").alias("recog_day"))
+        .agg(
+            dsum("daily_rev", "recognized"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

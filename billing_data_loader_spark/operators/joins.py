@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import dsum, o_dsum, o_dsum_expr
+from ..functions.determinism import davg, dsum, o_davg, o_dsum, o_dsum_expr
 from ..plans.registry import query
 from ..tables import load
 
@@ -855,4 +855,355 @@ def join_q19_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+# --- join_q2_min_cost -------------------------------------------------------
+
+# TPC-H Q2's correlated-min shape, adapted to the fixture schema (no
+# partsupp table): the part-supplier cost bridge is min(l_extendedprice)
+# per (partkey, suppkey) from lineitem. Ties at the per-part minimum keep
+# every achieving supplier (same as Q2), so the row set is deterministic
+# without ORDER BY. The min costs are raw parquet doubles compared for
+# equality — no arithmetic, so both engines agree bitwise.
+_Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey AS b_partkey, MIN(cost) AS min_cost
+  FROM cost GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, s_name, n_name, min_cost
+FROM part
+JOIN best ON p_partkey = b_partkey
+JOIN cost ON cost.l_partkey = b_partkey AND cost.cost = min_cost
+JOIN supplier ON s_suppkey = cost.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_size <= 10
+"""
+
+
+@query("join_q2_min_cost", oracle=_Q2_ORACLE, tier=2)
+def join_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part — a correlated scalar
+    subquery (min cost over the part's suppliers), DECORRELATED the way
+    Catalyst would: aggregate the bridge once per (part, supplier), derive
+    the per-part minimum in a second aggregation, and equi-join back to
+    keep the achieving suppliers. Both aggregations and the re-join hash
+    on partkey, so the bridge shuffles once and the rest co-partitions;
+    supplier and nation broadcast. At 100 TB this is two map-side-combined
+    aggregations plus one co-partitioned join — never a per-part probe."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    achieving = cost.join(
+        best,
+        (cost.l_partkey == best.b_partkey) & (cost.cost == best.min_cost),
+    ).select("l_partkey", "l_suppkey", "min_cost")
+    return (
+        achieving.join(p, achieving.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), achieving.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_cost")
+    )
+
+
+# --- join_q13_distribution --------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("join_q13_distribution", oracle=_Q13_ORACLE, tier=2)
+def join_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution. The outer join
+    keeps order-less customers (COUNT of the null-extended side is 0, not
+    1 — the classic outer-join-count trap), the join-side filter rides ON
+    the join condition so it prunes orders BEFORE the join without turning
+    the outer join inner. Two aggregations: per-customer counts hash on
+    custkey (co-partitioned with the join), then the tiny distribution
+    aggregate. The distribution's key space is O(max orders/customer) —
+    a few hundred rows at any corpus scale."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- join_q15_top_supplier --------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {o_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("join_q15_top_supplier", oracle=_Q15_ORACLE, tier=2)
+def join_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue supplier for a quarter, via a
+    reused derived view (revenue per supplier) and a scalar MAX subquery.
+    The revenue frame is computed ONCE and persisted (Q15's CREATE VIEW),
+    feeding both the max aggregate and the equality filter; revenue is a
+    decimal-quantized sum, so the max-equality join is exact on both
+    engines and ties keep every achieving supplier. The scalar max is a
+    1-row aggregate broadcast back — O(tasks) partials, never a global
+    sort."""
+    from ..session import scoped_persist
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = scoped_persist(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev")
+        )
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- join_q21_waiting -------------------------------------------------------
+
+# TPC-H Q21's EXISTS / NOT-EXISTS shape, adapted to the fixture schema
+# (no l_receiptdate/l_commitdate): a line is "late" when it shipped more
+# than 60 days after the order date. numwait counts l1 rows, i.e. each
+# late LINE of the blamed supplier, not each order — mirrored in the
+# aggregate decomposition below.
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT * FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT * FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
+@query("join_q21_waiting", oracle=_Q21_ORACLE, tier=3)
+def join_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier in a
+    multi-supplier order. The correlated EXISTS + NOT-EXISTS pair over
+    lineitem self-joins is decorrelated into per-(order, supplier) late
+    counts plus a per-order rollup (supplier count, late-supplier count) —
+    one lineitem x orders shuffle join plus two hash aggregations on
+    orderkey, instead of two additional lineitem self-joins. A supplier's
+    late lines count when the order is 'F', has >1 supplier, and exactly
+    one late supplier (them). Top-10 via TakeOrderedAndProject with s_name
+    tie-break."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    s = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey", "o_orderstatus")
+        .agg(F.count(F.when(late, 1)).alias("late_lines"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+    )
+    blamed = (
+        per_os.filter((F.col("late_lines") > 0) & (F.col("o_orderstatus") == "F"))
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+# --- join_q22_balance -------------------------------------------------------
+
+# TPC-H Q22 shape, adapted (no c_phone): "country code" is the nation key,
+# and "never placed an order" becomes "never placed an URGENT order" (every
+# fixture customer has orders). The avg-balance cutoff is decimal-quantized
+# (o_davg/davg) so the > comparison binds identically on both engines.
+_Q22_ORACLE = f"""
+WITH cutoff AS (
+  SELECT {o_davg("c_acctbal", "avg_bal")} FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust, {o_dsum("c_acctbal", "totacctbal")}
+FROM customer, cutoff
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT * FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_nationkey
+"""
+
+
+@query("join_q22_balance", oracle=_Q22_ORACLE, tier=2)
+def join_q22_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers in selected nations with no
+    urgent orders. Three classic pieces in one plan: a scalar AVG subquery
+    (1-row aggregate broadcast against the fact side — O(tasks) partials,
+    flagged-and-justified BNLJ), a NOT EXISTS decorrelated to a left-anti
+    join on custkey, and a small grouped aggregate. The anti join's right
+    side is pre-filtered to urgent orders only, so its build input is a
+    fraction of the orders table before any shuffle."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cutoff = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    rich = c.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_urgent = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_urgent.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal", "totacctbal"),
+    )
+
+
+# --- join_asof_native -------------------------------------------------------
+
+# Native merge-asof variant of join_asof_events: per-user pandas
+# merge_asof with a 1-hour tolerance (the attribution window), exercising
+# the applyInPandas path the way a ports-of-pandas pipeline would. The
+# DuckDB oracle is the LATERAL top-1 with the same window bound.
+_ASOF_NATIVE_ORACLE = """
+SELECT p.event_id, p.user_id,
+       v.event_id AS view_event_id,
+       date_diff('microsecond', v.ts, p.ts) AS micros_since_view
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT ts, event_id
+  FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+    AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+  ORDER BY v.ts DESC, v.event_id DESC
+  LIMIT 1
+) v ON TRUE
+"""
+
+
+def _merge_asof_group(pdf):
+    """Per-user merge_asof: most recent view within 1h before each purchase.
+    Sorted by (ts, event_id) so merge_asof's last-match tie-break picks the
+    max event_id at equal ts, matching the oracle's ORDER BY ... DESC."""
+    import pandas as pd
+
+    purchases = (
+        pdf[pdf["event_type"] == "purchase"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    views = (
+        pdf[pdf["event_type"] == "view"]
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+        .rename(columns={"ts": "view_ts", "event_id": "view_event_id"})
+    )
+    merged = pd.merge_asof(
+        purchases,
+        views[["view_ts", "view_event_id"]],
+        left_on="ts",
+        right_on="view_ts",
+        direction="backward",
+        tolerance=pd.Timedelta(hours=1),
+        allow_exact_matches=True,
+    )
+    out = merged[["event_id", "user_id"]].copy()
+    out["view_event_id"] = merged["view_event_id"].astype("Int64")
+    delta = (merged["ts"] - merged["view_ts"]).dt.total_seconds() * 1_000_000
+    out["micros_since_view"] = delta.round().astype("Int64")
+    return out
+
+
+@query("join_asof_native", oracle=_ASOF_NATIVE_ORACLE, tier=3)
+def join_asof_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, pandas-native path: ``applyInPandas`` over user_id
+    groups running ``pd.merge_asof`` (backward, 1-hour tolerance) — the
+    complement to join_asof_events' union+window form. One shuffle on
+    user_id; inside each group the merge is the textbook two-pointer scan
+    over the sorted arrays (O(n log n) for the sort, O(n) merge). At
+    100 TB the win over the window form is constant-factor (Arrow batches,
+    no carried struct column); the cost is the Python worker hop —
+    measured, not guessed, in the bench. Skew note: a hot user key lands
+    one group on one task; salting by time-slice with boundary overlap
+    would bound it (same trick as ext_neardup_embedding's block tiles)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        _merge_asof_group,
+        "event_id bigint, user_id bigint, view_event_id bigint, "
+        "micros_since_view bigint",
     )

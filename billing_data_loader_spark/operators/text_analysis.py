@@ -453,3 +453,99 @@ def ext_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+# --- ext_bm25 ---------------------------------------------------------------
+
+# BM25 document ranking (k1=1.2, b=0.75) for an automatic query: the 3
+# globally most frequent tokens (count desc, token asc — deterministic on
+# both engines and robust to fixture regeneration). Per-term scores round
+# to 6 dp BEFORE the per-doc sum (ln differs by <=1 ulp across libms —
+# same stance as ext_tfidf), and the cross-term sum is decimal-exact, so
+# the final score is bit-identical and the top-10 ordering total.
+_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), stats AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tokens FROM tok
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), qterms AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY COUNT(*) DESC, token ASC LIMIT 3
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df
+  FROM tok JOIN qterms USING (token) GROUP BY token
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok JOIN qterms USING (token) GROUP BY doc_id, token
+), scored AS (
+  SELECT tf.doc_id,
+         round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl / (CAST(n_tokens AS DOUBLE) / n_docs))),
+           6) AS s
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+@query("ext_bm25", oracle=_BM25_ORACLE, tier=3)
+def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the corpus's 3 hottest tokens — the
+    retrieval scorer a dedup/curation pipeline uses to pull docs about a
+    topic. Pure relational: one tokenize pass persisted and reused by all
+    four aggregates (doc lengths, global stats, query-term df/tf), query
+    terms and the two scalar stats broadcast back (1-row frames, O(tasks)
+    partials — flagged-and-justified BNLJ), scoring inside codegen, and
+    the top-10 via TakeOrderedAndProject. Shuffles: tokenize once by
+    token, once by doc — both map-side combined; nothing global except
+    the two 1-row aggregates."""
+    d = load(spark, sf_dir, "documents")
+    tok = scoped_persist(
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    stats = tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qterms = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(3)
+        .select("token")
+    )
+    qtok = tok.join(F.broadcast(qterms), "token")
+    df_tbl = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf_tbl = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    avgdl = F.col("n_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * (k1 + F.lit(1.0)))
+        / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum(F.col("s").cast("decimal(28,6)")).cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

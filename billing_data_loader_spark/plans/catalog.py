@@ -28,6 +28,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.corpus_hygiene",
     "billing_data_loader_spark.operators.curation",
     "billing_data_loader_spark.operators.billing_history",
+    "billing_data_loader_spark.operators.billing_analytics",
     "billing_data_loader_spark.operators.timeseries",
     "billing_data_loader_spark.operators.ann",
     "billing_data_loader_spark.operators.multimodal",

@@ -375,3 +375,106 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# --- scan_xml ---------------------------------------------------------------
+
+# Spark 4 ships a native XML datasource (the old spark-xml package was
+# merged upstream); a billing integration that receives per-order XML
+# exports can round-trip through it with a declared schema, no inference.
+_XML_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+WHERE year(o_orderdate) = 1996
+"""
+
+_XML_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query("scan_xml", oracle=_XML_ORACLE, tier=3)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML export round-trip via the Spark-4-native XML datasource: write
+    one <order> row-tag element per 1996 order, re-read with the declared
+    schema + timestampFormat (never inference — a second full pass at
+    100 TB), and the readback must equal the source slice byte-for-byte.
+    Doubles survive via the same shortest-roundtrip repr as CSV. XML is a
+    row-splittable text format here (one element per line), so reads
+    parallelize per split like any text source; it remains the WORST
+    format for 100 TB analytics (no column pruning, no predicate
+    pushdown) — this key exists because integrations emit it, and the
+    loader's job is to land it into parquet exactly once."""
+    out = scratch_dir(sf_dir, "orders_xml_1996")
+    cols = [
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ]
+    (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .select(*cols)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .option("timestampFormat", _XML_TS_FMT)
+        .save(out)
+    )
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string"
+    )
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", "order")
+        .option("timestampFormat", _XML_TS_FMT)
+        .format("xml")
+        .load(out)
+        .select(*cols)
+    )
+
+
+# --- scan_mergeschema -------------------------------------------------------
+
+# Schema evolution: a long-lived billing table accretes columns across
+# loader versions. Two parquet generations are staged — v1 carries
+# o_totalprice (no priority), v2 carries o_orderpriority (no price) —
+# and one mergeSchema read reconciles them, null-filling each file's
+# missing columns. The oracle is the explicit NULL-extended union.
+_MERGESCHEMA_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE), o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+@query("scan_mergeschema", oracle=_MERGESCHEMA_ORACLE, tier=3)
+def scan_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution via mergeSchema: two staged generations
+    with divergent columns read back as one table, missing columns
+    null-filled per file. mergeSchema=true reads EVERY file footer at
+    planning time — fine for a handful of generations, a listing storm at
+    100 TB; the production stance is a declared superset schema (second
+    read path below uses exactly that via the user-provided schema, which
+    parquet reconciles by name with no footer sweep). Column pruning and
+    pushdown still work post-merge: each file serves the columns it has."""
+    o = load(spark, sf_dir, "orders")
+    out = scratch_dir(sf_dir, "orders_generations")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(out)
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )

@@ -165,13 +165,39 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- true-streaming helpers -------------------------------------------------
 
 
+def _staged(sf_dir: str, name: str, build) -> str:
+    """Stage a streaming source dir ONCE per fixture generation.
+
+    Checkpoints must be fresh per run (a reused checkpoint would replay
+    nothing), but the staged SOURCE files are pure functions of the fixture
+    — re-writing them every run was most of the excluded-from-headline
+    bench floor (VERDICT r3 #6). Keyed on the events fixture's
+    (mtime_ns, size), so an in-place fixture regeneration (a known
+    between-rounds occurrence — ADVICE r3 on scan_binaryfile) restages
+    from zero instead of streaming stale files."""
+    from ..sources.connectors import scratch_dir
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    out = scratch_dir(sf_dir, name)
+    marker = Path(out) / f".staged_{st.st_mtime_ns}_{st.st_size}"
+    if not marker.exists():
+        shutil.rmtree(out, ignore_errors=True)
+        build(out)
+        marker.touch()
+    return out
+
+
 def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream with the events schema (parquet time unit handled
     as in tables.load — ns layouts need the legacy long-read). The file
     source requires a directory, so the single fixture file is staged into a
-    scratch dir (the 'landing bucket')."""
-    landing = tempfile.mkdtemp(prefix="bdl_landing_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    scratch 'landing bucket' (cached across runs, see _staged)."""
+
+    def build(out: str) -> None:
+        os.makedirs(out, exist_ok=True)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{out}/events.parquet")
+
+    landing = _staged(sf_dir, "stream_landing_events", build)
     if events_ts_unit(sf_dir) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(events_read_schema(sf_dir)).parquet(landing)
@@ -251,30 +277,34 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and keeps only windows closed under the final watermark, so a
     duplicated emission, a re-counted late row, or a leaked open window all
     break parity."""
-    src = tempfile.mkdtemp(prefix="bdl_late_src_")
     ev = load(spark, sf_dir, "events")
-    # stage all three micro-batches with ONE write job: tag each row with
-    # its batch id(s) (day-1 rows belong to batch 0 AND the late replay,
-    # batch 2) and write partitioned by the tag
-    tags = F.when(F.dayofmonth("ts") == 1, F.array(F.lit(0), F.lit(2))).otherwise(
-        F.when(F.dayofmonth("ts") <= 15, F.array(F.lit(0))).otherwise(
-            F.array(F.lit(1))
-        )
-    )
-    (
-        ev.withColumn("mb", F.explode(tags))
-        .repartition("mb")
-        .write.mode("overwrite")
-        .partitionBy("mb")
-        .parquet(src)
-    )
-    # file-source orders micro-batches by mod time; stamp it explicitly
-    # instead of sleeping between writes
-    base = time.time() - 60
-    for i in range(3):
-        for p in Path(f"{src}/mb={i}").rglob("*"):
-            os.utime(p, (base + i, base + i))
 
+    def build(out: str) -> None:
+        # stage all three micro-batches with ONE write job: tag each row
+        # with its batch id(s) (day-1 rows belong to batch 0 AND the late
+        # replay, batch 2) and write partitioned by the tag
+        tags = F.when(
+            F.dayofmonth("ts") == 1, F.array(F.lit(0), F.lit(2))
+        ).otherwise(
+            F.when(F.dayofmonth("ts") <= 15, F.array(F.lit(0))).otherwise(
+                F.array(F.lit(1))
+            )
+        )
+        (
+            ev.withColumn("mb", F.explode(tags))
+            .repartition("mb")
+            .write.mode("overwrite")
+            .partitionBy("mb")
+            .parquet(out)
+        )
+        # file-source orders micro-batches by mod time; stamp it explicitly
+        # instead of sleeping between writes
+        base = time.time() - 60
+        for i in range(3):
+            for p in Path(f"{out}/mb={i}").rglob("*"):
+                os.utime(p, (base + i, base + i))
+
+    src = _staged(sf_dir, "stream_late_src", build)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -376,16 +406,18 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     every second copy (rows of the replayed file are behind the watermark
     by then, so each is discarded as late or as a duplicate — either path
     keeps the count exact). Output == per-type counts of the source."""
-    src = tempfile.mkdtemp(prefix="bdl_dedup_src_")
     ev = load(spark, sf_dir, "events")
-    ev.coalesce(1).write.mode("overwrite").parquet(f"{src}/copy=0")
-    # the re-emitted export is byte-identical; duplicate the file at the OS
-    # level instead of running a second full write job
-    part = next(Path(f"{src}/copy=0").glob("*.parquet"))
-    dst = Path(f"{src}/copy=1")
-    dst.mkdir()
-    shutil.copy(part, dst / part.name)
 
+    def build(out: str) -> None:
+        ev.coalesce(1).write.mode("overwrite").parquet(f"{out}/copy=0")
+        # the re-emitted export is byte-identical; duplicate the file at
+        # the OS level instead of running a second full write job
+        part = next(Path(f"{out}/copy=0").glob("*.parquet"))
+        dst = Path(f"{out}/copy=1")
+        dst.mkdir()
+        shutil.copy(part, dst / part.name)
+
+    src = _staged(sf_dir, "stream_dedup_src", build)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

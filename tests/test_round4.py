@@ -1,0 +1,102 @@
+"""Round-4 semantic tests: as-of tolerance, proration conservation,
+retention/funnel invariants, schema-evolution merge, and the single-shuffle
+plan shapes of the new analytics operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from billing_data_loader_spark.operators.billing_analytics import (
+    agg_funnel_steps,
+    agg_retention_cohort,
+    bill_proration_daily,
+)
+from billing_data_loader_spark.operators.joins import join_asof_native
+from billing_data_loader_spark.sources.connectors import scan_mergeschema
+from billing_data_loader_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def test_asof_native_tolerance_bound(spark):
+    """Every matched view is within the 1-hour tolerance and never after
+    the purchase; unmatched purchases carry NULLs in both payload cols."""
+    out = join_asof_native(spark, SF_DIR).toPandas()
+    matched = out[out["view_event_id"].notna()]
+    assert (matched["micros_since_view"] >= 0).all()
+    assert (matched["micros_since_view"] <= 3_600_000_000).all()
+    unmatched = out[out["view_event_id"].isna()]
+    assert unmatched["micros_since_view"].isna().all()
+    # row set == purchases: the as-of join is left-total over purchases
+    n_purchases = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(out) == n_purchases
+
+
+def test_proration_conserves_revenue(spark):
+    """Proration is revenue-conserving: 30 x daily rate re-sums to the
+    order total (to the decimal quantum), and every order contributes
+    exactly 30 day-rows."""
+    out = bill_proration_daily(spark, SF_DIR).toPandas()
+    o = (
+        load(spark, SF_DIR, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
+        )
+        .agg(
+            F.sum(F.col("o_totalprice")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert int(out["n_orders"].sum()) == 30 * o["n"]
+    assert abs(out["recognized"].sum() - o["total"]) < 30 * o["n"] * 1e-6
+    # window spans orderdate .. orderdate+29: no recognition before the
+    # first order date
+    assert out["recog_day"].min() >= dt.datetime(1997, 1, 1)
+
+
+def test_retention_day0_equals_cohort_sizes(spark):
+    """day_n=0 rows count every user exactly once (each user is active on
+    their own cohort day), so day-0 totals sum to the distinct-user count."""
+    out = agg_retention_cohort(spark, SF_DIR).toPandas()
+    day0 = out[out["day_n"] == 0]
+    n_users = load(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert int(day0["n_users"].sum()) == n_users
+    assert (out["day_n"] >= 0).all()
+
+
+def test_funnel_is_monotone(spark):
+    """Funnel counts can only shrink step to step."""
+    out = agg_funnel_steps(spark, SF_DIR).toPandas().set_index("step")["n_users"]
+    assert out["1_view"] >= out["2_click"] >= out["3_purchase"]
+
+
+def test_funnel_single_fact_shuffle(spark):
+    """The whole funnel costs ONE shuffle of the fact table (plus the 1-row
+    count aggregate) — the step chain is array algebra, not joins."""
+    plan = (
+        agg_funnel_steps(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_mergeschema_nulls_partition_correctly(spark):
+    """Each staged generation null-fills exactly the other's column."""
+    out = scan_mergeschema(spark, SF_DIR).toPandas()
+    even = out[out["o_orderkey"] % 2 == 0]
+    odd = out[out["o_orderkey"] % 2 == 1]
+    assert even["o_totalprice"].notna().all()
+    assert even["o_orderpriority"].isna().all()
+    assert odd["o_totalprice"].isna().all()
+    assert odd["o_orderpriority"].notna().all()

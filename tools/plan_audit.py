@@ -113,6 +113,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_kmeans_lite": "1-row centroid-array fold per iteration (k x dim)",
         "scan_csv_malformed": "1-row global quarantine summary aggregate",
         "join_q19_bracket": "1-row global revenue aggregate (Q19 contract)",
+        "join_q15_top_supplier": "1-row max-revenue scalar (O(tasks) partials)",
+        "join_q22_balance": "1-row avg-balance cutoff aggregate",
+        "agg_funnel_steps": "1-row funnel-counts aggregate (O(tasks) partials)",
+        "ext_bm25": "1-row corpus stats (n_docs, n_tokens) aggregate",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -131,6 +135,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "win_ntile_pctrank": "1-row broadcast total-row-count frame",
         "win_running_sum": "P-row triangular partition-offset self-join",
         "ext_kmeans_lite": "1-row broadcast centroid array (map-side argmin)",
+        "join_q22_balance": "1-row broadcast avg-balance frame (> comparison)",
+        "ext_bm25": "1-row broadcast corpus-stats frame (avgdl denominator)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
@@ -158,6 +164,41 @@ def _sweep_flags(plan: str) -> set[str]:
     if "BatchEvalPython" in plan:
         flags.add("python_row_udf")
     return flags
+
+
+def sweep_unexplained(spark, sf: str) -> dict[str, list[str]]:
+    """Anti-pattern sweep over every declared batch key; returns
+    ``{key: [unexplained flags]}`` (empty dict == clean).
+
+    This is the CI-gate form (``tests/test_plan_gate.py``): it skips
+    streaming keys — their ``fn`` eagerly drives micro-batches into a
+    memory sink, so the "plan" is a post-materialization batch read and
+    the execution cost is pure staging — and it does NOT write PLANS.md.
+    Run at sf0.01: the four flags are structural (global windows, missing
+    equi-conditions, row-UDF nodes), not statistics-dependent, so the
+    small fixture yields the same verdicts as sf0.1.
+    """
+    from billing_data_loader_spark.plans.catalog import catalog as _catalog
+
+    bad: dict[str, list[str]] = {}
+    for key, spec in _catalog().items():
+        if key.startswith(_STREAMING_PREFIX):
+            continue
+        plan = (
+            spec.fn(spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()  # noqa: SLF001
+        )
+        unexplained = [
+            f
+            for f in sorted(_sweep_flags(plan))
+            if not EXPECTED_FLAGS.get(f, {}).get(key)
+        ]
+        if unexplained:
+            bad[key] = unexplained
+        spark.catalog.clearCache()
+    return bad
 
 
 def main() -> None:
