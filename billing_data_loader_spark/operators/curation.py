@@ -331,3 +331,163 @@ def ext_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_tok").cast("bigint").alias("total_tok"),
         ((F.col("max_over_docs") <= 1) & ffd_ok).alias("packing_ok"),
     )
+
+
+# --- ext_bloom_decontaminate ------------------------------------------------
+
+# Same planted-leak synthetic corpus as ext_decontaminate (doc_id % 23 == 1
+# docs get the eval snippet appended; every 97th doc is the benchmark set),
+# so the exact answers coincide — what changes is the MECHANISM. At eval-
+# suite scale the benchmark gram set broadcasts raw (ext_decontaminate);
+# when the held-out set is itself corpus-sized (decontaminating train
+# against a multi-TB val split), broadcasting raw grams stops working. The
+# Bloom path broadcasts a FIXED-SIZE bitmap instead (m bits regardless of
+# set size), prefilters corpus grams map-side, and only the bloom-passing
+# sliver shuffles into the exact verification join — bloom has no false
+# negatives, so exact verify on the survivors reproduces the exact answer.
+_BLOOM_M = 1 << 20  # bits; ~4e3 benchmark grams at sf0.01 -> fp ~1e-9/gram
+_BLOOM_WORDS = _BLOOM_M // 64
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 1 THEN text || ' {_SNIPPET}' ELSE text END
+           AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM synth
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+  UNION
+  SELECT '{_SNIPPET}' AS g
+)
+SELECT doc_id,
+       COUNT(b.g) AS n_shared,
+       COUNT(b.g) > 0 AS contaminated
+FROM grams LEFT JOIN bench b USING (g)
+GROUP BY doc_id
+"""
+
+
+def _bloom_positions(gram_hash):
+    """k probe positions for a 64-bit gram hash, derived Kirsch-Mitzenmacher
+    style (h1 + i*h2) so the plan computes ONE xxhash64 per gram, not k.
+    h2 is forced odd => stride is a unit mod 2^20, probes never collapse."""
+    h1 = F.pmod(gram_hash, F.lit(_BLOOM_M))
+    h2 = F.pmod(F.shiftrightunsigned(gram_hash, 20), F.lit(_BLOOM_M))
+    h2 = h2 + (1 - F.pmod(h2, F.lit(2)))  # make odd
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(_BLOOM_M)).cast("int")
+        for i in range(_BLOOM_K)
+    ]
+
+
+@query("ext_bloom_decontaminate", oracle=_BLOOM_ORACLE, tier=3)
+def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decontamination through a Bloom-filter prefilter.
+
+    Build: benchmark grams -> k bit positions each (Kirsch-Mitzenmacher
+    double hashing off one xxhash64) -> groupBy(word index).bit_or(mask)
+    -> a <= 16384-row bitmap frame, broadcast. The bitmap is FIXED SIZE:
+    at 100 TB you size m to the benchmark cardinality and it still
+    broadcasts while the raw gram set no longer would.
+
+    Probe: each corpus gram left-joins the bitmap k times on word index
+    (all broadcasts, zero exchanges) and survives only if every probed bit
+    is set. Survivors — true matches plus ~fp*n grams — are the ONLY rows
+    entering the exact verification join (unhinted: at real benchmark
+    scale that side is shuffle-sized, and the candidate side has already
+    been cut by orders of magnitude). No false negatives, so the final
+    (doc_id, n_shared, contaminated) is exact — same oracle as the
+    broadcast-set path. tests/test_round4.py pins the superset invariant
+    and the false-positive rate."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 1,
+            F.concat(F.col("text"), F.lit(f" {_SNIPPET}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.split(F.col("text"), " ")
+    grams_arr = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, 8))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    from ..session import scoped_persist
+
+    # persisted: the gram frame feeds the benchmark extraction, the bitmap
+    # build, and the probe — without the persist the tokenize+hash explode
+    # runs three times
+    grams = scoped_persist(
+        d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .union(spark.range(1).select(F.xxhash64(F.lit(_SNIPPET)).alias("g")))
+        .distinct()
+    )
+
+    # bitmap: one row per 64-bit word that has any bit set (shiftleft's
+    # Python signature wants a literal shift, so the variable shift goes
+    # through the SQL form on a named position column)
+    pos = F.explode(F.array(*_bloom_positions(F.col("g")))).alias("pos")
+    _mask = "shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+    bitmap = (
+        bench.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr(_mask.format(p="pos")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+    # probe: all k bits must be present
+    probe = grams
+    for i, p in enumerate(_bloom_positions(F.col("g"))):
+        probe = (
+            probe.withColumn(f"_p{i}", p)
+            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 64).cast("int"))
+            .withColumn(f"_m{i}", F.expr(_mask.format(p=f"_p{i}")))
+        )
+    for i in range(_BLOOM_K):
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("word_idx").alias(f"_w{i}"),
+                F.col("word").alias(f"_word{i}"),
+            )
+        )
+        probe = probe.join(bm, f"_w{i}", "left")
+    passed = probe.filter(
+        " AND ".join(
+            f"(_word{i} IS NOT NULL AND (_word{i} & _m{i}) != 0)"
+            for i in range(_BLOOM_K)
+        )
+    ).select("doc_id", "g")
+
+    # exact verify on the bloom survivors only (unhinted join: at real
+    # benchmark scale both sides are shuffle-sized, and AQE will still
+    # broadcast the smaller side when it fits)
+    verified = passed.join(bench.withColumn("hit", F.lit(1)), "g", "left")
+    hits = verified.groupBy("doc_id").agg(F.count("hit").alias("n_shared"))
+    return (
+        d.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Data-profiling operators (SURVEY.md §2.11 round-4 additions): the
+summary queries a warehouse runs before trusting a new drop — modal values,
+fixed-width histograms, and per-column stats. All three are single-pass
+scan+aggregate shapes whose outputs are O(buckets)/O(columns) rows at any
+corpus scale; the fact table shuffles once (or not at all for the global
+profiles) and every float reduction is decimal-quantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.determinism import dsum, o_dsum
+from ..plans.registry import query
+from ..tables import load
+
+# --- prof_mode_segment ------------------------------------------------------
+
+_MODE_ORACLE = """
+SELECT c_mktsegment, c_nationkey AS mode_nation, cnt
+FROM (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY COUNT(*) DESC, c_nationkey ASC) AS rn
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+)
+WHERE rn = 1
+"""
+
+
+@query("prof_mode_segment", oracle=_MODE_ORACLE, tier=1)
+def prof_mode_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal nation per market segment — the MODE() profile with a
+    deterministic tie-break (highest count, then lowest nation key).
+    One shuffle to the (segment, nation) counts; the row_number window
+    then runs on that aggregated frame, whose size is O(segments x
+    nations) — the window never sees fact-table rows, so partition skew
+    on a hot segment cannot form."""
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            "cnt",
+        )
+    )
+
+
+# --- prof_histogram_price ---------------------------------------------------
+
+# 25k-wide buckets over o_totalprice (fixture range ~[1e3, 5e5] => ~20
+# buckets). bucket = floor(price / 25000): price is a 2-decimal double
+# and 25000 is a power-of-two-free exact constant, but the division is
+# the SAME double op in both engines, so the floor binds identically.
+_HIST_ORACLE = f"""
+SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000 AS bucket_lo,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "bucket_total")}
+FROM orders
+GROUP BY bucket
+"""
+
+
+@query("prof_histogram_price", oracle=_HIST_ORACLE, tier=1)
+def prof_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: one map-side-combined
+    aggregate keyed on the bucket index — the reduced frame is O(range /
+    width) rows regardless of order count, so the profile costs one scan
+    and a near-empty shuffle at any scale. Emits bucket bounds so the
+    result is self-describing."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "bucket_total"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000).alias("bucket_lo"),
+            "n_orders",
+            "bucket_total",
+        )
+    )
+
+
+# --- prof_column_stats ------------------------------------------------------
+
+_STAT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_STATS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}) AS min_val,
+       MAX({c}) AS max_val,
+       {o_dsum(c, "sum_val")}
+FROM lineitem"""
+    for c in _STAT_COLS
+)
+
+
+@query("prof_column_stats", oracle=_STATS_ORACLE, tier=1)
+def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (nulls, distincts, min/max, exact sum) for the
+    lineitem measure columns, emitted as one row per column. Spark
+    computes ALL columns' stats in a single scan — count_distinct over
+    several columns expands to one multi-phase aggregate, not one scan
+    per column (the oracle's UNION ALL form is the readable equivalent,
+    not the efficient one) — then stack() unpivots the 1-row wide frame
+    into the per-column rows map-side. min/max are raw parquet doubles
+    (no arithmetic), sums decimal-quantized."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STAT_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).alias(f"{c}__min_val"),
+            F.max(c).alias(f"{c}__max_val"),
+            dsum(c, f"{c}__sum_val"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_null, {c}__n_distinct,"
+        f" {c}__min_val, {c}__max_val, {c}__sum_val"
+        for c in _STAT_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_STAT_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val, sum_val)"
+        )
+    )

@@ -95,3 +95,124 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_val").isNull().cast("long").alias("is_gap"),
         )
     )
+
+
+# --- ts_interpolate_linear --------------------------------------------------
+
+# Hourly mean series per user with linear interpolation across gaps —
+# the second standard hypertable fill (ts_gapfill covers LOCF). Hourly
+# means are decimal-quantized (davg) so both engines interpolate from
+# bit-identical endpoints; the interpolation expression is written
+# identically on both sides, so the same IEEE ops on the same doubles
+# yield the same double — emitted RAW. Quantizing it would BREAK parity:
+# scale-6 endpoints times dyadic hour fractions land exactly on scale-6
+# half-boundaries ~0.1% of the time, where Spark's double->decimal cast
+# rounds HALF_UP and DuckDB's half-even (150/105k rows diverged when this
+# was first declared with a DECIMAL(18,6) cast).
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr,
+         (CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+          / COUNT(value)) AS hv
+  FROM events GROUP BY user_id, hr
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+        FROM hourly GROUP BY user_id)
+), joined AS (
+  SELECT g.user_id, g.hr, h.hv,
+         last_value(h.hv IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(h.hv IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         last_value(CASE WHEN h.hv IS NOT NULL THEN g.hr END IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         first_value(CASE WHEN h.hv IS NOT NULL THEN g.hr END IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.hr
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+)
+SELECT user_id, hr,
+       CASE WHEN hv IS NOT NULL THEN hv
+            ELSE pv + (nv - pv) * (CAST(epoch(hr) - epoch(pt) AS DOUBLE)
+                                   / CAST(epoch(nt) - epoch(pt) AS DOUBLE))
+       END AS val,
+       CAST(hv IS NULL AS BIGINT) AS is_interp
+FROM joined
+"""
+
+
+@query("ts_interpolate_linear", oracle=_INTERP_ORACLE, tier=3)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user hourly series, gaps filled by linear interpolation
+    between the neighboring observed hours.
+
+    Shape: ONE (user, hour) aggregate, then lead() over the OBSERVED
+    frame only, then each inter-observation segment explodes its missing
+    hours map-side with both endpoints already attached. The naive form
+    (dense grid -> left join observations -> 4 fill windows over the
+    grid) sorts and windows the full output cardinality — and locally
+    AQE coalesces the ~30 MB grid shuffle to one partition, serializing
+    it (16-75 s at sf0.1); segment-explode never joins or windows
+    anything bigger than the observed rows (~2 s). At 100 TB the win is
+    the same: window state scales with observations, output rows are
+    generated inside the projection. The repartition before the explode
+    pins real partitions (AQE's byte heuristic under-provisions
+    pre-explode frames). Endpoints are never null inside the span, so
+    the interpolation needs no edge guard; the last observation of each
+    user emits itself only (span ends at the last observed hour)."""
+    from ..functions.determinism import davg
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(davg("value", "hv"))
+    lead_w = W.partitionBy("user_id").orderBy("hr")
+    seg = (
+        hourly.repartition(32, F.col("user_id"))
+        .select(
+            "user_id",
+            "hr",
+            "hv",
+            F.lead("hr").over(lead_w).alias("nt"),
+            F.lead("hv").over(lead_w).alias("nv"),
+        )
+    )
+    # each observed row emits itself + the missing hours up to (but not
+    # including) the next observation; sequence() is empty when the next
+    # observation is the adjacent hour (or absent)
+    gap_hours = F.when(
+        F.col("nt").isNotNull()
+        & (F.col("nt") > F.col("hr") + F.expr("interval 1 hour")),
+        F.sequence(
+            F.col("hr") + F.expr("interval 1 hour"),
+            F.col("nt") - F.expr("interval 1 hour"),
+            F.expr("interval 1 hour"),
+        ),
+    ).otherwise(F.array().cast("array<timestamp>"))
+    rows = seg.select(
+        "user_id",
+        "hr",
+        "hv",
+        "nt",
+        "nv",
+        F.explode(
+            F.concat(F.array(F.lit(None).cast("timestamp")), gap_hours)
+        ).alias("ghr"),
+    )
+    frac = (
+        (F.unix_timestamp("ghr") - F.unix_timestamp("hr")).cast("double")
+        / (F.unix_timestamp("nt") - F.unix_timestamp("hr")).cast("double")
+    )
+    is_interp = F.col("ghr").isNotNull()
+    return rows.select(
+        "user_id",
+        F.coalesce("ghr", "hr").alias("hr"),
+        F.when(is_interp, F.col("hv") + (F.col("nv") - F.col("hv")) * frac)
+        .otherwise(F.col("hv"))
+        .alias("val"),
+        is_interp.cast("long").alias("is_interp"),
+    )

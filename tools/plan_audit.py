@@ -117,6 +117,12 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "join_q22_balance": "1-row avg-balance cutoff aggregate",
         "agg_funnel_steps": "1-row funnel-counts aggregate (O(tasks) partials)",
         "ext_bm25": "1-row corpus stats (n_docs, n_tokens) aggregate",
+        # round 4 TPC-H completions / profiling: same 1-row-scalar pattern
+        "agg_q6_forecast": "Q6 contract IS one global row (O(tasks) partials)",
+        "agg_q11_important_value": "1-row grand-total threshold aggregate",
+        "agg_q14_promo_share": "Q14 contract IS one global row",
+        "join_q17_small_qty": "Q17 contract IS one global row",
+        "prof_column_stats": "1-row wide profile aggregate, then stack()",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -137,6 +143,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_kmeans_lite": "1-row broadcast centroid array (map-side argmin)",
         "join_q22_balance": "1-row broadcast avg-balance frame (> comparison)",
         "ext_bm25": "1-row broadcast corpus-stats frame (avgdl denominator)",
+        "agg_q11_important_value": "1-row broadcast threshold frame (> cut)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
