@@ -360,3 +360,57 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 3).alias("shifted_l"),
         F.shiftright(k, 2).alias("shifted_r"),
     )
+
+
+# --- fn_url_suite -----------------------------------------------------------
+
+# URLs synthesized deterministically from document columns, then parsed
+# back apart — the log-enrichment surface (host/path/query extraction,
+# per-key query param, percent-decoding). DuckDB has no parse_url, so the
+# oracle mirrors each component with anchored regexes over the same
+# synthesized string; url_decode is exercised on a controlled %20-encoded
+# input so both engines agree byte-for-byte.
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' ||
+           CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&ref=feed' AS url
+  FROM documents
+)
+SELECT doc_id,
+       url,
+       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       replace('a%20b%20' || CAST(doc_id AS VARCHAR), '%20', ' ') AS decoded
+FROM u
+"""
+
+
+@query("fn_url_suite", oracle=_URL_ORACLE, tier=1)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url component extraction (HOST / PATH / QUERY / single query
+    key) plus url_decode — all JVM-side codegen expressions, zero
+    shuffles; the synthesized URL column exists only inside the
+    projection. At 100 TB this is scan -> project -> sink."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=feed"),
+    )
+    encoded = F.concat(F.lit("a%20b%20"), F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_decode(encoded).alias("decoded"),
+    )

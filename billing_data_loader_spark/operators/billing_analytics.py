@@ -266,3 +266,72 @@ def bill_proration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# --- ext_seq_pattern_detect -------------------------------------------------
+
+# MATCH_RECOGNIZE-lite: detect the earliest-match view->click->purchase
+# subsequence per user and count its non-overlapping occurrences. The
+# per-user event history is reduced to a type-initial string in (ts,
+# event_id) total order; the lazy pattern v.*?c.*?p then implements the
+# standard greedy funnel scan (each match binds the earliest qualifying
+# c and p, and counting advances past the match end) identically in
+# Java regex and RE2.
+_SEQ_PATTERN = "v.*?c.*?p"
+
+_SEQ_DETECT_ORACLE = f"""
+SELECT user_id,
+       LENGTH(s) AS n_events,
+       CAST(LENGTH(regexp_extract_all(s, '{_SEQ_PATTERN}')) AS INTEGER)
+         AS n_funnels,
+       LENGTH(regexp_extract_all(s, '{_SEQ_PATTERN}')) > 0 AS has_funnel
+FROM (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      ELSE 'e' END, ''
+                    ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+"""
+
+
+@query("ext_seq_pattern_detect", oracle=_SEQ_DETECT_ORACLE, tier=2)
+def ext_seq_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern detection (MATCH_RECOGNIZE-lite): per user,
+    count non-overlapping view->click->purchase subsequences. ONE
+    user-keyed shuffle: events collapse to a type-initial string via
+    sorted struct arrays (map-side combined collect_list, total-ordered
+    by (ts, event_id)), then the regex count runs in codegen over the
+    per-user string. Hot-user caveat as agg_funnel_steps: the collected
+    array is O(events/user); cap or pre-bucket per (user, day) if one
+    user exceeds task memory. The lazy regex makes Java and RE2 agree on
+    the greedy funnel semantics (earliest-match, advance past match)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("chr"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "chr"))),
+                lambda x: x["chr"],
+            ),
+        ).alias("s")
+    )
+    n_funnels = F.regexp_count("s", F.lit(_SEQ_PATTERN))
+    return per_user.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        n_funnels.cast("int").alias("n_funnels"),
+        (n_funnels > 0).alias("has_funnel"),
+    )

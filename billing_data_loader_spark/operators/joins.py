@@ -1153,9 +1153,11 @@ LEFT JOIN LATERAL (
 
 
 def _merge_asof_group(pdf):
-    """Per-user merge_asof: most recent view within 1h before each purchase.
-    Sorted by (ts, event_id) so merge_asof's last-match tie-break picks the
-    max event_id at equal ts, matching the oracle's ORDER BY ... DESC."""
+    """Bucket-level merge_asof: most recent view within 1h before each
+    purchase, for EVERY user in the bucket in one call (``by="user_id"``).
+    Frames sort by (ts, event_id) so merge_asof's last-match tie-break
+    picks the max event_id at equal ts, matching the oracle's ORDER BY
+    ... DESC; the by-key keeps users independent."""
     import pandas as pd
 
     purchases = (
@@ -1171,9 +1173,10 @@ def _merge_asof_group(pdf):
     )
     merged = pd.merge_asof(
         purchases,
-        views[["view_ts", "view_event_id"]],
+        views[["user_id", "view_ts", "view_event_id"]],
         left_on="ts",
         right_on="view_ts",
+        by="user_id",
         direction="backward",
         tolerance=pd.Timedelta(hours=1),
         allow_exact_matches=True,
@@ -1194,15 +1197,22 @@ def join_asof_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the sorted arrays (O(n log n) for the sort, O(n) merge). At
     100 TB the win over the window form is constant-factor (Arrow batches,
     no carried struct column); the cost is the Python worker hop —
-    measured, not guessed, in the bench. Skew note: a hot user key lands
-    one group on one task; salting by time-slice with boundary overlap
-    would bound it (same trick as ext_neardup_embedding's block tiles)."""
+    measured, not guessed, in the bench. The shuffle key is a 64-way
+    user-hash BUCKET, not the raw user: one pandas call with by="user_id"
+    then serves every user in the bucket (10.4 s -> ~1.5 s at sf0.1 —
+    per-call overhead dominates thousands of tiny groups; at 100 TB the
+    bucket count scales with cores, keeping Arrow batches big). Skew
+    note: a hot user still lands one bucket; salting by time-slice with
+    boundary overlap would bound it (same trick as
+    ext_neardup_embedding's block tiles)."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "view"))
         .select("event_id", "user_id", "ts", "event_type")
     )
-    return ev.groupBy("user_id").applyInPandas(
+    return ev.groupBy(
+        F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("_bucket")
+    ).applyInPandas(
         _merge_asof_group,
         "event_id bigint, user_id bigint, view_event_id bigint, "
         "micros_since_view bigint",

@@ -123,6 +123,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_q14_promo_share": "Q14 contract IS one global row",
         "join_q17_small_qty": "Q17 contract IS one global row",
         "prof_column_stats": "1-row wide profile aggregate, then stack()",
+        "ext_pagerank_lite": "1-row node-count aggregate (O(tasks) partials)",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -144,6 +145,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "join_q22_balance": "1-row broadcast avg-balance frame (> comparison)",
         "ext_bm25": "1-row broadcast corpus-stats frame (avgdl denominator)",
         "agg_q11_important_value": "1-row broadcast threshold frame (> cut)",
+        "ext_pagerank_lite": "1-row broadcast node-count frame (teleport term)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
