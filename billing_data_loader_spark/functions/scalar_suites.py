@@ -414,3 +414,38 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.url_decode(encoded).alias("decoded"),
     )
+
+
+# --- fn_variant_extract -----------------------------------------------------
+
+# Spark 4 VARIANT: parse_json into the binary semi-structured type, then
+# typed path extraction — the schema-on-read path for the events.props
+# payload (vs fn_json_extract's string-functions path). The variant cell
+# itself is not declarable (driver hashes flat cells), so the query emits
+# typed extractions; DuckDB mirrors with JSON operators.
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 10 = 0 AS k_round
+FROM events
+"""
+
+
+@query("fn_variant_extract", oracle=_VARIANT_ORACLE, tier=2)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json -> VARIANT -> variant_get typed extraction, plus
+    try_variant_get on a missing path (NULL, not an error). VARIANT keeps
+    the parsed tree in a compact binary form, so repeated extractions
+    don't re-parse the string — at 100 TB parse once in a projection,
+    extract many times downstream. All expressions are codegen-resident;
+    zero shuffles."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.try_variant_get(v, "$.missing", "string").alias("absent"),
+        (k % 10 == 0).alias("k_round"),
+    )

@@ -222,3 +222,56 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
     )
+
+
+# --- udf_map_in_arrow -------------------------------------------------------
+
+# mapInArrow completes the Python-execution surface: scalar UDF (row),
+# pandas UDF (series), grouped map / agg (frame), UDTF, Arrow-optimized
+# scalar — and here the lowest-overhead batch path, where the function
+# sees raw pyarrow RecordBatches with no pandas conversion at all.
+_ARROW_MAP_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_quantity >= 30
+"""
+
+
+def _arrow_revenue_batches(batches):
+    """Per-batch revenue via pyarrow.compute: the arithmetic runs in
+    Arrow's vectorized C++ kernels on the exact same doubles Spark holds,
+    so the result is bit-identical to the JVM expression (same IEEE ops,
+    no pandas dtype round-trip)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("l_orderkey"), batch.column("l_linenumber"), rev],
+            names=["l_orderkey", "l_linenumber", "revenue"],
+        )
+
+
+@query("udf_map_in_arrow", oracle=_ARROW_MAP_ORACLE, tier=2)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` batch transform: revenue per qualifying lineitem.
+    The quantity filter stays OUTSIDE the Python function (pushed to the
+    parquet scan); only the three needed columns cross the Arrow
+    boundary. This is the path for Python logic too custom for built-ins
+    but regular enough to vectorize — one process hop, zero
+    per-row/pandas overhead; at 100 TB the cost model is bytes across
+    the Arrow boundary, which column pruning here keeps to 3 of 11."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+    return li.mapInArrow(
+        _arrow_revenue_batches,
+        "l_orderkey bigint, l_linenumber int, revenue double",
+    )

@@ -504,3 +504,62 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("estimate_ok"),
         )
     )
+
+
+# --- agg_approx_percentile_bound --------------------------------------------
+
+# approx_percentile (Greenwald-Khanna) verified the same way as the HLL
+# operators: the estimate itself is engine-specific, so the declared row
+# carries exact percentiles plus a boolean asserting the sketch landed
+# inside a window far wider than its rank-error guarantee (accuracy
+# 10000 => error <= n/10000 ranks; the [p45, p55] / [p85, p95] windows
+# allow 5 full percentile points).
+_APCTL_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+       TRUE AS approx_ok
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("agg_approx_percentile_bound", oracle=_APCTL_ORACLE, tier=3)
+def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles with a hash-checkable error bound: one pass
+    computes the GK approx p50/p90 AND the exact interpolated p45..p95
+    window edges; ``approx_ok`` asserts containment. The approx path is
+    what survives 100 TB (bounded memory per group, mergeable partials);
+    the exact columns are the oracle anchor — a real pipeline would drop
+    them and keep the sketch. Mirrors the agg_approx_distinct /
+    agg_hll_partitioned_merge discipline: approximate operators get
+    bound assertions, not value compares."""
+    o = load(spark, sf_dir, "orders")
+    pct = lambda p: F.percentile("o_totalprice", F.lit(p))  # noqa: E731
+    apx = lambda p: F.approx_percentile(  # noqa: E731
+        "o_totalprice", F.lit(p), F.lit(10000)
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(pct(0.5), 4).alias("exact_p50"),
+            F.round(pct(0.9), 4).alias("exact_p90"),
+            pct(0.45).alias("_p45"),
+            pct(0.55).alias("_p55"),
+            pct(0.85).alias("_p85"),
+            pct(0.95).alias("_p95"),
+            apx(0.5).alias("_a50"),
+            apx(0.9).alias("_a90"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_p50",
+            "exact_p90",
+            (
+                (F.col("_a50") >= F.col("_p45"))
+                & (F.col("_a50") <= F.col("_p55"))
+                & (F.col("_a90") >= F.col("_p85"))
+                & (F.col("_a90") <= F.col("_p95"))
+            ).alias("approx_ok"),
+        )
+    )

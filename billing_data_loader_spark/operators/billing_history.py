@@ -162,3 +162,67 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c_mktsegment"),
         applied.alias("applied_op"),
     )
+
+
+# --- join_point_in_time -----------------------------------------------------
+
+# Point-in-time (PIT) join: enrich each order with the customer's order
+# status AS OF the order date, from the SCD2 validity intervals built by
+# scd2_history — the lookup every feature store / restatement-correct
+# report needs. Composition: the interval table IS the declared scd2
+# operator's output, not a re-derivation.
+_PIT_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status, o_orderdate AS ts,
+         o_orderkey,
+         lag(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT custkey, status, ts, o_orderkey FROM seq
+  WHERE prev_status IS NULL OR status <> prev_status
+), intervals AS (
+  SELECT custkey, status, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY custkey ORDER BY ts, o_orderkey)
+           AS valid_to
+  FROM changes
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       i.status AS status_asof, i.valid_from
+FROM orders o
+JOIN intervals i
+  ON i.custkey = o.o_custkey
+ AND i.valid_from <= o.o_orderdate
+ AND (i.valid_to IS NULL OR o.o_orderdate < i.valid_to)
+"""
+
+
+@query("join_point_in_time", oracle=_PIT_ORACLE, tier=2)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT enrichment: each order picks the SCD2 interval covering its
+    date. The join is EQUI on custkey with the interval predicate as a
+    residual filter — correct and scalable because SCD2 intervals per key
+    are few (one per attribute change), so the per-key fan-out is bounded
+    by change count, never a theta-join blowup; both sides hash once on
+    custkey and co-partition. [valid_from, valid_to) semantics make the
+    cover unique per order (intervals tile the key's timeline), so the
+    join is 1:1 from orders — row count is conserved, which the oracle's
+    hash check enforces. At 100 TB you bucket both tables on custkey and
+    this becomes a shuffle-free sort-merge join (join_bucketed pattern)."""
+    o = load(spark, sf_dir, "orders")
+    hist = scd2_history(spark, sf_dir)
+    return (
+        o.join(
+            hist,
+            (o.o_custkey == hist.custkey)
+            & (hist.valid_from <= o.o_orderdate)
+            & (hist.valid_to.isNull() | (o.o_orderdate < hist.valid_to)),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("status").alias("status_asof"),
+            "valid_from",
+        )
+    )

@@ -491,3 +491,137 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# --- ext_curation_pipeline --------------------------------------------------
+
+# The composed end-to-end curation funnel: length gate -> repetition gate
+# -> quality gate -> exact dedup, each stage applied to the previous
+# stage's survivors, reported as the per-stage attrition table every
+# pretraining data run publishes. Built BY COMPOSITION: the quality and
+# repetition signals come from the declared operators' own DataFrames
+# (text_analysis.ext_quality_score, corpus_hygiene.ext_repetition_score),
+# so this is the "a user wires existing operators into a pipeline" path,
+# not a re-implementation.
+_PIPE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), stop AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= 10
+), per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tokens,
+         COUNT(DISTINCT t.token) AS n_distinct,
+         COUNT(*) FILTER (t.token IN (SELECT token FROM stop)) AS n_stop
+  FROM tok t GROUP BY t.doc_id
+), rep AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                   / len(grams)
+              ELSE 0.0 END AS rep_ratio
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, len(string_split(text, ' '))),
+                          i -> string_split(text, ' ')[i] || ' '
+                               || string_split(text, ' ')[i+1]) AS grams
+    FROM documents
+  )
+), flags AS (
+  SELECT d.doc_id, d.text,
+         p.n_tokens >= 20 AS k1,
+         p.n_tokens >= 20 AND r.rep_ratio <= 0.05 AS k2,
+         p.n_tokens >= 20 AND r.rep_ratio <= 0.05
+           AND (0.4 * least(CAST(p.n_tokens AS DOUBLE) / 100.0, 1.0)
+                + 0.3 * (1.0 - CAST(p.n_stop AS DOUBLE) / p.n_tokens)
+                + 0.3 * (CAST(p.n_distinct AS DOUBLE) / p.n_tokens)) >= 0.5
+           AS k3
+  FROM documents d
+  JOIN per_doc p USING (doc_id) JOIN rep r USING (doc_id)
+), keeper AS (
+  SELECT doc_id, k1, k2, k3,
+         k3 AND doc_id = MIN(CASE WHEN k3 THEN doc_id END)
+                           OVER (PARTITION BY text) AS k4
+  FROM flags
+), funnel AS (
+  SELECT COUNT(*) AS n0,
+         COUNT(*) FILTER (k1) AS n1,
+         COUNT(*) FILTER (k2) AS n2,
+         COUNT(*) FILTER (k3) AS n3,
+         COUNT(*) FILTER (k4) AS n4
+  FROM keeper
+)
+SELECT stage, n_in, n_kept FROM (
+  SELECT '1_length' AS stage, n0 AS n_in, n1 AS n_kept FROM funnel
+  UNION ALL SELECT '2_repetition', n1, n2 FROM funnel
+  UNION ALL SELECT '3_quality', n2, n3 FROM funnel
+  UNION ALL SELECT '4_dedup', n3, n4 FROM funnel
+)
+"""
+
+
+@query("ext_curation_pipeline", oracle=_PIPE_ORACLE, tier=3)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation funnel over the declared operators' outputs:
+    ext_quality_score supplies n_tokens + quality_score,
+    ext_repetition_score supplies rep_ratio; this operator only wires the
+    gates (length >= 20 tokens, rep_ratio <= 5%, quality >= 0.5, exact
+    dedup keep-min-id among survivors) and counts the attrition. Joins
+    are doc_id-keyed (co-partitioned with both producers' outputs), the
+    dedup keeper is a min-over-text-partition window restricted to
+    stage-3 survivors, and the funnel collapses to ONE 1-row aggregate
+    unpivoted to the 4 stage rows — at 100 TB the expensive work is the
+    producers' (already audited) plans; the composition adds two joins
+    and a digest-keyed window. The dedup window partitions on sha2(text)
+    (the oracle partitions on raw text — same equivalence classes), so
+    the shuffle moves 32-byte digests, not documents."""
+    from ..operators.corpus_hygiene import ext_repetition_score
+    from ..operators.text_analysis import ext_quality_score
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = ext_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    r = ext_repetition_score(spark, sf_dir).select("doc_id", "rep_ratio")
+    flags = (
+        d.join(q, "doc_id")
+        .join(r, "doc_id")
+        .select(
+            "doc_id",
+            F.sha2("text", 256).alias("digest"),
+            (F.col("n_tokens") >= 20).alias("k1"),
+            ((F.col("n_tokens") >= 20) & (F.col("rep_ratio") <= 0.05)).alias(
+                "k2"
+            ),
+            (
+                (F.col("n_tokens") >= 20)
+                & (F.col("rep_ratio") <= 0.05)
+                & (F.col("quality_score") >= 0.5)
+            ).alias("k3"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    min_k3 = F.min(F.when(F.col("k3"), F.col("doc_id"))).over(
+        W.partitionBy("digest")
+    )
+    keeper = flags.withColumn(
+        "k4", F.col("k3") & (F.col("doc_id") == min_k3)
+    )
+    funnel = keeper.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("k1").cast("long")).alias("n1"),
+        F.sum(F.col("k2").cast("long")).alias("n2"),
+        F.sum(F.col("k3").cast("long")).alias("n3"),
+        F.sum(F.col("k4").cast("long")).alias("n4"),
+    )
+    return funnel.select(
+        F.expr(
+            "stack(4, '1_length', n0, n1, '2_repetition', n1, n2,"
+            " '3_quality', n2, n3, '4_dedup', n3, n4)"
+            " AS (stage, n_in, n_kept)"
+        )
+    )

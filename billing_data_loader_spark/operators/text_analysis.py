@@ -549,3 +549,65 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# --- ext_vocab_coverage -----------------------------------------------------
+
+# Tokenizer-vocabulary coverage: build the top-1000-token vocab from the
+# corpus itself, then score each document's out-of-vocabulary OCCURRENCE
+# rate — the audit that decides whether a tokenizer's vocab fits a new
+# data source before training on it.
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= 1000
+)
+SELECT doc_id,
+       any_value(lang) AS lang,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (token NOT IN (SELECT token FROM vocab)) AS n_oov,
+       CAST(COUNT(*) FILTER (token NOT IN (SELECT token FROM vocab))
+            AS DOUBLE) / COUNT(*) AS oov_rate
+FROM tok GROUP BY doc_id
+"""
+
+
+@query("ext_vocab_coverage", oracle=_VOCAB_ORACLE, tier=3)
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-1000 vocab. The vocab
+    is a bounded aggregate (top-k by frequency, token tie-break) that
+    BROADCASTS — real tokenizer vocabs are 32-256k entries, still
+    broadcast-sized at any corpus scale; the corpus side is one token
+    explode + broadcast left-join + doc_id groupBy (map-side combined).
+    The OOV ratio is an integer/integer double division — bit-identical
+    both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab_w = W.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(vocab_w))
+        .filter(F.col("rn") <= 1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("in_vocab")).alias("n_oov"),
+            (
+                (F.count(F.lit(1)) - F.count("in_vocab")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

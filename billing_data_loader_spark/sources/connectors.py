@@ -478,3 +478,67 @@ def scan_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
+
+
+# --- scan_python_datasource -------------------------------------------------
+
+# Spark 4 Python DataSource API: a custom source implemented in pure
+# Python (pyspark.sql.datasource) — the extension point for reading a
+# format/service Spark has no built-in connector for (the reference's
+# billing-rate feed). The source generates the deterministic rate card
+# below, split across 4 input partitions, so the oracle can reproduce it
+# with range arithmetic: 20 SKUs x 12 months, rate = (sku*37) % 100 +
+# month * 1.5 (dyadic -> exact double on both engines).
+_PYDS_ORACLE = """
+SELECT sku_id, month, rate, rate * 100 AS cents
+FROM (
+  SELECT s.range AS sku_id, m.range AS month,
+         CAST((s.range * 37) % 100 AS DOUBLE) + m.range * 1.5 AS rate
+  FROM range(0, 20) s CROSS JOIN range(1, 13) m
+)
+WHERE month <= 6
+"""
+
+
+@query("scan_python_datasource", oracle=_PYDS_ORACLE, tier=3)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource read: ``spark.read.format("billing_rate_card")``
+    backed by a DataSourceReader whose ``partitions()`` declares 4 input
+    splits — Spark schedules one task per split, exactly how a real
+    connector parallelizes (list shards -> read shard per task). The
+    month filter and the derived column run as ordinary Catalyst ops ON
+    TOP of the Python source (filters are not pushed into this minimal
+    reader — at 100 TB implement DataSourceReader.pushFilters for
+    shard-level pruning). Registration is per-session and idempotent."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class RateCardReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(4)]
+
+        def read(self, partition):
+            shard = partition.value
+            for sku in range(shard, 20, 4):
+                for month in range(1, 13):
+                    yield (sku, month, float((sku * 37) % 100) + month * 1.5)
+
+    class RateCardDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "billing_rate_card"
+
+        def schema(self):
+            return "sku_id int, month int, rate double"
+
+        def reader(self, schema):
+            return RateCardReader()
+
+    spark.dataSource.register(RateCardDataSource)
+    df = spark.read.format("billing_rate_card").load()
+    return df.filter(F.col("month") <= 6).select(
+        "sku_id", "month", "rate", (F.col("rate") * 100).alias("cents")
+    )

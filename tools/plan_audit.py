@@ -124,6 +124,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "join_q17_small_qty": "Q17 contract IS one global row",
         "prof_column_stats": "1-row wide profile aggregate, then stack()",
         "ext_pagerank_lite": "1-row node-count aggregate (O(tasks) partials)",
+        "ext_curation_pipeline": "1-row funnel aggregate, then stack()",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
