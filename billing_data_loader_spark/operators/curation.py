@@ -625,3 +625,56 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (stage, n_in, n_kept)"
         )
     )
+
+
+# --- ext_length_bucket_batching ---------------------------------------------
+
+# Inference/serving batching audit: bucket documents by token length
+# (width 16) and measure the padding waste of batching within buckets vs
+# padding the whole corpus to its global max — the standard
+# sort-by-length batching win, quantified. Integer arithmetic throughout.
+_LENBUCKET_ORACLE = """
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), mx AS (
+  SELECT MAX(n_tok) AS global_max FROM lens
+)
+SELECT CAST(n_tok // 16 AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       MAX(n_tok) AS bucket_max,
+       CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_bucketed,
+       CAST(COUNT(*) * MIN(mx.global_max) - SUM(n_tok) AS BIGINT)
+         AS pad_naive
+FROM lens CROSS JOIN mx
+GROUP BY bucket
+"""
+
+
+@query("ext_length_bucket_batching", oracle=_LENBUCKET_ORACLE, tier=3)
+def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: per 16-token bucket, the padding
+    tokens wasted when batching inside the bucket (pad to bucket max)
+    vs padding every doc to the corpus max. One map-side length
+    projection, one bucket-keyed aggregate (O(range/16) groups), and a
+    1-row global-max broadcast — the waste ratio this reports is exactly
+    why inference pipelines sort by length before batching. All integer
+    arithmetic; no float parity concerns."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    gmax = lens.agg(F.max("n_tok").alias("global_max"))
+    return (
+        lens.crossJoin(F.broadcast(gmax))
+        .groupBy((F.col("n_tok") / 16).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("bucket_max"),
+            (
+                F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")
+            ).cast("bigint").alias("pad_bucketed"),
+            (
+                F.count(F.lit(1)) * F.min("global_max") - F.sum("n_tok")
+            ).cast("bigint").alias("pad_naive"),
+        )
+    )

@@ -125,6 +125,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "prof_column_stats": "1-row wide profile aggregate, then stack()",
         "ext_pagerank_lite": "1-row node-count aggregate (O(tasks) partials)",
         "ext_curation_pipeline": "1-row funnel aggregate, then stack()",
+        "ext_length_bucket_batching": "1-row global-max aggregate",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -147,6 +148,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_bm25": "1-row broadcast corpus-stats frame (avgdl denominator)",
         "agg_q11_important_value": "1-row broadcast threshold frame (> cut)",
         "ext_pagerank_lite": "1-row broadcast node-count frame (teleport term)",
+        "ext_length_bucket_batching": "1-row broadcast global-max (pad_naive)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
