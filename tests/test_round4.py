@@ -187,3 +187,31 @@ def test_survey_inventory_matches_catalog():
     phantom_rows = table_keys - declared
     assert not missing_rows, f"declared but not in SURVEY §2: {sorted(missing_rows)}"
     assert not phantom_rows, f"in SURVEY §2 but not declared: {sorted(phantom_rows)}"
+
+
+def test_pagerank_mass_conservation(spark):
+    """PageRank invariants: every node ranked, all ranks positive, and
+    total mass stays ~1 (power iteration with no dangling nodes neither
+    creates nor destroys rank mass beyond float noise)."""
+    from billing_data_loader_spark.operators.graph import ext_pagerank_lite
+
+    out = ext_pagerank_lite(spark, SF_DIR).toPandas()
+    assert (out["rank"] > 0).all()
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+    # bipartite graph: 5 event types + every distinct user
+    ev = load(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert len(out) == n_users + n_types
+
+
+def test_quantize_error_bound(spark):
+    """Int8 quantization: reconstruction error never exceeds half a step
+    (the defining property of round-to-nearest with floor(x/s + 0.5)),
+    and codes stay within int8 range."""
+    from billing_data_loader_spark.operators.ann import ext_embedding_quantize
+
+    out = ext_embedding_quantize(spark, SF_DIR).toPandas()
+    assert (out["max_abs_err"] <= out["scale"] / 2 + 1e-12).all()
+    codes = out["q_csv"].str.split(",").explode().astype(int)
+    assert codes.between(-127, 127).all()
