@@ -109,13 +109,22 @@ def test_hll_self_check_green(spark):
 
 def test_scoped_caches_released_between_queries(spark):
     """A declared query's persist()s must be gone once the next declared
-    query begins (VERDICT r1: CacheManager leak)."""
+    query begins (VERDICT r1: CacheManager leak). Asserted RELATIVE to a
+    pre-test baseline: earlier tests may leave localCheckpoint RDDs
+    (e.g. ext_dedup_cluster's) whose cleanup by ContextCleaner is
+    asynchronous — those are RDD-level persists outside the scoped-cache
+    contract and must not flake this test."""
+
+    def pids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()  # noqa: SLF001
+        return {int(k) for k in jmap.keySet().toArray()}
+
     c = catalog()
+    before = pids()
     c["ext_neardup_minhash_lsh"].fn(spark, SF_DIR).count()
-    jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
-    assert jsc.getPersistentRDDs().size() >= 1  # its own signature cache
+    assert len(pids() - before) >= 1  # its own signature cache
     c["scan_parquet"].fn(spark, SF_DIR).count()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert not (pids() - before)
 
 
 def test_conf_override_restores_unset(spark):
