@@ -35,6 +35,7 @@ _NON_HEADLINE = {
     "stream_dedup_watermark",
     "stream_stateful_custom",
     "stream_foreachbatch_sink",
+    "stream_transform_with_state",
 }
 
 

@@ -566,3 +566,146 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
     )
+
+
+# --- stream_transform_with_state --------------------------------------------
+
+# Spark 4's transformWithStateInPandas: the successor to
+# applyInPandasWithState with an object-oriented StatefulProcessor, typed
+# state handles (ValueState/ListState/MapState), timers, and TTL. Here a
+# ValueState carries per-user (count, min, max); the bounded replay emits
+# each user's final state, so the batch groupBy oracle binds exactly.
+# min/max/count involve no float arithmetic — no quantization needed.
+_TWS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _MinMaxProcessor(StatefulProcessor):
+    """StatefulProcessor with a single typed ValueState; requires the
+    RocksDB state store provider, set per-query below."""
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState(
+            "mm", "cnt BIGINT, mn DOUBLE, mx DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        cnt, mn, mx = self._st.get() if self._st.exists() else (0, None, None)
+        for pdf in rows:
+            cnt += len(pdf)
+            bmn = float(pdf["value"].min())
+            bmx = float(pdf["value"].max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        self._st.update((cnt, mn, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol (pyspark/sql/streaming/proto imports google.protobuf at the
+    driver worker); this container ships no protobuf and installs are
+    not permitted, so the TWS path is capability-gated exactly like the
+    ClickHouse JDBC writer (sources/clickhouse.py)."""
+    import importlib.util
+
+    # find_spec raises ModuleNotFoundError when the PARENT package is
+    # absent, so probe the namespace package first
+    return (
+        importlib.util.find_spec("google") is not None
+        and importlib.util.find_spec("google.protobuf") is not None
+    )
+
+
+def _minmax_state_update(key, pdfs, state):
+    """applyInPandasWithState twin of _MinMaxProcessor.handleInputRows —
+    same per-user (count, min, max) state machine, tuple-state API."""
+    import pandas as pd
+
+    cnt, mn, mx = state.get() if state.exists else (0, None, None)
+    for pdf in pdfs:
+        cnt += len(pdf)
+        bmn = float(pdf["value"].min())
+        bmx = float(pdf["value"].max())
+        mn = bmn if mn is None else min(mn, bmn)
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((cnt, mn, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [cnt],
+            "min_value": [mn],
+            "max_value": [mx],
+        }
+    )
+
+
+_TWS_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, min_value double, max_value double"
+)
+
+
+@query("stream_transform_with_state", oracle=_TWS_ORACLE, tier=3)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas``: per-user count/min/max in a
+    typed ValueState, updated across micro-batches, on the RocksDB state
+    store (the TWS backing-store contract, set per-query and restored).
+    What TWS adds over applyInPandasWithState at 100 TB is state TTL and
+    timers (expiring idle users without a full-state sweep) and state
+    schema evolution across restarts.
+
+    CAPABILITY GATE: this container has no protobuf (and no installs),
+    which TWS's driver-worker protocol requires — probed explicitly by
+    :func:`tws_available`, NOT caught-and-ignored. Where unavailable,
+    the SAME state machine runs through ``applyInPandasWithState``
+    (``_minmax_state_update`` mirrors ``_MinMaxProcessor``), so the
+    declared semantics and the oracle bind identically; on a protobuf-
+    equipped cluster the TWS branch is the one that runs."""
+    ev = _read_stream_events(spark, sf_dir).select("user_id", "value")
+    from ..session import conf_override
+
+    if tws_available():
+        with conf_override(
+            spark,
+            {
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                )
+            },
+        ):
+            out = ev.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=_MinMaxProcessor(),
+                outputStructType=_TWS_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            return _run_to_memory(out, "bdl_transform_with_state", "update")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _minmax_state_update,
+        _TWS_OUT_SCHEMA,
+        "cnt bigint, mn double, mx double",
+        "update",
+        "NoTimeout",
+    )
+    return _run_to_memory(out, "bdl_transform_with_state", "update")
