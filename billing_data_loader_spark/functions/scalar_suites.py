@@ -449,3 +449,54 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "string").alias("absent"),
         (k % 10 == 0).alias("k_round"),
     )
+
+
+# --- fn_collation_compare ---------------------------------------------------
+
+# Spark 4 collation support: string comparison/grouping under UTF8_LCASE
+# vs the default UTF8_BINARY. A mixed-case segment label is synthesized
+# deterministically (upper for even custkeys), then grouped both ways;
+# DuckDB mirrors the case-insensitive collation with lower().
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+              ELSE lower(c_mktsegment) END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS seg_ci,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT seg) AS n_case_variants
+FROM mixed
+GROUP BY seg_ci
+"""
+
+
+@query("fn_collation_compare", oracle=_COLLATION_ORACLE, tier=2)
+def fn_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF8_LCASE collation grouping: the mixed-case segment labels
+    collapse per case-insensitive group while COUNT(DISTINCT) under the
+    default binary collation still sees both variants — the dirty-data
+    normalization Spark 4 handles declaratively (no lower() scattered
+    through the query; ORDER BY / joins under the collation follow the
+    same rule). The emitted group key is lowercased only for the
+    cross-engine compare (DuckDB has no UTF8_LCASE)."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    mixed = c.select("c_custkey", seg.alias("seg"))
+    return (
+        mixed.groupBy(F.collate("seg", "UTF8_LCASE").alias("seg_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct(F.collate("seg", "UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("seg_key").cast("string")).alias("seg_ci"),
+            "n_customers",
+            "n_case_variants",
+        )
+    )

@@ -149,6 +149,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_q11_important_value": "1-row broadcast threshold frame (> cut)",
         "ext_pagerank_lite": "1-row broadcast node-count frame (teleport term)",
         "ext_length_bucket_batching": "1-row broadcast global-max (pad_naive)",
+        "prof_column_stats": "cross-join of four 1-row per-column profiles",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
