@@ -96,10 +96,14 @@ def ext_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
         F.concat(F.lit("t:"), F.col("event_type")).alias("t"),
     ).distinct()
+    # repartition after the union: unioning two 32-partition frames yields
+    # 64 near-empty partitions that every subsequent per-round stage
+    # inherits (pure scheduler overhead on a graph this dense); pinning 32
+    # on src also pre-aligns the per-round join's probe side
     edges = scoped_persist(
-        e0.select(F.col("u").alias("src"), F.col("t").alias("dst")).unionAll(
-            e0.select(F.col("t").alias("src"), F.col("u").alias("dst"))
-        )
+        e0.select(F.col("u").alias("src"), F.col("t").alias("dst"))
+        .unionAll(e0.select(F.col("t").alias("src"), F.col("u").alias("dst")))
+        .repartition(32, "src")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
