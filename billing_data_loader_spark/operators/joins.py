@@ -1054,8 +1054,13 @@ def join_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderstatus"
     )
     s = load(spark, sf_dir, "supplier")
+    from ..session import scoped_persist
+
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_os = (
+    # persisted: the (order, supplier) frame feeds BOTH the per-order
+    # rollup and the blame filter — without the persist the lineitem x
+    # orders join and its aggregation execute twice (measured ~2x cost)
+    per_os = scoped_persist(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey", "o_orderstatus")
         .agg(F.count(F.when(late, 1)).alias("late_lines"))

@@ -497,8 +497,14 @@ def join_q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    supp_part = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum("l_quantity").alias("supp_qty")
+    from ..session import scoped_persist
+
+    # persisted: supp_part feeds both its own re-aggregation (part totals)
+    # and the threshold join — one scan+shuffle instead of two
+    supp_part = scoped_persist(
+        li.groupBy("l_suppkey", "l_partkey").agg(
+            F.sum("l_quantity").alias("supp_qty")
+        )
     )
     part_total = supp_part.groupBy(
         F.col("l_partkey").alias("t_partkey")
