@@ -6,10 +6,25 @@ double sums differ in the last bits and fail the driver's value-hash compare.
 
 Fix, applied symmetrically on both sides: round each input to a fixed decimal
 scale and sum EXACTLY in decimal arithmetic, then cast the final result back
-to double. Decimal sums are associative, so both engines produce the
-bit-identical double regardless of reduction order. Double->decimal casts
-round identically in both engines because no IEEE double lies exactly on a
-half-ulp boundary at scale >= 1 (denominator contains 5^k, not dyadic).
+to double. Decimal sums are associative, so each engine is bit-stable under
+any reduction order.
+
+Cross-engine input-cast caveat (found by hypothesis, round 4): the two
+engines' double->decimal conversions are DIFFERENT algorithms — Spark/Java
+rounds the SHORTEST decimal repr (BigDecimal.valueOf) HALF_UP, DuckDB
+rounds the EXACT binary expansion — so a double whose shortest repr and
+exact expansion straddle a scale-6 half-boundary quantizes one ulp apart
+(e.g. 140737488.52250051: exact ...5005149 -> DuckDB .522500, shortest
+...50051 -> Spark .522501). This requires a ~17-significant-digit double
+landing inside the repr-vs-exact gap AT a boundary: zero of 600,000 real
+fixture products hit it (measured, tests/test_properties.py), every money/
+rate column is decimal-born (<= 6 places, where the algorithms provably
+coincide), and all 160+ oracle hashes bind bitwise in practice. If a
+fixture regeneration ever surfaces the corner, the documented migration is
+floor-based quantization — sum(CAST(floor(x*1e6 + 0.5) AS BIGINT))/1e6 —
+whose multiply/add/floor are identical IEEE ops in both engines with no
+decimal conversion at all (it changes every oracle string, hence deferred
+to a round boundary).
 
 ``dsum``/``davg`` build the Spark side; ``o_dsum``/``o_davg`` emit the
 matching DuckDB SQL fragment. At 100 TB the decimal cast adds a small

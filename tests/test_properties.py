@@ -43,31 +43,80 @@ _VALUES = st.lists(
 )
 
 
+def _duckdb_dsum(xs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    d_val = con.execute(f"SELECT {o_dsum('v', 's')} FROM t").fetchone()[0]
+    con.close()
+    return d_val
+
+
+def _spark_dsum(spark, xs, parts):
+    sdf = spark.createDataFrame([(x,) for x in xs], "v double").repartition(
+        parts
+    )
+    return sdf.agg(dsum("v", "s")).collect()[0]["s"]
+
+
 @settings(
     max_examples=30,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(xs=_VALUES)
-def test_dsum_matches_duckdb_bitwise(spark, xs):
-    """Spark's decimal-quantized sum equals DuckDB's on arbitrary doubles,
-    bit for bit — the invariant every revenue aggregate's oracle relies
-    on. Spark reduces over 8 partitions (random reduction order), DuckDB
-    over its own; only decimal associativity can make them agree."""
-    sdf = spark.createDataFrame([(x,) for x in xs], "v double").repartition(8)
-    s_val = sdf.agg(dsum("v", "s")).collect()[0]["s"]
+def test_dsum_matches_duckdb(spark, xs):
+    """The cross-engine contract, stated precisely. (a) Spark's decimal
+    sum is REDUCTION-ORDER-INSENSITIVE: 1-partition and 8-partition
+    reductions are bit-identical (decimal associativity). (b) DuckDB
+    agrees within one quantum (1e-6) per element: hypothesis found that
+    the engines' double->decimal conversions are not the same algorithm —
+    Java goes through the SHORTEST decimal repr then HALF_UP, DuckDB
+    rounds the EXACT binary expansion — so a double whose shortest repr
+    and exact expansion straddle a scale-6 half-boundary (e.g.
+    140737488.52250051, exact ...500514...) quantizes one ulp apart.
+    Zero of 600,000 real fixture products hit that gap (measured), which
+    is why every oracle hash-matches bitwise in practice; the per-element
+    quantum bound is the guarantee that holds for ALL doubles."""
+    s1 = _spark_dsum(spark, xs, 1)
+    s8 = _spark_dsum(spark, xs, 8)
+    assert s1 == s8 or (s1 is None and s8 is None), f"{s1!r} != {s8!r}"
+    d_val = _duckdb_dsum(xs)
+    assert (s8 is None) == (d_val is None)
+    if s8 is not None:
+        assert abs(s8 - d_val) <= len(xs) * 1e-6, (
+            f"spark={s8!r} duckdb={d_val!r} n={len(xs)}"
+        )
 
-    con = duckdb.connect()
-    con.execute("CREATE TABLE t (v DOUBLE)")
-    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
-    d_val = con.execute(f"SELECT {o_dsum('v', 's')} FROM t").fetchone()[0]
-    con.close()
 
-    assert (s_val is None) == (d_val is None)
-    if s_val is not None:
-        assert math.isclose(s_val, d_val, rel_tol=0, abs_tol=0) or (
-            s_val == d_val
-        ), f"spark={s_val!r} duckdb={d_val!r}"
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.decimals(
+            min_value=-10**9,
+            max_value=10**9,
+            places=6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_dsum_bitwise_on_decimal_born_values(spark, xs):
+    """For doubles born from <=6-decimal values — every money/quantity/
+    rate column in the fixtures and in billing data generally — the two
+    conversion algorithms coincide (shortest repr IS the decimal source,
+    nowhere near a deeper boundary), so the cross-engine sum is
+    bit-identical, over an 8-partition random reduction order."""
+    fs = [float(x) for x in xs]
+    s_val = _spark_dsum(spark, fs, 8)
+    d_val = _duckdb_dsum(fs)
+    assert s_val == d_val, f"spark={s_val!r} duckdb={d_val!r}"
 
 
 @settings(
@@ -92,9 +141,9 @@ def test_quantizer_codes_engine_free(spark, xs):
     from pyspark.sql import functions as F
 
     mx = max(abs(x) for x in xs)
-    if mx == 0:
-        return
     scale = mx / 127
+    if scale == 0:  # all-zero OR subnormal max that underflows /127 —
+        return      # the operator excludes these rows (filter scale > 0)
     sdf = spark.createDataFrame([(x,) for x in xs], "v double")
     got = [
         r["c"]
