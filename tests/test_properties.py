@@ -164,6 +164,11 @@ _WIDTH_KEYS = [
     "win_running_sum",
     "ext_neardup_minhash_lsh",
     "agg_incremental_merge",
+    # iterative / segment-generated plans: partition count changes the
+    # explode fan-out and per-round join placement, results must not move
+    "ts_interpolate_linear",
+    "ext_pagerank_lite",
+    "ext_dedup_cluster",
 ]
 
 
