@@ -102,3 +102,35 @@ def test_jaccard_hashed_shingles_match_oracle_at_sf01(spark):
         spec.fn(spark, "/root/testdata/sf0.1"), spec.oracle, "/root/testdata/sf0.1"
     )
     assert ok, msg
+
+
+def test_sink_idempotent_double_run(spark):
+    """The idempotency contract SURVEY §5 promises: running the
+    idempotent-overwrite load twice produces the identical table —
+    dynamic partition overwrite replaces dirty partitions instead of
+    appending (the reference's re-emitted-export semantics)."""
+    from billing_data_loader_spark.sources.connectors import (
+        sink_idempotent_overwrite,
+    )
+
+    first = sink_idempotent_overwrite(spark, SF_DIR).toPandas()
+    second = sink_idempotent_overwrite(spark, SF_DIR).toPandas()
+    key = sorted(first.columns)
+    a = first[key].sort_values(key).reset_index(drop=True)
+    b = second[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "double-run changed the landed table"
+
+
+def test_streaming_replay_equals_batch(spark):
+    """Stream==batch equivalence, asserted directly (not only via the
+    shared oracle): the availableNow file-source replay of the tumbling
+    aggregation must produce exactly the batch query's rows."""
+    from billing_data_loader_spark.streaming.jobs import (
+        stream_availablenow_replay,
+        stream_tumbling_1h,
+    )
+
+    batch = stream_tumbling_1h(spark, SF_DIR)
+    stream = stream_availablenow_replay(spark, SF_DIR)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
