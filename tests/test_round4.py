@@ -215,3 +215,13 @@ def test_quantize_error_bound(spark):
     assert (out["max_abs_err"] <= out["scale"] / 2 + 1e-12).all()
     codes = out["q_csv"].str.split(",").explode().astype(int)
     assert codes.between(-127, 127).all()
+
+
+def test_example_demo_runs(spark):
+    """The user-facing composition demo (examples/curation_demo.py) must
+    keep working against the public operator API."""
+    import examples.curation_demo as demo
+
+    # main() builds its own session via get_spark (returns the active one
+    # under pytest); smoke at the smallest fixture tier
+    demo.main("/root/testdata/sf0.001")
