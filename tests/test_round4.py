@@ -225,3 +225,7 @@ def test_example_demo_runs(spark):
     # main() builds its own session via get_spark (returns the active one
     # under pytest); smoke at the smallest fixture tier
     demo.main("/root/testdata/sf0.001")
+
+    import examples.billing_analytics_demo as demo2
+
+    demo2.main("/root/testdata/sf0.001")
