@@ -85,6 +85,35 @@ AUDITED = {
         "shuffle, the day grid generated map-side by sequence()+explode, "
         "forward fill in a per-user window — nothing global anywhere."
     ),
+    "ts_interpolate_linear": (
+        "Linear interpolation (round 4): lead() over the OBSERVED frame "
+        "only, then gap rows generated map-side by segment explode with "
+        "endpoints attached — no join or window ever touches the dense "
+        "output cardinality; the pre-explode repartition pins real "
+        "parallelism against AQE's byte heuristic."
+    ),
+    "ext_neardup_jaccard": (
+        "Exact all-pairs Jaccard (round 4): prefix filtering (AllPairs "
+        "bound) restricts the inverted-index self-join to each doc's "
+        "globally rarest shingles — hot boilerplate shingles sort LAST and "
+        "never enter a prefix, so no O(d^2) hot-key blowup; doc frequency "
+        "comes from a window (one shuffle), and the doc-partitioned ranked "
+        "frame is reused for the verification arrays."
+    ),
+    "ext_bloom_decontaminate": (
+        "Bloom-prefiltered decontamination (round 4): the benchmark set "
+        "broadcasts as a FIXED-SIZE bitmap (groupBy(word).bit_or(mask), "
+        "<=16384 rows) rather than raw grams; probes are k map-side "
+        "broadcast-join bit tests and only bloom survivors reach the exact "
+        "verify join — no false negatives, so the result is exact."
+    ),
+    "prof_column_stats": (
+        "Multi-column profile (round 4): per-column value histograms "
+        "(groupBy(col), map-side combined) replace the Expand-based "
+        "multi-countDistinct, whose shuffle is 5x the scan width; every "
+        "stat derives from the histogram in a 1-row aggregate, and the "
+        "four 1-row frames cross-join as broadcasts."
+    ),
 }
 
 
