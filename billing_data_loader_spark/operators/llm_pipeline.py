@@ -329,7 +329,9 @@ def _shingle_tokens(corpus: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _hashed_shingle_tokens(corpus: DataFrame) -> DataFrame:
+def _hashed_shingle_tokens(
+    corpus: DataFrame, distinct: bool = True
+) -> DataFrame:
     """Distinct 64-bit-hashed shingles per doc, for sketch operators that
     never need the shingle string back (minhash, simhash): hash BEFORE the
     distinct so the dedup shuffle moves fixed 8-byte longs instead of
@@ -340,15 +342,16 @@ def _hashed_shingle_tokens(corpus: DataFrame) -> DataFrame:
     (d ~ 10^12) that is ~10^4 merged shingle pairs among 10^12 — a ~1e-8
     relative perturbation of any Jaccard/minhash statistic, far below the
     LSH banding noise floor. If even that matters, key the exact-verify
-    join on (length(token), th) to push the merge risk to ~2^-128."""
+    join on (length(token), th) to push the merge risk to ~2^-128.
+
+    ``distinct=False`` skips the dedup shuffle for consumers that fold the
+    dedup into their own per-doc aggregate (``collect_set`` / duplicate-
+    insensitive ``min``) — one shuffle of the shingle table instead of two."""
     toks = corpus.select("doc_id", "lang", F.split("text", " ").alias("t"))
-    return (
-        toks.select(
-            "doc_id", "lang", F.explode(F.expr(_SHINGLES_FROM_T)).alias("token")
-        )
-        .select("doc_id", "lang", F.xxhash64("token").alias("th"))
-        .distinct()
-    )
+    hashed = toks.select(
+        "doc_id", "lang", F.explode(F.expr(_SHINGLES_FROM_T)).alias("token")
+    ).select("doc_id", "lang", F.xxhash64("token").alias("th"))
+    return hashed.distinct() if distinct else hashed
 
 
 @query("ext_neardup_jaccard", oracle=_JACCARD_ORACLE, tier=3)
@@ -635,38 +638,44 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures -> candidate pairs via band-bucket equi-join -> exact Jaccard
     verification on candidates only. The sketch itself is not
     SQL-expressible (DuckDB has no xxhash64), but the DECLARED output — the
-    exact-verified pair set — is: banding at 16 bands x 2 rows recalls
+    exact-verified pair set — is: banding at 32 bands x 2 rows recalls
     every >=0.6 pair on the fixtures (verified pair-for-pair against the
     all-pairs result at sf0.01 AND sf0.1, seeds fixed), so the exact
     all-pairs oracle applies verbatim. A banding regression that drops a
     true pair now breaks the hash, instead of hiding behind a rows-only
     check; tests additionally assert candidates ⊇ the exact result.
 
-    100 TB shape: ONE shuffle of distinct shingles computes all 32 minhashes
-    as parallel min() aggregates (no 32x row explode), then band signatures
-    derive from the 1-row-per-doc signature matrix; the candidate join is
-    O(docs x bands), never O(n^2) pairs.
+    100 TB shape: ONE shuffle of the raw shingle table builds, per doc, the
+    distinct shingle-hash set (``collect_set`` — the dedup is folded into
+    the aggregate, no separate distinct shuffle) AND all 64 minhashes as
+    parallel duplicate-insensitive min() aggregates (no 64x row explode).
+    Band buckets come from ONE groupBy of the exploded band table (not a
+    self-join — half the band-table network traffic and no join build), and
+    candidate pairs are generated inside each bucket with array
+    higher-order functions, O(sum bucket²) = the LSH candidate count by
+    definition, never corpus². Exact verification intersects the two
+    per-doc hash arrays per candidate pair (broadcast-joinable doc frame),
+    never re-joining the shingle-level inverted index.
     """
     corpus = _corpus_with_dups(spark, sf_dir)
-    # hash the shingle string ONCE; the 32-member family then hashes the
-    # fixed-width (long, seed) pair — avoids 32 string concats + 32
-    # variable-length string hashes per shingle row; the dedup shuffle
-    # likewise moves longs, not strings
-    tok = _hashed_shingle_tokens(corpus)
+    # hash the shingle string ONCE; the 64-member family then hashes the
+    # fixed-width (long, seed) pair — avoids 64 string concats + 64
+    # variable-length string hashes per shingle row; every shuffle moves
+    # longs, not strings
+    tok = _hashed_shingle_tokens(corpus, distinct=False)
 
-    # persisted: one row per doc; both sides of the band self-join read it
-    # (self-join branches get no ReusedExchange, so unpersisted lineage would
-    # re-shingle the whole corpus per side — measured faster to cache the
-    # signature matrix but NOT the much larger shingle table, whose local
-    # recompute is cheaper than cache materialization). scoped_persist is
+    # persisted: one row per doc carrying BOTH the signature columns and
+    # the verification array; bands and the two verification sides all read
+    # it, so the corpus is shingled exactly once. scoped_persist is
     # released at the next declared-query entry, so the cache cannot leak
     # across the grading loop or a long-lived job's stages.
     sig = scoped_persist(
         tok.groupBy("doc_id", "lang").agg(
+            F.collect_set("th").alias("ths"),
             *[
                 F.min(F.xxhash64("th", F.lit(s))).alias(f"h{s}")
                 for s in range(_N_HASHES)
-            ]
+            ],
         )
     )
     n_bands = _N_HASHES // _BAND_SIZE
@@ -690,45 +699,45 @@ def ext_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.posexplode(band_sigs).alias("band", "band_sig"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # bucket the band table once and emit ordered pairs per bucket with
+    # array combinatorics: sort_array fixes the intra-bucket order so every
+    # pair comes out (small_id, large_id) exactly once per bucket
+    buckets = (
+        bands.groupBy("lang", "band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(
+                    x.alias("doc_a"), y.alias("doc_b")
+                ),
+            ),
+        )
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
-    # exact verification on candidates only — shingle identity is carried by
-    # its 64-bit hash, so the intersection join keys on a long, not a string
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("th"))
-    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("th"))
-    common = (
-        candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "th"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    # exact verification on candidates only: intersect the per-doc distinct
+    # hash arrays — O(n_a + n_b) per candidate pair, and the doc-level
+    # `sets` frame is small enough that AQE broadcasts it under the
+    # candidate joins
+    sets = sig.select("doc_id", "ths", F.size("ths").alias("n_tok"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    n_common = F.size(F.array_intersect(F.col("sa.ths"), F.col("sb.ths")))
+    jac = n_common.cast("double") / (
+        F.col("sa.n_tok") + F.col("sb.n_tok") - n_common
     )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.6)
     )

@@ -47,11 +47,13 @@ AUDITED = {
         "output is bounded by 3x groups, not input rows."
     ),
     "ext_neardup_minhash_lsh": (
-        "MinHash+LSH scale path: ONE shuffle of distinct hashed shingles "
-        "computes all 32 minhashes as parallel min() aggregates; the "
-        "persisted 1-row-per-doc signature matrix feeds both sides of the "
-        "band-bucket self-join, so the corpus is never re-shingled and "
-        "candidate generation is O(docs x bands), not O(n^2)."
+        "MinHash+LSH scale path: ONE shuffle of the raw shingle table "
+        "builds, per doc, the distinct shingle-hash set (collect_set) AND "
+        "all 64 minhashes as parallel min() aggregates; band buckets come "
+        "from one groupBy of the exploded band table (no self-join), pairs "
+        "are generated per-bucket with array combinatorics, and exact "
+        "verification intersects the per-doc hash arrays under broadcast "
+        "joins — the corpus is shingled once and never re-joined."
     ),
     "ext_repetition_score": (
         "Repetition score: zero exchanges — per-doc bigram statistics are "
