@@ -505,23 +505,81 @@ JOIN (
 _CLUSTER_MAX_ITERS = 10
 
 
+#: Below this measured edge count the whole dup-graph fits ONE task and the
+#: single-pass union-find path runs; above it, the distributed label-
+#: propagation loop. ~16 bytes/edge -> 2M edges ≈ 32 MB, comfortably one
+#: task. Tests force the iterative path by monkeypatching this to 0.
+_CLUSTER_SMALL_EDGES = 2_000_000
+
+
+def _cc_union_find(batches):
+    """Single-partition connected components: streaming union-find over the
+    mirrored edge list, emitting (doc_id, min-member label, component size).
+    Runs as ONE task inside mapInPandas — C-speed on the worker, no driver
+    collect."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    if not parent:
+        return
+    label = {x: find(x) for x in parent}
+    sizes: dict = {}
+    for root in label.values():
+        sizes[root] = sizes.get(root, 0) + 1
+    yield pd.DataFrame(
+        {
+            "doc_id": list(label),
+            "cluster_id": [label[x] for x in label],
+            "cluster_size": [sizes[label[x]] for x in label],
+        }
+    )
+
+
 @query("ext_dedup_cluster", oracle=_CLUSTER_ORACLE, tier=3)
 def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clustering: connected components over jaccard>=0.6 pairs
-    via iterative min-label propagation (Pregel-style, plain DataFrames).
+    """Duplicate clustering: connected components over jaccard>=0.6 pairs.
 
-    Labels propagate only over the EDGE-ENDPOINT subgraph — docs with no
-    near-dup edge keep their own id and never enter the loop, so each
-    iteration joins a table of O(#dup-pairs) rows, not O(corpus). Each
-    iteration is one edges⋈labels shuffle + a min-aggregate; the
-    changed-flag is computed inside the same persisted frame, so the
-    convergence check is a filter-count on the cache, not a second join.
-    Convergence needs O(component diameter) rounds — near-dup clusters are
-    shallow (duplicates of one document form a clique), so this terminates
-    in 2-3 rounds; the per-round driver-side convergence count is the one
-    driver action an iterative fixpoint legitimately needs. At 100 TB the
-    identical loop runs with the label table hash-partitioned on doc_id;
-    GraphFrames/Pregel is the packaged form of the same plan."""
+    Two execution paths, picked by the MEASURED dup-graph size (the same
+    runtime-statistics decision AQE makes when it broadcasts a small join
+    side — but across an iterative fixpoint, which AQE cannot see):
+
+    - **Small graph** (edge count under ``_CLUSTER_SMALL_EDGES``): the
+      mirrored edge list — O(#dup-pairs), orders of magnitude smaller than
+      the corpus after banding — is coalesced into ONE task and solved by
+      streaming union-find inside ``mapInPandas``: exact components, one
+      job, no iteration. Even at 100 TB corpus scale a planted-duplicate
+      graph is typically ~0.01% of rows, so this is the common case.
+    - **Large graph**: iterative min-label propagation (Pregel-style,
+      plain DataFrames), two hops batched per driver action, eager
+      ``localCheckpoint`` per round so each round's plan stays O(1)
+      exchanges regardless of iteration count (without it the round-3 plan
+      accumulated 500+ exchanges), convergence proven by the monotone chg
+      flag. The label table iterates hash-partitioned on doc_id at a width
+      derived from the measured edge count (one partition per ~500k
+      edges). On a real cluster prefer ``setCheckpointDir`` +
+      ``.checkpoint()``: localCheckpoint does not survive executor loss.
+      GraphFrames/Pregel is the packaged form of this same plan.
+
+    Labels exist only for EDGE-ENDPOINT docs in both paths; docs with no
+    near-dup edge never enter either computation and are re-attached as
+    size-1 singletons by the final corpus left join."""
     # mirror each pair into both directions with ONE explode over the pair
     # frame — a union of two selects would put the exact-jaccard pipeline
     # (shingle explode + inverted-index self-join) under both branches and
@@ -542,13 +600,46 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         ).select("e.a", "e.b")
     )
+    # one eager action builds the edge cache AND measures the dup-graph
+    n_edges = edges.count()
+    if n_edges < _CLUSTER_SMALL_EDGES:
+        labeled = edges.repartition(1).mapInPandas(
+            _cc_union_find,
+            schema="doc_id long, cluster_id long, cluster_size long",
+        )
+    else:
+        labeled = _cc_label_propagation(edges, n_edges)
+    return (
+        _corpus_with_dups(spark, sf_dir)
+        .select("doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+        )
+    )
+
+
+def _cc_label_propagation(edges: DataFrame, n_edges: int) -> DataFrame:
+    """Distributed connected-components path (see ext_dedup_cluster doc)."""
+    # iteration width sized to the measured graph: iterating a small label
+    # table at the corpus' shuffle width pays a fixed per-task scheduling
+    # cost per hop (measured 1.4 s of a 5.7 s sf0.1 total for 2 hops over
+    # 2k rows x 32 partitions); a 100 TB dup-graph still fans out to
+    # thousands of partitions.
+    width = max(1, min(int(n_edges // 500_000) + 1, 4096))
+    edges = scoped_persist(edges.repartition(width, "b"))
     labels = scoped_persist(
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .repartition(width, "doc_id")
     )
-    # one eager action builds BOTH caches (labels reads through edges), so
-    # the loop below starts fully warm without an extra materialize job
     labels.count()
     # BATCH two propagation hops per driver action: the convergence count is
     # the expensive part at low latency (each count is a full job), and
@@ -576,43 +667,20 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("nbr_min") < cur.cluster_id)
                 ).alias("chg"),
             )
-        # localCheckpoint (eager) materializes the round AND truncates the
-        # lineage to the checkpointed RDD: without it every round's plan
-        # embeds all previous rounds' joins, and the final plan accumulated
-        # 500+ exchanges by round 3 (analyzer cost + cache-miss blast radius
-        # both grow per iteration at scale). With it each round's plan is
-        # O(1) exchanges regardless of iteration count — the standard
-        # iterative-fixpoint idiom. On a real cluster prefer
-        # ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``:
-        # localCheckpoint data does not survive executor loss.
+        # eager localCheckpoint materializes the round AND truncates lineage
+        # so each round's plan is O(1) exchanges (see docstring).
         new_labels = cur.localCheckpoint(eager=True)
         changed = new_labels.filter("chg").count()
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
     # cluster sizes come from the LABEL table (every non-singleton member is
-    # an edge endpoint, so labels covers it); docs absent from labels are
-    # singletons with size 1. A count-over-window on the cached label frame
-    # (one tiny shuffle, no join) replaces a corpus-wide groupBy plus a
-    # corpus x sizes shuffle join — the corpus is touched exactly once, by
-    # one join whose small side AQE broadcasts when it fits.
-    labeled = labels.withColumn(
+    # an edge endpoint, so labels covers it); a count-over-window on the
+    # cached label frame (one tiny shuffle, no join) replaces a corpus-wide
+    # groupBy plus a corpus x sizes shuffle join.
+    return labels.withColumn(
         "cluster_size",
         F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
-    )
-    return (
-        _corpus_with_dups(spark, sf_dir)
-        .select("doc_id")
-        .join(labeled, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
-                "cluster_id"
-            ),
-            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
-                "cluster_size"
-            ),
-        )
     )
 
 

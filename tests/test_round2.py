@@ -278,3 +278,19 @@ def test_cdc_merge_conserves_rows(spark):
     )
     assert by_op.get("I", 0) == n_ins
     assert "D" not in by_op, "deleted rows leaked into the post-image"
+
+
+def test_dedup_cluster_paths_agree(spark, monkeypatch):
+    """The size-gated union-find path and the distributed label-propagation
+    path must produce identical (doc_id, cluster_id, cluster_size) — the
+    small path is what the fixtures exercise, so the at-scale path is
+    pinned against it here (round 5)."""
+    from billing_data_loader_spark.operators import llm_pipeline as lp
+
+    small = lp.ext_dedup_cluster(spark, SF_DIR).toPandas()
+    spark.catalog.clearCache()
+    monkeypatch.setattr(lp, "_CLUSTER_SMALL_EDGES", 0)
+    large = lp.ext_dedup_cluster(spark, SF_DIR).toPandas()
+    a = small.sort_values("doc_id").reset_index(drop=True)
+    b = large.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

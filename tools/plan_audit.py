@@ -157,6 +157,11 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_pagerank_lite": "1-row node-count aggregate (O(tasks) partials)",
         "ext_curation_pipeline": "1-row funnel aggregate, then stack()",
         "ext_length_bucket_batching": "1-row global-max aggregate",
+        # round 5: size-gated small-graph path — repartition(1) happens ONLY
+        # when the MEASURED dup-graph is under _CLUSTER_SMALL_EDGES (~32 MB);
+        # larger graphs take the width-scaled label-propagation loop, which
+        # never single-partitions (tests pin path equality).
+        "ext_dedup_cluster": "union-find path gated on measured edge count",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
