@@ -364,8 +364,9 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     it on the group key and partials add. The merge touches O(groups)
     rows on both sides (never the fact history), which is the entire
     point at 100 TB: per-batch cost is the delta scan + a groups-sized
-    join. Counts add as longs; sums add as decimal(28,6) (each partial is
-    exactly representable, decimal addition is associative), so the
+    join. Counts add as longs; sums stay decimal end-to-end — parquet
+    stores the scale-6 partials exactly, decimal addition is associative,
+    and double appears only in the final projection — so the
     result hash-matches a from-scratch recompute — the IVM correctness
     contract."""
     from ..sources.connectors import scratch_dir
@@ -378,9 +379,14 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rollup(df: DataFrame) -> DataFrame:
+        # the partial sum stays DECIMAL through the materialized table: a
+        # double round-trip is exact only while |partial|*1e6 < 2^53
+        # (~9e9), above which the merged total silently diverges from the
+        # full-recompute contract (ADVICE r4). Parquet stores decimals
+        # natively; double appears only in the final projection.
         return df.groupBy("day", "event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("v").cast("double").alias("s"),
+            F.sum("v").alias("s"),
         )
 
     base_path = scratch_dir(sf_dir, "incr_base_rollup")
@@ -393,7 +399,7 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = rollup(ev.filter(F.col("event_id") % 2 == 1)).select(
         "day", "event_type", F.col("n").alias("n_d"), F.col("s").alias("s_d")
     )
-    dec = "decimal(28,6)"
+    dec = "decimal(38,6)"
     return base.join(delta, ["day", "event_type"], "full_outer").select(
         "day",
         "event_type",

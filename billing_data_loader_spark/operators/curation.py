@@ -482,8 +482,13 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast the smaller side when it fits)
     verified = passed.join(bench.withColumn("hit", F.lit(1)), "g", "left")
     hits = verified.groupBy("doc_id").agg(F.count("hit").alias("n_shared"))
+    # aggregate over the GRAM frame's doc set, not all of d: the oracle's
+    # GROUP BY runs over grams, so a doc too short to produce any 8-gram
+    # (possible under fixture regeneration) must be absent here too — the
+    # sibling ext_decontaminate has the same contract (ADVICE r4).
     return (
-        d.select("doc_id")
+        grams.select("doc_id")
+        .distinct()
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",

@@ -87,8 +87,19 @@ def ext_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical arithmetic). The node count is a 1-row broadcast, never a
     collected constant. Rounds are unrolled (fixed 3), so lineage stays
     bounded without checkpointing; the fixpoint-iteration variant with
-    localCheckpoint-per-round is ext_dedup_cluster
-    (llm_pipeline.py)."""
+    localCheckpoint-per-round is ext_dedup_cluster (llm_pipeline.py).
+
+    Accepted cross-engine risk (same class as functions/determinism.py):
+    the double->decimal(28,12) conversion rounds HALF_UP on Spark's
+    shortest-repr digits but half-even on DuckDB's exact binary expansion,
+    so a contribution whose decimal expansion lands exactly on a scale-12
+    half-boundary could round apart. r/outdeg is a quotient of IEEE
+    doubles — not decimal-born — so such a landing requires ~2^-40-scale
+    coincidence; none exist in any fixture (hypothesis probed the
+    conversion corner in tests/test_properties.py). If a regeneration ever
+    trips it, migrate both sides to the tie-free floor quantization
+    (CAST(floor(x*1e12 + 0.5) AS DECIMAL(38,0)) summed, then /1e12) —
+    flagged as the standing migration in determinism.py."""
     from ..session import scoped_persist
 
     ev = load(spark, sf_dir, "events")
