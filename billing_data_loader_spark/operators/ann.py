@@ -173,17 +173,70 @@ _N_PIVOTS = 16
 _N_PROBE = 8
 _TOP_K = 10
 
+# Full algorithm-mirror oracle (round 5; the ext_kmeans_lite precedent):
+# the IVF search is approximate RELATIVE TO exact KNN but fully
+# deterministic in itself — pivots are vec_id 1..16, assignment is a
+# cosine argmin with ties to the lowest pivot_id, probing is a top-8 sort,
+# and every cosine is the same sequential IEEE fold on both engines
+# (list_dot_product ≡ the zip_with/aggregate fold, verified bit-identical
+# by the hash-green ext_knn_cosine). So DuckDB can replay the ENTIRE
+# index-build + probe + search and the declared top-10 hash-matches —
+# a strictly stronger check than the previous rows-only row. Recall vs
+# the exact top-10 stays pinned separately in tests/test_ann.py.
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
 
-@query("ext_ann_ivf", oracle=None, tier=3)
+_IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+piv AS (
+  SELECT vec_id AS pivot_id, ve AS pv FROM v
+  WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+pc AS (
+  SELECT v.vec_id, p.pivot_id,
+         {_COS_SQL.format(a="v.ve", b="p.pv")} AS pcos
+  FROM v CROSS JOIN piv p
+),
+assign AS (
+  SELECT vec_id, min(pivot_id) AS cell_id FROM (
+    SELECT vec_id, pivot_id, pcos,
+           max(pcos) OVER (PARTITION BY vec_id) AS mx
+    FROM pc
+  ) WHERE pcos = mx GROUP BY vec_id
+),
+probe AS (
+  SELECT p.pivot_id AS cell_id
+  FROM piv p CROSS JOIN q
+  ORDER BY {_COS_SQL.format(a="p.pv", b="qv")} DESC, p.pivot_id ASC
+  LIMIT {_N_PROBE}
+)
+SELECT v.vec_id, {_COS_SQL.format(a="v.ve", b="q.qv")} AS cos_sim
+FROM v
+JOIN assign a USING (vec_id)
+JOIN probe pr ON a.cell_id = pr.cell_id
+CROSS JOIN q
+WHERE v.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {_TOP_K}
+"""
+
+
+@query("ext_ann_ivf", oracle=_IVF_ORACLE, tier=3)
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-10 for the vec_id=0 query: assign every
     vector to its nearest of 16 deterministic pivots (vec_id 1..16), search
-    only the 8 cells nearest the query. Deterministic, but genuinely
-    approximate — measured recall at sf0.01 is 7/10 against the exact
-    top-10 (the 3 misses live in unprobed cells), which is the honest ANN
-    trade-off; an exact-KNN oracle would therefore always hash-mismatch.
-    Rows-only check here; tests/test_ann.py pins the recall floor and
-    verifies every returned cosine is exact.
+    only the 8 cells nearest the query. Approximate vs exact KNN (measured
+    recall 7/10 at sf0.01 — the 3 misses live in unprobed cells, the
+    honest ANN trade-off; tests/test_ann.py pins the floor) but fully
+    DETERMINISTIC, so the oracle replays the identical index-build +
+    probe + search in SQL and the declared top-10 is hash-checked
+    (upgraded from rows-only in round 5).
 
     100 TB shape: pivots broadcast (KB); assignment is a map-side argmin —
     the corpus shuffles ONCE on cell_id and is then bucketed for every

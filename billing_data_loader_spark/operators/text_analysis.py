@@ -275,13 +275,16 @@ def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ext_neardup_simhash ----------------------------------------------------
 
 
-@query("ext_neardup_simhash", oracle=None, tier=3)
-def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature from shingle xxhash64 bit votes;
-    candidates share one of four 16-bit chunks (pigeonhole: hamming <= 3
-    guarantees a shared chunk), verified by exact hamming distance <= 3.
-    xxhash64 has no DuckDB equivalent -> rows-only; tests assert exact
-    duplicates land at hamming 0 and are all found.
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SimHash near-dup surface: every (doc_a, doc_b, hamming) pair
+    with hamming <= 3. SimHash: 64-bit signature from shingle xxhash64 bit
+    votes; candidates share one of four 16-bit chunks (pigeonhole:
+    hamming <= 3 guarantees a shared chunk), verified by exact hamming
+    distance. xxhash64 signatures have no DuckDB mirror, so this full
+    surface is pinned by tests (exact duplicates land at hamming 0 and are
+    all found — tests/test_ann.py); the DECLARED ext_neardup_simhash
+    below projects the provable exact-duplicate subset so the driver gets
+    a real hash check instead of rows-only.
 
     100 TB shape: signature build is one shuffle of shingles; the candidate
     join keys on (chunk_id, chunk_value) — O(docs x 4), never O(n^2)."""
@@ -398,6 +401,70 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= 3)
+
+
+# Declared-surface oracle (round 5, upgraded from rows-only): identical
+# texts MUST collapse to identical signatures, survive the pigeonhole
+# banding, and verify at hamming 0 — all three are theorems about the
+# pipeline, not fixture coincidences, so DuckDB can enumerate the expected
+# rows from text equality alone. A signature, banding, or verification
+# regression turns a boolean FALSE (or drops a row) and breaks the hash.
+_SIMHASH_ORACLE = """
+WITH corpus AS ({corpus})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(0 AS BIGINT) AS hamming,
+       TRUE AS bands_found
+FROM corpus a JOIN corpus b
+  ON a.text = b.text AND a.lang = b.lang AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle() -> str:
+    from .llm_pipeline import _CORPUS_SQL
+
+    return _SIMHASH_ORACLE.format(corpus=_CORPUS_SQL)
+
+
+@query("ext_neardup_simhash", oracle=_simhash_oracle(), tier=3)
+def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, declared as its hash-checkable invariant subset:
+    one row per exact-duplicate pair (same text, same lang), carrying the
+    pipeline's measured hamming distance (provably 0) and whether the
+    pigeonhole banding surfaced the pair (provably TRUE). The full
+    hamming<=3 surface — which depends on xxhash64 signatures DuckDB
+    cannot mirror — is :func:`simhash_pairs`, pinned by tests/test_ann.py;
+    this
+    declared view re-derives the exact-dup pair set by content-hash
+    groupBy (32-byte digests shuffle, never text) and LEFT-joins the
+    pipeline output, so a missing pair or nonzero hamming surfaces as a
+    hash break instead of hiding behind a rows-only check."""
+    from .llm_pipeline import _corpus_with_dups
+
+    pairs = simhash_pairs(spark, sf_dir)
+    corpus = _corpus_with_dups(spark, sf_dir)
+    groups = (
+        corpus.groupBy(F.sha2("text", 256).alias("h"), F.col("lang"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    dup_pairs = groups.select(F.explode(pair_structs).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+    return dup_pairs.join(pairs, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.coalesce("hamming", F.lit(-1)).alias("hamming"),
+        F.col("hamming").isNotNull().alias("bands_found"),
+    )
 
 
 # --- ext_ngram_freq ---------------------------------------------------------

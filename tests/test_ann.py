@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from billing_data_loader_spark.operators.ann import ext_ann_ivf
 from billing_data_loader_spark.operators.llm_pipeline import ext_knn_cosine
 from billing_data_loader_spark.operators.text_analysis import (
-    ext_neardup_simhash,
+    simhash_pairs,
 )
 from billing_data_loader_spark.operators.llm_pipeline import (
     _corpus_with_dups,
@@ -45,7 +45,7 @@ def test_simhash_finds_exact_duplicates(spark):
     all be reported."""
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
-        for r in ext_neardup_simhash(spark, SF_DIR).collect()
+        for r in simhash_pairs(spark, SF_DIR).collect()
     }
     planted = {
         (r.doc_id, r.doc_id + 1_000_000)
