@@ -109,6 +109,22 @@ def main() -> None:
     excluded = {k: timings[k] for k in sorted(_NON_HEADLINE) if k in timings}
 
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    # carry the previous record's per-key timings forward as `prior` so
+    # round-over-round regressions are computed between records of the SAME
+    # protocol (tag-matched), never eyeballed across protocol changes
+    # (ADVICE r4). A key regressing >1.5x vs a same-protocol prior is
+    # listed in `regressions_vs_prior` for the next round to re-measure.
+    try:
+        prev = json.loads(detail_path.read_text())
+    except (OSError, ValueError):
+        prev = {}
+    prior_q = prev.get("queries", {}) if isinstance(prev, dict) else {}
+    prior_tag = prev.get("protocol_tag") if isinstance(prev, dict) else None
+    regressions = {
+        k: {"prior": prior_q[k], "now": v, "ratio": round(v / prior_q[k], 2)}
+        for k, v in timings.items()
+        if k in prior_q and prior_q[k] > 0 and v > 1.5 * prior_q[k]
+    }
     detail_path.write_text(
         json.dumps(
             {
@@ -130,6 +146,10 @@ def main() -> None:
                     "for every batch key (contended multi-tenant host); "
                     "raw first-pass timings recorded for comparability"
                 ),
+                "protocol_tag": "min2-cond3-uniform",
+                "prior_queries": prior_q,
+                "prior_protocol_tag": prior_tag,
+                "regressions_vs_prior": regressions,
                 "bench_failures": failures,
                 "sf": sf,
             },
