@@ -182,3 +182,72 @@ def test_result_independent_of_shuffle_width(spark, key):
     with conf_override(spark, {"spark.sql.shuffle.partitions": "7"}):
         ok, msg = check_query(spec.fn(spark, SF_DIR), spec.oracle, SF_DIR)
     assert ok, f"{key} under width 7: {msg}"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_union_find_matches_bfs_closure(pairs):
+    """The single-task union-find kernel behind ext_dedup_cluster's
+    small-graph path (round 5) must agree with a naive BFS closure on
+    arbitrary edge lists: same components, min-member labels, and sizes.
+    Pure Python — the Spark-level path equality is pinned separately in
+    tests/test_round2.py."""
+    import pandas as pd
+
+    from billing_data_loader_spark.operators.llm_pipeline import (
+        _cc_union_find,
+    )
+
+    # mirror pairs both ways, as the operator does; drop self-pairs the
+    # caller never produces but the kernel must tolerate anyway
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    out = list(
+        _cc_union_find(
+            iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "a": [e[0] for e in edges],
+                            "b": [e[1] for e in edges],
+                        }
+                    )
+                ]
+            )
+        )
+    )
+    # BFS reference
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, tuple[int, int]] = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp = {start}
+        frontier = [start]
+        while frontier:
+            nxt = [y for x in frontier for y in adj[x] if y not in comp]
+            comp.update(nxt)
+            frontier = nxt
+        seen |= comp
+        lbl = min(comp)
+        for x in comp:
+            expect[x] = (lbl, len(comp))
+    if not edges:
+        assert out == []
+        return
+    got = {
+        int(r.doc_id): (int(r.cluster_id), int(r.cluster_size))
+        for r in out[0].itertuples()
+    }
+    assert got == expect
