@@ -236,12 +236,17 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest ANN trade-off; tests/test_ann.py pins the floor) but fully
     DETERMINISTIC, so the oracle replays the identical index-build +
     probe + search in SQL and the declared top-10 is hash-checked
-    (upgraded from rows-only in round 5).
+    (upgraded from rows-only in round 5). widen_scan: the 16-pivot argmin
+    is map-side ON the scan stage by design (zero exchanges), which also
+    means it runs at the scan's task count — one row-group = one core
+    without the widen (see session.widen_scan).
 
     100 TB shape: pivots broadcast (KB); assignment is a map-side argmin —
     the corpus shuffles ONCE on cell_id and is then bucketed for every
     subsequent query; per-query work is nprobe cells, not the corpus."""
-    e = load(spark, sf_dir, "embeddings")
+    from ..session import widen_scan
+
+    e = widen_scan(load(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", "label", _as_double("embedding").alias("v"))
     pivots = (
         v.filter(F.col("vec_id").between(1, _N_PIVOTS))
@@ -400,8 +405,11 @@ def ext_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequentially over the vector on both engines, ties break to the lowest
     cid, and centroid means use exact decimal sums (see
     functions/determinism.py) so iteration 2 sees bit-identical centroids.
+    widen_scan: the map-side argmin folds run at scan task count otherwise.
     """
-    e = load(spark, sf_dir, "embeddings")
+    from ..session import widen_scan
+
+    e = widen_scan(load(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", _as_double("embedding").alias("ve"))
     cents = v.filter(F.col("vec_id").between(1, _KM_K)).select(
         F.col("vec_id").alias("cid"), F.col("ve").alias("cv")

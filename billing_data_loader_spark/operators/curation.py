@@ -74,8 +74,12 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out benchmark subset. The benchmark gram set broadcasts (eval
     suites are tiny next to the corpus); grams travel as xxhash64 longs.
     64-bit collisions could miscount at extreme scale (same caveat as the
-    minhash shingle space — birthday bound ~4e9 distinct grams)."""
-    d = load(spark, sf_dir, "documents").select(
+    minhash shingle space — birthday bound ~4e9 distinct grams).
+    widen_scan: the gram explode+hash otherwise runs at the scan's task
+    count (one row-group = one core)."""
+    from ..session import widen_scan
+
+    d = widen_scan(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 23 == 1,
@@ -407,7 +411,9 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, n_shared, contaminated) is exact — same oracle as the
     broadcast-set path. tests/test_round4.py pins the superset invariant
     and the false-positive rate."""
-    d = load(spark, sf_dir, "documents").select(
+    from ..session import widen_scan
+
+    d = widen_scan(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 23 == 1,
@@ -486,9 +492,15 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # GROUP BY runs over grams, so a doc too short to produce any 8-gram
     # (possible under fixture regeneration) must be absent here too — the
     # sibling ext_decontaminate has the same contract (ADVICE r4).
+    # The set is derived map-side from the documents scan (a doc grams iff
+    # it has >= 8 tokens), not by a distinct over the gram table — the
+    # latter shuffles the whole exploded gram frame just to recover doc
+    # ids the scan already knows.
+    has_grams = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("_nt")
+    ).filter(F.col("_nt") >= 8).select("doc_id")
     return (
-        grams.select("doc_id")
-        .distinct()
+        has_grams
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",

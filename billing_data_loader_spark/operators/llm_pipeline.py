@@ -322,8 +322,15 @@ def _shingle_tokens(corpus: DataFrame) -> DataFrame:
     """3-token shingle set per doc. `split` is materialized as a column FIRST
     so the per-shingle lambda reads an attribute, not a re-evaluated split —
     the naive inline form re-splits the whole text per output element, which
-    is O(tokens²) per document and dominated the sf0.1 bench."""
-    toks = corpus.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    is O(tokens²) per document and dominated the sf0.1 bench. widen_scan:
+    the shingle explode is CPU-dense and otherwise runs at the scan's task
+    count (one row-group = one core; measured A/B win, unlike the cheap
+    token explodes where the extra shuffle loses)."""
+    from ..session import widen_scan
+
+    toks = widen_scan(corpus).select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
     return toks.select(
         "doc_id", "lang", F.explode(F.expr(_SHINGLES_FROM_T)).alias("token")
     ).distinct()
@@ -346,8 +353,13 @@ def _hashed_shingle_tokens(
 
     ``distinct=False`` skips the dedup shuffle for consumers that fold the
     dedup into their own per-doc aggregate (``collect_set`` / duplicate-
-    insensitive ``min``) — one shuffle of the shingle table instead of two."""
-    toks = corpus.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    insensitive ``min``) — one shuffle of the shingle table instead of two.
+    widen_scan: as in :func:`_shingle_tokens`."""
+    from ..session import widen_scan
+
+    toks = widen_scan(corpus).select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
     hashed = toks.select(
         "doc_id", "lang", F.explode(F.expr(_SHINGLES_FROM_T)).alias("token")
     ).select("doc_id", "lang", F.xxhash64("token").alias("th"))

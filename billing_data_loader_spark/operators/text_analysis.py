@@ -51,7 +51,10 @@ FROM (
 
 @query("ext_lang_id", oracle=_LANG_ID_ORACLE, tier=3)
 def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID via per-language top-20 token signatures."""
+    """Heuristic language ID via per-language top-20 token signatures.
+    (No widen_scan: the tokenize explode is cheap string splitting and the
+    first groupBy parallelizes immediately — the A/B measured the extra
+    round-robin shuffle as a net loss here.)"""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
     sig_w = W.partitionBy("lang").orderBy(
@@ -122,7 +125,8 @@ FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
 @query("ext_quality_score", oracle=_QUALITY_ORACLE, tier=3)
 def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality: length, lexical diversity, stopword ratio,
-    combined score (the filter stage of a pretraining pipeline)."""
+    combined score (the filter stage of a pretraining pipeline).
+    (No widen_scan: cheap tokenize, measured net loss — see ext_lang_id.)"""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     # global top-10 via orderBy+limit -> TakeOrderedAndProject (distributed
@@ -239,9 +243,13 @@ def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (three shuffles, one of them of shingle strings). Set size per doc is
     bounded by tokens per doc, not corpus size, so the agg buffer stays
     small at any SF."""
+    from ..session import widen_scan
     from .llm_pipeline import _SHINGLES_FROM_T
 
-    d = load(spark, sf_dir, "documents")
+    # widen_scan: the per-character rolling-hash fold below is the most
+    # CPU-dense map work in the catalog; at one-row-group scan width it
+    # runs on a single core (see session.widen_scan)
+    d = widen_scan(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     sh = toks.select("doc_id", F.explode(F.expr(_SHINGLES_FROM_T)).alias("sh"))
     # polynomial rolling hash over characters, reduce-style (first code is
@@ -573,7 +581,8 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials — flagged-and-justified BNLJ), scoring inside codegen, and
     the top-10 via TakeOrderedAndProject. Shuffles: tokenize once by
     token, once by doc — both map-side combined; nothing global except
-    the two 1-row aggregates."""
+    the two 1-row aggregates. (No widen_scan: cheap tokenize, measured
+    net loss — see ext_lang_id.)"""
     d = load(spark, sf_dir, "documents")
     tok = scoped_persist(
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))

@@ -104,6 +104,26 @@ def release_scoped_caches() -> None:
             pass  # session already stopped; nothing to release
 
 
+def widen_scan(df):
+    """Fan a narrow scan out to the session's parallelism BEFORE CPU-heavy
+    per-row work (shingling, n-gram hashing, per-char folds, vector math).
+
+    Everything fused into a scan stage runs at the scan's task count, and a
+    small parquet file is one row-group = ONE task — so a 5k-doc fixture
+    serializes the whole tokenize+hash pipeline on 1 of 32 cores, and no
+    downstream exchange can recover the lost wall-clock. One round-robin
+    shuffle of the raw rows (KBs here) unlocks every core. No-op when the
+    scan is already wide — at real scale a 100 TB table has thousands of
+    row-groups, so this never fires there; it is the same
+    runtime-statistics adaptation as AQE, aimed at the opposite corner
+    (too FEW partitions before the first exchange, which AQE cannot see).
+    ``getNumPartitions`` converts the plan but launches no job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 #: One Python worker runs per task slot (32 on local[32]); a BLAS that also
 #: fans out N threads per worker oversubscribes the box ~32x and turns the
 #: Pandas-UDF operators (embedding tiles, grouped maps) into lock convoys
