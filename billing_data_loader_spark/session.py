@@ -173,6 +173,14 @@ def get_spark(app_name: str = "billing-data-loader-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # STATIC conf (builder-only): the generated-class cache defaults to
+        # 100 entries, and a 166-query workload cycles hundreds of distinct
+        # codegen stages through it — every re-run of a query then
+        # recompiles its stages from scratch (janino is 0.5-2 s for the
+        # wide near-dup stages; the measured first-run-in-context penalty
+        # on ext_dedup_cluster decayed 5.9 -> 2.7 s purely with
+        # repetition). Sized to hold the whole catalog's stages.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
