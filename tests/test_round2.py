@@ -294,3 +294,18 @@ def test_dedup_cluster_paths_agree(spark, monkeypatch):
     a = small.sort_values("doc_id").reset_index(drop=True)
     b = large.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_widen_scan_policy(spark):
+    """widen_scan must fan a narrow frame out to the session's parallelism
+    and leave an already-wide frame untouched (round 5: the no-op branch
+    is what guarantees it never fires on real multi-row-group data)."""
+    from billing_data_loader_spark.session import widen_scan
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    widened = widen_scan(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == 1000
+    wide = spark.range(1000).repartition(target + 7)
+    assert widen_scan(wide) is wide
