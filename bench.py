@@ -48,6 +48,7 @@ def main() -> None:
 
     spark = get_spark("bdl-bench")
     specs = catalog()
+    load_start = os.getloadavg()
 
     # warmup: JVM + codegen + parquet footer caches
     specs["agg_q1_pricing"].fn(spark, sf_dir).toPandas()
@@ -165,6 +166,11 @@ def main() -> None:
                 "prior_protocol_tag": prior_tag,
                 "regressions_vs_prior": regressions,
                 "bench_failures": failures,
+                # host contention evidence: 1/5/15-min load averages at
+                # run start and end (32-core box with external tenants) —
+                # lets a reader tell a plan regression from a polluted run
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             },
             indent=1,
