@@ -251,3 +251,40 @@ def test_union_find_matches_bfs_closure(pairs):
         for r in out[0].itertuples()
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bucket_pair_generation_expression(spark, ids):
+    """The array-combinatoric ordered-pair expression used by the MinHash
+    band buckets and the SimHash exact-dup groups (round 5) must emit
+    exactly the C(n,2) ordered pairs of a sorted id list, each once."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(ids,)], "ds: array<long>").select(
+        F.sort_array("ds").alias("ds")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    got = {
+        (r.p.doc_a, r.p.doc_b)
+        for r in df.select(F.explode(pair_structs).alias("p")).collect()
+    }
+    expect = set(itertools.combinations(sorted(ids), 2))
+    assert got == expect
