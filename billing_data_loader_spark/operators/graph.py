@@ -109,12 +109,22 @@ def ext_pagerank_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     # repartition after the union: unioning two 32-partition frames yields
     # 64 near-empty partitions that every subsequent per-round stage
-    # inherits (pure scheduler overhead on a graph this dense); pinning 32
-    # on src also pre-aligns the per-round join's probe side
-    edges = scoped_persist(
+    # inherits (pure scheduler overhead on a graph this dense). The width
+    # is sized to the MEASURED edge count (the ext_dedup_cluster idiom,
+    # round 5): iterating a small graph at corpus width pays a fixed
+    # per-task scheduling cost per round (A/B at sf0.1: width 32 = 1.68 s,
+    # width 1 = 1.07 s), while a 100 TB graph still fans out to thousands
+    # of partitions. The sizing count is one action over the cached
+    # pre-mirror frame; repartitioning on src pre-aligns the per-round
+    # join's probe side either way.
+    half = scoped_persist(
         e0.select(F.col("u").alias("src"), F.col("t").alias("dst"))
-        .unionAll(e0.select(F.col("t").alias("src"), F.col("u").alias("dst")))
-        .repartition(32, "src")
+    )
+    width = max(1, min(int(2 * half.count() // 500_000) + 1, 4096))
+    edges = scoped_persist(
+        half.unionAll(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition(width, "src")
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
