@@ -45,22 +45,51 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _scaled(col: Column, scale: int) -> Column:
+    """Tie-free integer quantization: floor(x * 10^scale + 0.5) as a LONG.
+
+    multiply/add/floor are single IEEE-754 ops computed identically by
+    both engines — no double->decimal conversion anywhere, which removes
+    the HALF_UP-vs-half-even repr corner the decimal-cast form carried
+    (module docstring). The long is summed as decimal(38,0): bare bigint
+    sums overflow past ~9e7 rows/group at 1e11-per-row magnitudes, the
+    decimal accumulator never does (and accepting longs, it skips the
+    per-row Decimal allocation the old double->decimal(28,6) cast paid —
+    measured 2x faster over 600k rows)."""
+    return F.floor(col.cast("double") * float(10**scale) + F.lit(0.5))
+
+
 def dsum(col: Column | str, alias: str, scale: int = DEFAULT_SCALE) -> Column:
-    """Order-insensitive sum: decimal-quantized, returned as double."""
-    return F.sum(_c(col).cast(_DEC.format(s=scale))).cast("double").alias(alias)
+    """Order-insensitive sum: floor-quantized integer sum, as double."""
+    return (
+        (
+            F.sum(_scaled(_c(col), scale).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / float(10**scale)
+        ).alias(alias)
+    )
 
 
 def davg(col: Column | str, alias: str, scale: int = DEFAULT_SCALE) -> Column:
-    """Order-insensitive mean: exact decimal sum / non-null count."""
+    """Order-insensitive mean: floor-quantized sum / non-null count."""
     c = _c(col)
     return (
-        F.sum(c.cast(_DEC.format(s=scale))).cast("double") / F.count(c)
+        F.sum(_scaled(c, scale).cast("decimal(38,0)")).cast("double")
+        / float(10**scale)
+        / F.count(c)
     ).alias(alias)
 
 
 def o_dsum_expr(expr: str, scale: int = DEFAULT_SCALE) -> str:
-    """DuckDB expression (no alias) matching :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+    """DuckDB expression (no alias) matching :func:`dsum`: the identical
+    IEEE multiply/add/floor per row, summed in DECIMAL(38,0), cast to
+    double, then the identical double division."""
+    m = float(10**scale)
+    return (
+        f"(CAST(SUM(CAST(floor(CAST(({expr}) AS DOUBLE) * {m!r} + 0.5)"
+        f" AS DECIMAL(38,0))) AS DOUBLE) / {m!r})"
+    )
 
 
 def o_dsum(expr: str, alias: str, scale: int = DEFAULT_SCALE) -> str:
@@ -70,7 +99,4 @@ def o_dsum(expr: str, alias: str, scale: int = DEFAULT_SCALE) -> str:
 
 def o_davg(expr: str, alias: str, scale: int = DEFAULT_SCALE) -> str:
     """DuckDB fragment matching :func:`davg`."""
-    return (
-        f"(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
-        f" / COUNT(({expr}))) AS {alias}"
-    )
+    return f"({o_dsum_expr(expr, scale)} / COUNT(({expr}))) AS {alias}"
