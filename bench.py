@@ -29,6 +29,10 @@ from billing_data_loader_spark.session import get_spark  # noqa: E402
 #: Streaming-state queries stage files + run micro-batches; they are timed
 #: too but excluded from the headline latency sum so the headline tracks
 #: query-engine latency (BASELINE.md measures batch queries only).
+#: Bench protocol identity: prior-round timings are only consulted (noise
+#: guard + regression listing) when the prior record carries the same tag.
+_PROTOCOL_TAG = "min2-cond3-prior"
+
 _NON_HEADLINE = {
     "stream_availablenow_replay",
     "stream_watermark_late",
@@ -94,6 +98,14 @@ def main() -> None:
         prev = {}
     prior_q = prev.get("queries", {}) if isinstance(prev, dict) else {}
     prior_tag = prev.get("protocol_tag") if isinstance(prev, dict) else None
+    # the prior-based triggers below compare against prior_q timings, which
+    # are only comparable when the prior record was produced by THIS
+    # protocol — after a protocol change the tag mismatches and the guard
+    # (plus the regression listing) stays off for one round rather than
+    # firing against incomparable numbers (ADVICE r5)
+    prior_comparable = prior_tag == _PROTOCOL_TAG
+    if not prior_comparable:
+        prior_q = {}
 
     raw: dict[str, float] = {}
     for key in sorted(specs):
@@ -157,13 +169,15 @@ def main() -> None:
                     "min of 2 warm runs/key uniformly; a 3rd run (min "
                     "kept) iff the first two disagree >1.5x OR min-of-2 "
                     "exceeds 1.5x the same-protocol prior (sustained-"
-                    "burst guard) — same rule for every batch key "
-                    "(contended multi-tenant host); raw first-pass "
-                    "timings recorded for comparability"
+                    "burst guard; fires only when the prior record's "
+                    "protocol_tag matches this one) — same rule for "
+                    "every batch key (contended multi-tenant host); raw "
+                    "first-pass timings recorded for comparability"
                 ),
-                "protocol_tag": "min2-cond3-prior",
+                "protocol_tag": _PROTOCOL_TAG,
                 "prior_queries": prior_q,
                 "prior_protocol_tag": prior_tag,
+                "prior_comparable": prior_comparable,
                 "regressions_vs_prior": regressions,
                 "bench_failures": failures,
                 # host contention evidence: 1/5/15-min load averages at

@@ -686,6 +686,17 @@ def _cc_label_propagation(edges: DataFrame, n_edges: int) -> DataFrame:
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    else:
+        # the monotone-chg convergence proof only holds when the loop broke
+        # early; exhausting the iteration budget means a component with
+        # diameter > 2*_CLUSTER_MAX_ITERS//2 hops exists and the labels are
+        # NOT a fixpoint — fail loud rather than return wrong clusters
+        # (mirrors the simhash packed-vote overflow guard's style).
+        raise RuntimeError(
+            f"ext_dedup_cluster: label propagation did not converge within "
+            f"{_CLUSTER_MAX_ITERS} hops ({changed} labels still changing); "
+            "raise _CLUSTER_MAX_ITERS for this graph's diameter"
+        )
     # cluster sizes come from the LABEL table (every non-singleton member is
     # an edge endpoint, so labels covers it); a count-over-window on the
     # cached label frame (one tiny shuffle, no join) replaces a corpus-wide

@@ -424,6 +424,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        TRUE AS bands_found
 FROM corpus a JOIN corpus b
   ON a.text = b.text AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(string_split(a.text, ' ')) >= 3
 """
 
 
@@ -449,7 +450,14 @@ def ext_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm_pipeline import _corpus_with_dups
 
     pairs = simhash_pairs(spark, sf_dir)
-    corpus = _corpus_with_dups(spark, sf_dir)
+    # a doc with < 3 tokens produces no shingles, hence no signature — the
+    # hamming=0 / bands_found=TRUE theorems only hold for docs that shingle,
+    # so both this frame and the oracle restrict to them (same has-grams
+    # idiom as ext_bloom_decontaminate); without the guard a regenerated
+    # fixture containing a duplicated 2-token doc breaks the hash.
+    corpus = _corpus_with_dups(spark, sf_dir).filter(
+        F.size(F.split("text", " ")) >= 3
+    )
     groups = (
         corpus.groupBy(F.sha2("text", 256).alias("h"), F.col("lang"))
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))

@@ -13,7 +13,7 @@ from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..session import release_scoped_caches
+from ..session import reassert_parity, release_scoped_caches
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,6 +43,10 @@ def query(key: str, oracle: str | None = None, tier: int = 1):
             # so the driver can still collect the returned frame but
             # caches never accumulate across the 88-query grading loop
             release_scoped_caches()
+            # guard against external conf drift on the driver's long-lived
+            # session: prep() is memoized per session object, so parity-
+            # critical keys are re-verified (set only on drift) per entry
+            reassert_parity(spark)
             return fn(spark, sf_dir)
 
         _REGISTRY[key] = QuerySpec(key=key, fn=scoped, oracle=oracle, tier=tier)

@@ -138,6 +138,35 @@ _WORKER_THREAD_ENV = {
 }
 
 
+#: The subset of _RUNTIME_CONF whose drift silently breaks oracle parity
+#: (timezone-sensitive timestamps, Arrow batch semantics for Pandas UDFs).
+#: The rest are performance-only: drift there costs latency, not answers.
+_PARITY_CONF_KEYS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.execution.arrow.pyspark.enabled",
+)
+
+
+def reassert_parity(spark: SparkSession) -> None:
+    """Re-verify the parity-critical confs on a memoized-prepped session.
+
+    prep() runs once per session object, but the module contract says the
+    driver reuses ONE session across every query — if anything outside our
+    control mutates e.g. session.timeZone between queries, the memo would
+    turn prep() into a silent no-op and oracle parity would break with no
+    error. The registry wrapper calls this at every declared-query entry:
+    one py4j get per key here (2 keys), a set only on actual drift, versus
+    the full conf sweep per table read that the memo exists to avoid.
+    """
+    for key in _PARITY_CONF_KEYS:
+        want = _RUNTIME_CONF[key]
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:
+            pass  # not settable on this build; builder default applies
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Apply runtime configs to an existing session (driver's or ours).
 
