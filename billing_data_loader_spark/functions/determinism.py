@@ -59,26 +59,42 @@ def _scaled(col: Column, scale: int) -> Column:
     return F.floor(col.cast("double") * float(10**scale) + F.lit(0.5))
 
 
+def quantize_long(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Public form of :func:`_scaled` for operators that carry quantized
+    integer units through joins/windows/state before the final sum (the
+    streaming micro-unit pattern, incremental-rollup partials)."""
+    return _scaled(_c(col), scale)
+
+
+def dsum_col(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Bare-column (no alias) form of :func:`dsum`, for call sites that
+    compose the sum into larger expressions."""
+    return F.sum(_scaled(_c(col), scale).cast("decimal(38,0)")).cast(
+        "double"
+    ) / float(10**scale)
+
+
 def dsum(col: Column | str, alias: str, scale: int = DEFAULT_SCALE) -> Column:
     """Order-insensitive sum: floor-quantized integer sum, as double."""
-    return (
-        (
-            F.sum(_scaled(_c(col), scale).cast("decimal(38,0)")).cast(
-                "double"
-            )
-            / float(10**scale)
-        ).alias(alias)
-    )
+    return dsum_col(col, scale).alias(alias)
 
 
 def davg(col: Column | str, alias: str, scale: int = DEFAULT_SCALE) -> Column:
     """Order-insensitive mean: floor-quantized sum / non-null count."""
     c = _c(col)
+    return (dsum_col(c, scale) / F.count(c)).alias(alias)
+
+
+def dsum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    """Spark-SQL text form of :func:`dsum_col` (no alias), for queries
+    declared as SQL strings — the same ops :func:`dsum` plans, so it stays
+    bit-matched to :func:`o_dsum_expr`. Spark's FLOOR(DOUBLE) returns
+    BIGINT directly; the value is IEEE-identical to DuckDB's double floor."""
+    m = float(10**scale)
     return (
-        F.sum(_scaled(c, scale).cast("decimal(38,0)")).cast("double")
-        / float(10**scale)
-        / F.count(c)
-    ).alias(alias)
+        f"(CAST(SUM(CAST(FLOOR(CAST(({expr}) AS DOUBLE) * {m!r} + 0.5)"
+        f" AS DECIMAL(38,0))) AS DOUBLE) / {m!r})"
+    )
 
 
 def o_dsum_expr(expr: str, scale: int = DEFAULT_SCALE) -> str:

@@ -16,15 +16,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import davg, dsum, o_davg, o_dsum, o_dsum_expr
+from ..functions.determinism import (
+    davg,
+    dsum,
+    dsum_col as _dsum_col,
+    dsum_sql,
+    o_davg,
+    o_dsum,
+    o_dsum_expr,
+)
 from ..plans.registry import query
 from ..tables import load
-
-
-def _dsum_col(col, scale: int = 6):
-    """Decimal-quantized sum as a bare Column (no alias)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
 
 _Q1_CUTOFF = "1998-09-02"
 
@@ -225,7 +227,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_mktsegment, o_orderstatus,
                CAST(grouping_id(c_mktsegment, o_orderstatus) AS BIGINT) AS gid,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+               {dsum_sql("o_totalprice")} AS sum_price
         FROM bdl_gsets_input
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
     """)
@@ -309,10 +311,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- agg_stats --------------------------------------------------------------
 
 # stddev/corr are reduction-order-sensitive in both engines; instead of
-# rounding roulette, compute them from decimal-exact moments with the SAME
-# double expression on both sides -> bit-identical. (Cancellation is benign
-# at fixture magnitudes; documented tradeoff of parity over textbook
-# stability.)
+# rounding roulette, compute them from quantized-exact moments (dsum_col)
+# with the SAME double expression on both sides -> bit-identical.
+# (Cancellation is benign at fixture magnitudes; documented tradeoff of
+# parity over textbook stability.)
 
 _STATS_ORACLE = f"""
 WITH m AS (
@@ -337,7 +339,7 @@ FROM m
 
 @query("agg_stats", oracle=_STATS_ORACLE, tier=2)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev / variance / correlation via decimal-exact moment sums."""
+    """stddev / variance / correlation via quantized-exact moment sums."""
     ev = load(spark, sf_dir, "events")
     x = F.col("value")
     y = F.col("user_id").cast("double")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import dsum, o_dsum
+from ..functions.determinism import dsum, o_dsum, quantize_long
 from ..plans.registry import query
 from ..tables import load
 
@@ -364,29 +364,32 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     it on the group key and partials add. The merge touches O(groups)
     rows on both sides (never the fact history), which is the entire
     point at 100 TB: per-batch cost is the delta scan + a groups-sized
-    join. Counts add as longs; sums stay decimal end-to-end — parquet
-    stores the scale-6 partials exactly, decimal addition is associative,
-    and double appears only in the final projection — so the
-    result hash-matches a from-scratch recompute — the IVM correctness
-    contract."""
+    join. Counts add as longs; sums stay exact micro-unit integers
+    end-to-end — parquet stores the decimal(38,0) partials exactly,
+    integer addition is associative, and double appears only in the final
+    projection — so the result hash-matches a from-scratch recompute —
+    the IVM correctness contract."""
     from ..sources.connectors import scratch_dir
 
     ev = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
         "event_type",
         "event_id",
-        F.col("value").cast("decimal(28,6)").alias("v"),
+        # micro-unit longs: the same floor quantization dsum/o_dsum plan,
+        # so the merged total is bit-identical to a from-scratch dsum
+        quantize_long("value").alias("v"),
     )
 
     def rollup(df: DataFrame) -> DataFrame:
-        # the partial sum stays DECIMAL through the materialized table: a
-        # double round-trip is exact only while |partial|*1e6 < 2^53
-        # (~9e9), above which the merged total silently diverges from the
-        # full-recompute contract (ADVICE r4). Parquet stores decimals
-        # natively; double appears only in the final projection.
+        # the partial sum stays exact INTEGER (decimal(38,0)) through the
+        # materialized table: a double round-trip is exact only while
+        # |partial|*1e6 < 2^53 (~9e9 money units), above which the merged
+        # total silently diverges from the full-recompute contract
+        # (ADVICE r4). Parquet stores decimals natively; double appears
+        # only in the final projection.
         return df.groupBy("day", "event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("v").alias("s"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
         )
 
     base_path = scratch_dir(sf_dir, "incr_base_rollup")
@@ -399,17 +402,20 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = rollup(ev.filter(F.col("event_id") % 2 == 1)).select(
         "day", "event_type", F.col("n").alias("n_d"), F.col("s").alias("s_d")
     )
-    dec = "decimal(38,6)"
+    dec = "decimal(38,0)"
     return base.join(delta, ["day", "event_type"], "full_outer").select(
         "day",
         "event_type",
         (
             F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))
         ).alias("n_events"),
+        # integer partials add exactly; the double cast THEN the 1e6
+        # divide mirror o_dsum's op order bit-for-bit
         (
-            F.coalesce(F.col("s_b").cast(dec), F.lit(0).cast(dec))
-            + F.coalesce(F.col("s_d").cast(dec), F.lit(0).cast(dec))
-        )
-        .cast("double")
-        .alias("sum_value"),
+            (
+                F.coalesce(F.col("s_b").cast(dec), F.lit(0).cast(dec))
+                + F.coalesce(F.col("s_d").cast(dec), F.lit(0).cast(dec))
+            ).cast("double")
+            / 1000000.0
+        ).alias("sum_value"),
     )

@@ -184,7 +184,7 @@ def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus total), per-doc mean logprob (a perplexity proxy — boilerplate and
 # gibberish score low). ln values are 6dp-rounded on both sides (libm ulp
 # differences, same treatment as ext_tfidf) and the per-doc mean uses the
-# exact-decimal-sum davg so reduction order cannot flip hash bits.
+# quantized-exact davg so reduction order cannot flip hash bits.
 _LM_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
@@ -218,12 +218,11 @@ def ext_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).alias("lnp"),
         )
     )
+    from ..functions.determinism import davg
+
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        (
-            F.sum(F.col("lnp").cast("decimal(28,6)")).cast("double")
-            / F.count("lnp")
-        ).alias("avg_logprob"),
+        davg("lnp", "avg_logprob"),
     )
 
 

@@ -14,7 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import davg, dsum, o_davg, o_dsum, o_dsum_expr
+from ..functions.determinism import (
+    davg,
+    dsum,
+    dsum_col,
+    o_davg,
+    o_dsum,
+    o_dsum_expr,
+)
 from ..plans.registry import query
 from ..tables import load
 
@@ -178,7 +185,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double"),
+                dsum_col("o_totalprice"),
                 F.lit(0.0),
             ).alias("total_spent"),
         )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import o_davg, o_dsum
+from ..functions.determinism import davg, o_davg, o_dsum
 from ..plans.registry import query
 from ..session import scoped_persist
 from ..tables import load
@@ -199,10 +199,7 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     per_doc = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.col("n_chars").cast("decimal(28,6)")).cast("double")
-            / F.count("n_chars")
-        ).alias("avg_chars"),
+        davg("n_chars", "avg_chars"),
     )
     vocab = (
         d.select("lang", F.explode(F.split("text", " ")).alias("token"))

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import dsum, o_dsum
+from ..functions.determinism import dsum, o_dsum, quantize_long
 from ..plans.registry import query
 from ..tables import load
 
@@ -122,8 +122,8 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     values per partition, not rows), then a 1-row aggregate derives every
     stat from that value-histogram: n_rows = sum(n), n_null = n of the
     null group, n_distinct = non-null group count, exact sum =
-    sum(value_as_decimal * n) (decimal x integer stays exact, matching
-    the oracle's per-row decimal sum). This beats the single-agg
+    sum(quantized_value * n) (integer x integer stays exact in decimal,
+    matching the oracle's per-row quantized sum). This beats the single-agg
     multi-countDistinct form, which expands the scan 5x and shuffles the
     expansion (measured 1.25s vs 0.80s warm at sf0.1) — and at 100 TB
     the expand form's shuffle is 5x corpus width while this one's is
@@ -142,9 +142,16 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(c).alias(f"{c}__n_distinct"),
                 F.min(c).alias(f"{c}__min_val"),
                 F.max(c).alias(f"{c}__max_val"),
-                F.sum(F.col(c).cast("decimal(28,6)") * F.col("n"))
-                .cast("double")
-                .alias(f"{c}__sum_val"),
+                # floor-quantized value x count stays exact in decimal and
+                # equals the oracle's per-row quantized sum; double cast
+                # then the 1e6 divide mirror o_dsum's op order
+                (
+                    F.sum(
+                        quantize_long(F.col(c)).cast("decimal(38,0)")
+                        * F.col("n")
+                    ).cast("double")
+                    / 1000000.0
+                ).alias(f"{c}__sum_val"),
             )
         )
     wide = frames[0]

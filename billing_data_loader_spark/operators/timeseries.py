@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.determinism import o_davg
 from ..plans.registry import query
 from ..tables import load
 
@@ -101,7 +102,7 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Hourly mean series per user with linear interpolation across gaps —
 # the second standard hypertable fill (ts_gapfill covers LOCF). Hourly
-# means are decimal-quantized (davg) so both engines interpolate from
+# means are floor-quantized (davg/o_davg) so both engines interpolate from
 # bit-identical endpoints; the interpolation expression is written
 # identically on both sides, so the same IEEE ops on the same doubles
 # yield the same double — emitted RAW. Quantizing it would BREAK parity:
@@ -109,11 +110,10 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # half-boundaries ~0.1% of the time, where Spark's double->decimal cast
 # rounds HALF_UP and DuckDB's half-even (150/105k rows diverged when this
 # was first declared with a DECIMAL(18,6) cast).
-_INTERP_ORACLE = """
+_INTERP_ORACLE = f"""
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hr,
-         (CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
-          / COUNT(value)) AS hv
+         {o_davg("value", "hv")}
   FROM events GROUP BY user_id, hr
 ), grid AS (
   SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr

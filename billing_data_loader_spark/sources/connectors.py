@@ -26,7 +26,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import o_dsum, o_dsum_expr
+from ..functions.determinism import dsum, o_dsum, o_dsum_expr
 from ..plans.registry import query
 from ..session import conf_override, scoped_persist
 from ..tables import SCHEMAS, load
@@ -204,9 +204,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("order_year", "order_month").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias(
-            "sum_price"
-        ),
+        dsum("o_totalprice", "sum_price"),
     )
 
 
@@ -246,9 +244,7 @@ def sink_idempotent_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out)
     return back.groupBy("order_year").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias(
-            "sum_price"
-        ),
+        dsum("o_totalprice", "sum_price"),
     )
 
 
@@ -284,9 +280,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("order_month")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias(
-            "sum_price"
-        ),
+        dsum("o_totalprice", "sum_price"),
     )
 
 
@@ -367,13 +361,12 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.lit(1))
         ).alias("n_valid"),
         F.count("_corrupt_record").alias("n_corrupt"),
-        F.sum(
-            F.when(
-                F.col("_corrupt_record").isNull(), F.col("o_totalprice")
-            ).cast("decimal(28,6)")
-        )
-        .cast("double")
-        .alias("sum_price"),
+        # no-otherwise when() yields NULL for quarantined rows, which the
+        # quantized sum skips — only valid rows are booked
+        dsum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice")),
+            "sum_price",
+        ),
     )
 
 

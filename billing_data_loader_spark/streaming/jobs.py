@@ -32,7 +32,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import o_dsum
+from ..functions.determinism import dsum, o_dsum, quantize_long
 from ..plans.registry import query
 from ..tables import (
     events_finalize_ts,
@@ -40,8 +40,6 @@ from ..tables import (
     events_ts_unit,
     load,
 )
-
-_DEC = "decimal(28,6)"
 
 # --- stream_tumbling_1h (batch form; re-run as stream in replay below) ------
 
@@ -60,7 +58,7 @@ def _tumbling_agg(ev: DataFrame) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -101,7 +99,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -150,7 +148,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+            dsum("value", "sum_value"),
         )
         .select(
             "user_id",
@@ -331,7 +329,7 @@ FROM events GROUP BY user_id
 def _stateful_update(key, pdfs, state):
     """Custom per-user state machine for applyInPandasWithState: exact
     int64 micro-unit sum + count + max-timestamp, updated per batch.
-    Integer state keeps the emitted sum bit-identical to the decimal-sum
+    Integer state keeps the emitted sum bit-identical to the quantized-sum
     oracle no matter how rows are batched."""
     import pandas as pd
 
@@ -343,16 +341,15 @@ def _stateful_update(key, pdfs, state):
         batch_max = pdf["ts"].max()
         last = batch_max if last is None else max(last, batch_max)
     state.update((cnt, micro, last))
-    # single correctly-rounded int->double conversion: micro/1e6 would round
-    # twice (int->float, then divide) and drift off the oracle's one-step
-    # decimal->double cast once |micro| >= 2^53
-    import decimal
-
+    # two-step conversion ON PURPOSE: the floor-quantized o_dsum oracle is
+    # CAST(SUM(..) AS DOUBLE) / 1e6 — int->double rounding first, then an
+    # IEEE divide — so the Python side mirrors exactly that op order
+    # (a one-step Decimal(micro)/1e6 would diverge once |micro| >= 2^53)
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [cnt],
-            "sum_value": [float(decimal.Decimal(micro) / 1_000_000)],
+            "sum_value": [float(micro) / 1000000.0],
             "last_ts": [last],
         }
     )
@@ -364,7 +361,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState`` path): per-user count / exact sum / last-seen
     kept in typed group state across micro-batches. The stream pre-quantizes
     ``value`` to long micro-units JVM-side, so the Python state is pure
-    int64 arithmetic and the final sum equals the batch decimal-sum oracle
+    int64 arithmetic and the final sum equals the batch quantized-sum oracle
     bit-for-bit — a full SQL oracle for a custom stateful operator.
 
     Scale: state is 3 scalars per user key, partitioned by the state-store
@@ -373,10 +370,12 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_stream_events(spark, sf_dir).select(
         "user_id",
         "ts",
-        # precondition: |value| < ~9.2e12, else the decimal->long cast
-        # overflows to NULL silently under non-ANSI Spark (see the bound
-        # note in operators/windows.py win_moving_avg_range)
-        (F.col("value").cast(_DEC) * 1000000).cast("long").alias("micro"),
+        # precondition: |value| < ~9.2e12, else the micro-unit long
+        # overflows (see the bound note in operators/windows.py
+        # win_moving_avg_range). quantize_long is the same floor
+        # quantization dsum plans, so the Python int state sums exactly
+        # the units the o_dsum oracle sums.
+        quantize_long("value").alias("micro"),
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
         _stateful_update,
@@ -457,7 +456,7 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
     return _run_to_memory(agg, "bdl_join_static", "complete")
 
@@ -564,7 +563,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_day").cast("bigint").alias("event_day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast(_DEC)).cast("double").alias("sum_value"),
+        dsum("value", "sum_value"),
     )
 
 
