@@ -288,3 +288,67 @@ def test_bucket_pair_generation_expression(spark, ids):
     }
     expect = set(itertools.combinations(sorted(ids), 2))
     assert got == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=_VALUES)
+def test_dsum_sql_matches_dataframe_and_duckdb(spark, xs):
+    """The round-6 SQL-text helper (dsum_sql, used by SQL-string queries
+    like agg_grouping_sets) must plan the same ops as the DataFrame dsum
+    and land bit-identical to the DuckDB o_dsum form on adversarial
+    doubles — all three are claimed to be one quantization function."""
+    from billing_data_loader_spark.functions.determinism import dsum_sql
+
+    sdf = spark.createDataFrame([(x,) for x in xs], "v double")
+    sdf.createOrReplaceTempView("t_dsum_sql")
+    sql_val = spark.sql(
+        f"SELECT {dsum_sql('v')} AS s FROM t_dsum_sql"
+    ).collect()[0]["s"]
+    df_val = _spark_dsum(spark, xs, 4)
+    d_val = _duckdb_dsum(xs)
+    assert sql_val == df_val
+    assert (
+        sql_val == d_val
+        or (sql_val is None and d_val is None)
+        or math.isclose(sql_val, d_val, rel_tol=0.0, abs_tol=0.0)
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(xs=_VALUES)
+def test_quantize_long_matches_duckdb_floor(spark, xs):
+    """quantize_long (micro-unit integers carried through windows, state
+    stores, and materialized partials) must equal DuckDB's floor form
+    per element: the two engines quantize identically BEFORE any sum."""
+    from billing_data_loader_spark.functions.determinism import quantize_long
+
+    sdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i long, v double"
+    )
+    got = {
+        r["i"]: r["q"]
+        for r in sdf.select(
+            "i", quantize_long("v").alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, x) for i, x in enumerate(xs)]
+    )
+    want = dict(
+        con.execute(
+            "SELECT i, CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)"
+            " AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
