@@ -18,11 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.determinism import quantize_long
 from ..plans.registry import query
 from ..session import scoped_persist
 from ..tables import load
-
-_DEC = "decimal(28,6)"
 
 # --- win_topk_per_group -----------------------------------------------------
 
@@ -143,10 +142,11 @@ def _det_range_bucket(df: DataFrame, numeric: F.Column, n_buckets: int) -> DataF
 
 _RUNNING_ORACLE = """
 SELECT o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+       CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0 + 0.5)
+                     AS DECIMAL(38,0))) OVER (
          ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS DOUBLE) AS running_total
+       ) AS DOUBLE) / 1000000.0 AS running_total
 FROM orders
 """
 
@@ -156,14 +156,19 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue by date, DISTRIBUTED: global prefix sum as
     range-bucket (deterministic, see :func:`_det_range_bucket`) +
     per-bucket prefix + broadcast bucket offsets (same two-pass shape as
-    win_ntile_pctrank) instead of a one-partition global window. Decimal
-    addition is exact and associative, so the decomposed running total is
-    bit-identical to the single-pass oracle."""
+    win_ntile_pctrank) instead of a one-partition global window. Prices
+    are floor-quantized to micro-unit integers (determinism.quantize_long
+    — same form as dsum/o_dsum): integer addition is exact and
+    associative, so the decomposed running total is bit-identical to the
+    single-pass oracle, and the per-row window arithmetic is long/decimal
+    integer instead of scale-6 decimal (the cost the r5 A/B measured at
+    ~2x per aggregate). The decimal(38,0) accumulator keeps a 100 TB
+    global prefix from overflowing long range (~9.2e12 money units)."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderdate",
-        F.col("o_totalprice").cast(_DEC).alias("price_dec"),
+        quantize_long("o_totalprice").alias("price_q"),
     )
     # bucket on the leading sort column only; o_orderkey tie-break happens
     # inside the bucket (all rows of one date share a bucket by design)
@@ -172,7 +177,10 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             o, F.col("o_orderdate").cast("timestamp").cast("double"), n_part
         )
     )
-    ptot = rp.groupBy("bucket").agg(F.sum("price_dec").alias("ptot"))
+    _dec38 = "decimal(38,0)"
+    ptot = rp.groupBy("bucket").agg(
+        F.sum(F.col("price_q").cast(_dec38)).alias("ptot")
+    )
     # offsets via triangular self-join over the P-row totals frame (P^2
     # tuples, P = O(cluster)): no window, so nothing for WindowExec to
     # collapse — cumulative anything over per-partition stats is just
@@ -185,7 +193,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.bucket").alias("bucket"))
         .agg(
             F.coalesce(
-                F.sum("b.ptot"), F.lit(0).cast("decimal(38,6)")
+                F.sum("b.ptot"), F.lit(0).cast(_dec38)
             ).alias("off")
         )
     )
@@ -194,11 +202,15 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # integer prefix + integer offset add exactly; the double cast THEN
+    # the 1e6 divide mirror the oracle's op order bit-for-bit
     return rp.join(F.broadcast(offs), "bucket").select(
         "o_orderkey",
-        (F.sum("price_dec").over(w_local) + F.col("off"))
-        .cast("double")
-        .alias("running_total"),
+        (
+            (F.sum(F.col("price_q").cast(_dec38)).over(w_local) + F.col("off"))
+            .cast("double")
+            / 1000000.0
+        ).alias("running_total"),
     )
 
 
@@ -206,11 +218,13 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOVAVG_ORACLE = """
 SELECT event_id,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_1h,
-       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
-         / COUNT(*) OVER w AS avg_1h
+       CAST(SUM(micro) OVER w AS DOUBLE) / 1000000.0 AS sum_1h,
+       CAST(SUM(micro) OVER w AS DOUBLE) / 1000000.0
+         / (COUNT(*) OVER w) AS avg_1h
 FROM (
-  SELECT event_id, value,
+  SELECT event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS micro,
          date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
   FROM events
 )
@@ -242,18 +256,20 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: sums are fixed-point micro-unit longs (integer addition is
     associative), so the decomposed sum is bit-identical to the one-pass
-    oracle; the decimal reconstruction and the final double casts are the
-    same expressions as before.
+    oracle; quantization and the final double reconstruction are the
+    floor/CAST/divide ops of the dsum form, identical IEEE ops on both
+    engines.
     """
-    # precondition: |value| < ~9.2e12 — the decimal->long micro-unit cast
-    # overflows to NULL silently under non-ANSI Spark beyond long range
-    # (9.2e18 micro). Fixture values are O(1e3); a deployment at larger
-    # magnitudes must scale the quantum down or run ANSI mode so the
+    # precondition: |value| < ~9.2e12 — micro-unit longs overflow past long
+    # range (9.2e18 micro). Fixture values are O(1e3); a deployment at
+    # larger magnitudes must scale the quantum down or run ANSI mode so the
     # overflow errors loudly. Same pattern + bound in streaming/jobs.py.
+    # quantize_long is the same floor form dsum/o_dsum plan, so both
+    # engines quantize identically (no decimal conversion anywhere).
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.unix_timestamp("ts").alias("sec"),
-        (F.col("value").cast(_DEC) * 1000000).cast("long").alias("micro"),
+        quantize_long("value").alias("micro"),
     )
     data = ev.withColumn("b", F.floor(F.col("sec") / 3600))
 
@@ -329,11 +345,13 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcnt")
         + F.coalesce(F.col("tcnt") - F.col("scnt"), F.lit(0).cast("long"))
     )
-    sum_dec = (msum.cast("decimal(38,0)") / 1000000).cast("double")
+    # long->double cast THEN the 1e6 divide, mirroring the oracle's
+    # CAST(SUM(micro) AS DOUBLE) / 1e6 op order bit-for-bit
+    sum_dbl = msum.cast("double") / 1000000.0
     return joined.select(
         "event_id",
-        sum_dec.alias("sum_1h"),
-        (sum_dec / mcnt).alias("avg_1h"),
+        sum_dbl.alias("sum_1h"),
+        (sum_dbl / mcnt).alias("avg_1h"),
     )
 
 
