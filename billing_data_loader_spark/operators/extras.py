@@ -227,3 +227,58 @@ def win_sum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_value"
         ),
     )
+
+
+# --- ext_shard_rendezvous ---------------------------------------------------
+
+_N_SHARDS = 8
+
+_RENDEZVOUS_ORACLE = f"""
+SELECT doc_id,
+       arg_max(s, h) AS shard,
+       max(h) AS winning_hash
+FROM (
+  SELECT doc_id, s,
+         md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)) AS h
+  FROM documents CROSS JOIN range({_N_SHARDS}) t(s)
+)
+GROUP BY doc_id
+"""
+
+
+@query("ext_shard_rendezvous", oracle=_RENDEZVOUS_ORACLE, tier=2)
+def ext_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent shard assignment by rendezvous (highest-random-weight)
+    hashing: each doc goes to the shard whose md5(doc_id # shard) is
+    largest. The property mod-N hashing lacks: growing to N+1 shards
+    moves only ~1/(N+1) of the keys (those whose NEW hash wins), so a
+    training corpus can be re-sharded incrementally instead of rewritten.
+
+    Spark shape: the per-shard hashes are an in-row ARRAY of (hash,
+    shard) structs and the winner is array_max — struct comparison is
+    lexicographic, so it picks the max hash with the shard as tie-break.
+    Zero joins, zero shuffles, fully codegen: the assignment is a
+    projection, which is what lets a 100 TB corpus shard in one map-only
+    pass. md5 of the same string is bit-identical in every engine, so
+    assignments reproduce anywhere (same property as
+    ext_sample_hashrank)."""
+    d = load(spark, sf_dir, "documents")
+    arr = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(f"#{s}")
+                    )
+                ).alias("h"),
+                F.lit(s).cast("long").alias("shard"),
+            )
+            for s in range(_N_SHARDS)
+        ]
+    )
+    pick = F.array_max(arr)
+    return d.select(
+        "doc_id",
+        pick["shard"].alias("shard"),
+        pick["h"].alias("winning_hash"),
+    )

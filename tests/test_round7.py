@@ -93,3 +93,50 @@ def test_win_sum_reset_resets_on_gap(spark):
     assert res[3] == (2, 4.0)   # 45-min gap -> reset
     assert res[4] == (1, 1.0)
     assert res[5] == (2, 1.0)   # exactly 30 min -> reset
+
+
+def test_rendezvous_minimal_disruption(spark):
+    # the property that justifies the operator: growing from 8 to 9
+    # shards must reassign roughly 1/9 of keys, never a wholesale move
+    from billing_data_loader_spark.operators.extras import _N_SHARDS
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id")
+
+    def assign(n):
+        arr = F.array(
+            *[
+                F.struct(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f"#{s}"))
+                    ).alias("h"),
+                    F.lit(s).cast("long").alias("shard"),
+                )
+                for s in range(n)
+            ]
+        )
+        return {
+            r["doc_id"]: r["s"]
+            for r in d.select(
+                "doc_id", F.array_max(arr)["shard"].alias("s")
+            ).collect()
+        }
+
+    a = assign(_N_SHARDS)
+    b = assign(_N_SHARDS + 1)
+    moved = sum(1 for k in a if a[k] != b[k])
+    frac = moved / len(a)
+    # expectation 1/9 ~= 0.111; generous band for a 500-doc fixture
+    assert 0.03 < frac < 0.25
+    # every moved key moved TO the new shard (rendezvous invariant)
+    assert all(b[k] == _N_SHARDS for k in a if a[k] != b[k])
+
+
+def test_rendezvous_zero_shuffle_plan(spark):
+    plan = (
+        catalog()["ext_shard_rendezvous"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
