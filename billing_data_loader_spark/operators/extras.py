@@ -282,3 +282,50 @@ def ext_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick["shard"].alias("shard"),
         pick["h"].alias("winning_hash"),
     )
+
+
+# --- ext_dedup_semantic_rep -------------------------------------------------
+
+
+def _semantic_rep_oracle() -> str:
+    from .ann import _KMEANS_ORACLE
+
+    return f"""
+WITH assigned AS ({_KMEANS_ORACLE})
+SELECT vec_id, cluster_id,
+       first_value(vec_id) OVER (
+         PARTITION BY cluster_id ORDER BY sq_dist, vec_id
+       ) AS rep_vec_id,
+       vec_id = first_value(vec_id) OVER (
+         PARTITION BY cluster_id ORDER BY sq_dist, vec_id
+       ) AS is_rep
+FROM assigned
+"""
+
+
+@query("ext_dedup_semantic_rep", oracle=_semantic_rep_oracle(), tier=3)
+def ext_dedup_semantic_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, apply phase: after k-means clusters the embedding
+    corpus (ext_kmeans_lite — full SQL mirror), each cluster keeps its
+    REPRESENTATIVE — the member closest to the centroid (min sq_dist,
+    vec_id tie-break) — and every member learns its representative, the
+    keep/drop decision cluster-level dedup acts on. This is the standard
+    SemDeDup-style reduction: near-duplicate semantic neighborhoods
+    collapse to one exemplar.
+
+    Scale: the window runs over the ASSIGNMENT frame (one row per vector,
+    already reduced), partitioned on cluster_id — one shuffle of ids and
+    distances, never of embeddings. The kmeans assignment itself is
+    map-side broadcast-argmin (see ann.py); composing the two keeps the
+    whole pipeline linear in corpus size."""
+    from .ann import ext_kmeans_lite
+
+    assigned = ext_kmeans_lite(spark, sf_dir)
+    w = W.partitionBy("cluster_id").orderBy("sq_dist", "vec_id")
+    rep = F.first("vec_id").over(w)
+    return assigned.select(
+        "vec_id",
+        "cluster_id",
+        rep.alias("rep_vec_id"),
+        (F.col("vec_id") == rep).alias("is_rep"),
+    )

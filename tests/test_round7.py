@@ -140,3 +140,15 @@ def test_rendezvous_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_semantic_rep_invariants(spark):
+    rows = catalog()["ext_dedup_semantic_rep"].fn(spark, SF_DIR).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        reps = [m for m in members if m["is_rep"]]
+        # exactly one representative per cluster, and everyone points at it
+        assert len(reps) == 1, f"cluster {cid}: {len(reps)} reps"
+        assert all(m["rep_vec_id"] == reps[0]["vec_id"] for m in members)
