@@ -1,0 +1,331 @@
+"""Round-7 operator additions (SURVEY.md §2 extensions).
+
+Four keys that round out surfaces users of the reference-style loader ask
+for next, each with a bit-exact DuckDB oracle:
+
+- ``fn_sql_udf`` — Spark 4 SQL scalar UDFs (CREATE FUNCTION ... RETURN
+  <expr>): business logic shared as catalog functions instead of Python,
+  fully optimizable (the body inlines into the plan, unlike Python UDFs).
+- ``ext_sample_hashrank`` — deterministic, engine-reproducible corpus
+  subsampling by content-free hash rank (md5 is bit-identical in Spark
+  and DuckDB). The sampling a training-data pipeline can re-run anywhere
+  and get the same subset — no RNG state, no seed plumbing.
+- ``agg_heavy_hitters_exact`` — exact frequency-threshold heavy hitters
+  (count > n/k), the verify phase of the Misra-Gries/space-saving sketch
+  pattern expressed as two aggregates.
+- ``win_sum_reset`` — gaps-and-islands conditional cumulative sum (per-user
+  running spend that resets after a 30-minute gap), the windowed form of
+  sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.determinism import quantize_long
+from ..plans.registry import query
+from ..tables import load
+
+# --- fn_sql_udf -------------------------------------------------------------
+
+#: Tiered take-rate: the CASE body is duplicated verbatim in the oracle, so
+#: both engines run the identical constants and the double product is the
+#: same IEEE multiply — emitted RAW (quantizing a product of an arbitrary
+#: double and a constant could land on a half boundary; identical-expression
+#: parity needs no quantization).
+_TIER_CASE = """CASE WHEN p >= 200000 THEN 0.02
+                     WHEN p >= 100000 THEN 0.05
+                     ELSE 0.08 END"""
+
+_SQL_UDF_ORACLE = f"""
+SELECT o_orderkey,
+       o_totalprice,
+       ({_TIER_CASE.replace("p ", "o_totalprice ")}) AS take_rate,
+       o_totalprice * ({_TIER_CASE.replace("p ", "o_totalprice ")}) AS fee
+FROM orders
+"""
+
+
+@query("fn_sql_udf", oracle=_SQL_UDF_ORACLE, tier=2)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF: the tiered take-rate lives in the catalog as
+    a SQL function and is applied per order. Unlike a Python UDF, the SQL
+    body INLINES into the optimized plan (whole-stage codegen, pushdown
+    still work) — `.explain` shows a plain CASE, no BatchEvalPython. At
+    100 TB this is the only UDF form with zero serialization cost."""
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION bdl_take_rate(p DOUBLE)
+            RETURNS DOUBLE RETURN {_TIER_CASE}"""
+    )
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("bdl_sql_udf_orders")
+    return spark.sql(
+        """SELECT o_orderkey,
+                  o_totalprice,
+                  bdl_take_rate(o_totalprice) AS take_rate,
+                  o_totalprice * bdl_take_rate(o_totalprice) AS fee
+           FROM bdl_sql_udf_orders"""
+    )
+
+
+# --- ext_sample_hashrank ----------------------------------------------------
+
+_SAMPLE_K = 50
+_SAMPLE_SALT = ":bdl-seed-7"
+
+_HASHRANK_ORACLE = f"""
+SELECT doc_id, lang, h, rn FROM (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR) || '{_SAMPLE_SALT}') AS h,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SAMPLE_SALT}'), doc_id
+         ) AS BIGINT) AS rn
+  FROM documents
+) WHERE rn <= {_SAMPLE_K}
+"""
+
+
+@query("ext_sample_hashrank", oracle=_HASHRANK_ORACLE, tier=3)
+def ext_sample_hashrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified subsampling by hash rank: top-K docs per
+    language ordered by md5(doc_id || salt). md5 of the same string is
+    bit-identical in every engine, so the SAME subset reproduces across
+    Spark, DuckDB, and any cluster size — the property `sample(fraction,
+    seed)` cannot give (its output depends on partitioning). Changing the
+    salt redraws the sample; K/stratum bounds the output exactly.
+
+    Scale: one shuffle on the stratum key, per-partition top-K under the
+    window (rank stops early per AQE partial-window pushdown); the hash is
+    computed map-side from the key alone — no payload movement until the
+    K winners. At 100 TB with few strata, salt the stratum into buckets
+    (lang, hash(doc_id) % B), take K/B per bucket, and merge — same
+    top-K-by-hash semantics, bounded per-task heap."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SAMPLE_SALT)))
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+    )
+
+
+# --- agg_heavy_hitters_exact ------------------------------------------------
+
+_HH_K = 200
+
+_HH_ORACLE = f"""
+WITH tot AS (SELECT COUNT(*) AS n FROM events),
+     c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(n_events AS DOUBLE) / n AS share
+FROM c, tot
+WHERE n_events * {_HH_K} > n
+"""
+
+
+@query("agg_heavy_hitters_exact", oracle=_HH_ORACLE, tier=2)
+def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: users owning more than 1/{k} of all events.
+
+    This is the verify phase of the streaming Misra-Gries / space-saving
+    pattern: a sketch pass can only produce CANDIDATES (no false
+    negatives above the threshold); the exact counts here are what
+    confirms them. Expressed as two aggregates — per-key counts (map-side
+    combined, so the shuffle carries at most one row per key per
+    partition) and a 1-row total broadcast back — the whole job is two
+    scans with O(distinct keys) network. The share division is the same
+    IEEE op in both engines on exact integers — emitted raw."""
+    ev = load(spark, sf_dir, "events")
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_events") * _HH_K > F.col("n"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n")).alias("share"),
+        )
+    )
+
+
+# --- win_sum_reset ----------------------------------------------------------
+
+_RESET_ORACLE = """
+WITH marked AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_seg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           AS micro,
+         SUM(new_seg) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS seg
+  FROM marked
+)
+SELECT event_id, user_id, CAST(seg AS BIGINT) AS seg,
+       CAST(SUM(micro) OVER (
+         PARTITION BY user_id, seg ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 1000000.0 AS running_value
+FROM numbered
+"""
+
+
+@query("win_sum_reset", oracle=_RESET_ORACLE, tier=3)
+def win_sum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running spend that RESETS after a 30-minute inactivity gap
+    — the windowed (per-event) form of sessionization, where
+    stream_session_window gives only the per-session rollup.
+
+    Gaps-and-islands: a lag() flags segment starts, a running sum of
+    flags numbers the segments, and the value then cumsums within
+    (user, segment). All three windows partition on user_id (same single
+    shuffle — Spark reuses the sort for all of them, no extra exchange),
+    so the plan is one shuffle regardless of scale; values are
+    floor-quantized micro-unit longs (determinism.quantize_long), making
+    the running sum reduction-order-exact and bit-identical to the
+    oracle."""
+    ev = load(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    # microsecond precision: unix_timestamp() truncates to seconds and
+    # disagrees with the oracle's INTERVAL comparison on sub-second gaps
+    # (caught by the sf0.1 tier — sf0.01 timestamps never straddled it)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_ord))
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        quantize_long("value").alias("micro"),
+        F.when(gap_us.isNull() | (gap_us >= 1800 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_seg"),
+    )
+    numbered = marked.withColumn(
+        "seg", F.sum("new_seg").over(w_run).cast("long")
+    )
+    w_seg = (
+        W.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return numbered.select(
+        "event_id",
+        "user_id",
+        "seg",
+        (F.sum("micro").over(w_seg).cast("double") / 1000000.0).alias(
+            "running_value"
+        ),
+    )
+
+
+# --- ext_shard_rendezvous ---------------------------------------------------
+
+_N_SHARDS = 8
+
+_RENDEZVOUS_ORACLE = f"""
+SELECT doc_id,
+       arg_max(s, h) AS shard,
+       max(h) AS winning_hash
+FROM (
+  SELECT doc_id, s,
+         md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)) AS h
+  FROM documents CROSS JOIN range({_N_SHARDS}) t(s)
+)
+GROUP BY doc_id
+"""
+
+
+@query("ext_shard_rendezvous", oracle=_RENDEZVOUS_ORACLE, tier=2)
+def ext_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent shard assignment by rendezvous (highest-random-weight)
+    hashing: each doc goes to the shard whose md5(doc_id # shard) is
+    largest. The property mod-N hashing lacks: growing to N+1 shards
+    moves only ~1/(N+1) of the keys (those whose NEW hash wins), so a
+    training corpus can be re-sharded incrementally instead of rewritten.
+
+    Spark shape: the per-shard hashes are an in-row ARRAY of (hash,
+    shard) structs and the winner is array_max — struct comparison is
+    lexicographic, so it picks the max hash with the shard as tie-break.
+    Zero joins, zero shuffles, fully codegen: the assignment is a
+    projection, which is what lets a 100 TB corpus shard in one map-only
+    pass. md5 of the same string is bit-identical in every engine, so
+    assignments reproduce anywhere (same property as
+    ext_sample_hashrank)."""
+    d = load(spark, sf_dir, "documents")
+    arr = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(f"#{s}")
+                    )
+                ).alias("h"),
+                F.lit(s).cast("long").alias("shard"),
+            )
+            for s in range(_N_SHARDS)
+        ]
+    )
+    pick = F.array_max(arr)
+    return d.select(
+        "doc_id",
+        pick["shard"].alias("shard"),
+        pick["h"].alias("winning_hash"),
+    )
+
+
+# --- ext_dedup_semantic_rep -------------------------------------------------
+
+
+def _semantic_rep_oracle() -> str:
+    from .ann import _KMEANS_ORACLE
+
+    return f"""
+WITH assigned AS ({_KMEANS_ORACLE})
+SELECT vec_id, cluster_id,
+       first_value(vec_id) OVER (
+         PARTITION BY cluster_id ORDER BY sq_dist, vec_id
+       ) AS rep_vec_id,
+       vec_id = first_value(vec_id) OVER (
+         PARTITION BY cluster_id ORDER BY sq_dist, vec_id
+       ) AS is_rep
+FROM assigned
+"""
+
+
+@query("ext_dedup_semantic_rep", oracle=_semantic_rep_oracle(), tier=3)
+def ext_dedup_semantic_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, apply phase: after k-means clusters the embedding
+    corpus (ext_kmeans_lite — full SQL mirror), each cluster keeps its
+    REPRESENTATIVE — the member closest to the centroid (min sq_dist,
+    vec_id tie-break) — and every member learns its representative, the
+    keep/drop decision cluster-level dedup acts on. This is the standard
+    SemDeDup-style reduction: near-duplicate semantic neighborhoods
+    collapse to one exemplar.
+
+    Scale: the window runs over the ASSIGNMENT frame (one row per vector,
+    already reduced), partitioned on cluster_id — one shuffle of ids and
+    distances, never of embeddings. The kmeans assignment itself is
+    map-side broadcast-argmin (see ann.py); composing the two keeps the
+    whole pipeline linear in corpus size."""
+    from .ann import ext_kmeans_lite
+
+    assigned = ext_kmeans_lite(spark, sf_dir)
+    w = W.partitionBy("cluster_id").orderBy("sq_dist", "vec_id")
+    rep = F.first("vec_id").over(w)
+    return assigned.select(
+        "vec_id",
+        "cluster_id",
+        rep.alias("rep_vec_id"),
+        (F.col("vec_id") == rep).alias("is_rep"),
+    )

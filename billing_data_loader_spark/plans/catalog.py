@@ -35,6 +35,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.graph",
     "billing_data_loader_spark.operators.ann",
     "billing_data_loader_spark.operators.multimodal",
+    "billing_data_loader_spark.operators.extras",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",
