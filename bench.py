@@ -96,16 +96,17 @@ def main() -> None:
         prev = json.loads(detail_path.read_text())
     except (OSError, ValueError):
         prev = {}
-    prior_q = prev.get("queries", {}) if isinstance(prev, dict) else {}
+    prior_q_recorded = prev.get("queries", {}) if isinstance(prev, dict) else {}
     prior_tag = prev.get("protocol_tag") if isinstance(prev, dict) else None
     # the prior-based triggers below compare against prior_q timings, which
     # are only comparable when the prior record was produced by THIS
     # protocol — after a protocol change the tag mismatches and the guard
     # (plus the regression listing) stays off for one round rather than
-    # firing against incomparable numbers (ADVICE r5)
+    # firing against incomparable numbers (ADVICE r5). Only the GUARD copy
+    # is emptied: the recorded 'prior_queries' field keeps the raw prior
+    # timings regardless, since it exists for cross-round audits (ADVICE r6)
     prior_comparable = prior_tag == _PROTOCOL_TAG
-    if not prior_comparable:
-        prior_q = {}
+    prior_q = prior_q_recorded if prior_comparable else {}
 
     raw: dict[str, float] = {}
     for key in sorted(specs):
@@ -175,7 +176,7 @@ def main() -> None:
                     "first-pass timings recorded for comparability"
                 ),
                 "protocol_tag": _PROTOCOL_TAG,
-                "prior_queries": prior_q,
+                "prior_queries": prior_q_recorded,
                 "prior_protocol_tag": prior_tag,
                 "prior_comparable": prior_comparable,
                 "regressions_vs_prior": regressions,
@@ -214,6 +215,10 @@ def main() -> None:
                 "queries": {k: timings[k] for k in flagship if k in timings},
                 "n_queries": len(timings),
                 "all_queries_sum": round(sum(timings.values()), 4),
+                # streaming keys are excluded from the headline (micro-
+                # batch + checkpoint machinery, not batch latency) but
+                # their sum is tracked round-over-round here (VERDICT r6)
+                "streaming_sum": round(sum(excluded.values()), 4),
                 "raw_single_shot_sum": round(raw_headline, 4),
                 "n_failures": len(failures),
                 "detail": "BENCH_DETAIL.json",

@@ -59,6 +59,21 @@ def _scaled(col: Column, scale: int) -> Column:
     return F.floor(col.cast("double") * float(10**scale) + F.lit(0.5))
 
 
+def divisor(scale: int = DEFAULT_SCALE) -> float:
+    """The float divisor that undoes :func:`quantize_long` at ``scale``.
+
+    Call sites that reconstruct money from quantized integer units MUST
+    derive the divisor from the same scale they quantized with — a
+    hardcoded ``/ 1000000.0`` next to ``quantize_long(col)`` silently
+    couples the pair to ``DEFAULT_SCALE == 6`` and desyncs without error
+    if the scale ever changes."""
+    return float(10**scale)
+
+
+#: Divisor matching ``quantize_long`` at DEFAULT_SCALE (micro-units).
+MICRO = divisor(DEFAULT_SCALE)
+
+
 def quantize_long(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """Public form of :func:`_scaled` for operators that carry quantized
     integer units through joins/windows/state before the final sum (the

@@ -129,10 +129,14 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal-cast rounding in both engines) so the sums are order-exact.
 _WMEAN_ORACLE = """
 SELECT event_type,
-       CAST(SUM(CAST(value * (1 + CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS DECIMAL(28,6))) AS DOUBLE)
-       / CAST(SUM(CAST(CAST(1 + CAST(json_extract_string(props, '$.k') AS BIGINT)
-                AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS weighted_value
+       (CAST(SUM(CAST(floor(
+            CAST(value * CAST(1 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS DOUBLE) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1000000.0)
+       / (CAST(SUM(CAST(floor(
+            CAST(1 + CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        / 1000000.0) AS weighted_value
 FROM events
 GROUP BY event_type
 """
@@ -144,10 +148,16 @@ def udf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def wmean(v: pd.Series, w: pd.Series) -> float:
-        # quantize to 1e-6 with half-up to mirror DECIMAL(28,6) casts
+        # the shared floor-quantization (determinism.quantize_long's ops in
+        # numpy form): float64 product, *1e6, +0.5, floor — each step IEEE-
+        # identical to the oracle's floor(CAST(...)*1000000.0 + 0.5), so
+        # the former DECIMAL(28,6)-cast mirror (which disagreed near half-
+        # boundaries for >2dp inputs) is gone on BOTH sides. int64 partial
+        # sums are exact below 2^63 micro-units per group; the int->double
+        # cast then the /1e6 divide match the oracle's op order.
         num = np.floor(v.to_numpy() * w.to_numpy() * 1e6 + 0.5).astype(np.int64)
         den = np.floor(w.to_numpy() * 1e6 + 0.5).astype(np.int64)
-        return float((num.sum() / 1e6) / (den.sum() / 1e6))
+        return float((float(num.sum()) / 1e6) / (float(den.sum()) / 1e6))
 
     ev = load(spark, sf_dir, "events")
     w = (1 + F.get_json_object("props", "$.k").cast("long")).cast("double")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import dsum, o_dsum, quantize_long
+from ..functions.determinism import MICRO, dsum, o_dsum, quantize_long
 from ..plans.registry import query
 from ..tables import load
 
@@ -416,6 +416,6 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("s_b").cast(dec), F.lit(0).cast(dec))
                 + F.coalesce(F.col("s_d").cast(dec), F.lit(0).cast(dec))
             ).cast("double")
-            / 1000000.0
+            / MICRO
         ).alias("sum_value"),
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import quantize_long
+from ..functions.determinism import MICRO, quantize_long
 from ..plans.registry import query
 from ..tables import load
 
@@ -223,7 +223,7 @@ def win_sum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "seg",
-        (F.sum("micro").over(w_seg).cast("double") / 1000000.0).alias(
+        (F.sum("micro").over(w_seg).cast("double") / MICRO).alias(
             "running_value"
         ),
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import dsum, o_dsum, quantize_long
+from ..functions.determinism import MICRO, dsum, o_dsum, quantize_long
 from ..plans.registry import query
 from ..tables import load
 
@@ -150,7 +150,7 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         quantize_long(F.col(c)).cast("decimal(38,0)")
                         * F.col("n")
                     ).cast("double")
-                    / 1000000.0
+                    / MICRO
                 ).alias(f"{c}__sum_val"),
             )
         )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import quantize_long
+from ..functions.determinism import MICRO, quantize_long
 from ..plans.registry import query
 from ..session import scoped_persist
 from ..tables import load
@@ -209,7 +209,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.sum(F.col("price_q").cast(_dec38)).over(w_local) + F.col("off"))
             .cast("double")
-            / 1000000.0
+            / MICRO
         ).alias("running_total"),
     )
 
@@ -347,7 +347,7 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # long->double cast THEN the 1e6 divide, mirroring the oracle's
     # CAST(SUM(micro) AS DOUBLE) / 1e6 op order bit-for-bit
-    sum_dbl = msum.cast("double") / 1000000.0
+    sum_dbl = msum.cast("double") / MICRO
     return joined.select(
         "event_id",
         sum_dbl.alias("sum_1h"),

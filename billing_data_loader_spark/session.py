@@ -160,11 +160,21 @@ def reassert_parity(spark: SparkSession) -> None:
     """
     for key in _PARITY_CONF_KEYS:
         want = _RUNTIME_CONF[key]
-        try:
-            if spark.conf.get(key, None) != want:
+        # the get must not be guarded: both keys exist on every supported
+        # build, and swallowing a get failure here would silently disable
+        # the exact parity check this function exists to perform.
+        if spark.conf.get(key, None) != want:
+            try:
                 spark.conf.set(key, want)
-        except Exception:
-            pass  # not settable on this build; builder default applies
+            except Exception as exc:
+                # both keys are runtime-settable on all supported builds;
+                # a failed repair means parity is genuinely broken for
+                # every subsequent query — fail loud, don't limp on.
+                raise RuntimeError(
+                    f"parity-critical conf {key!r} drifted to "
+                    f"{spark.conf.get(key, None)!r} (want {want!r}) and "
+                    "could not be restored"
+                ) from exc
 
 
 def prep(spark: SparkSession) -> SparkSession:

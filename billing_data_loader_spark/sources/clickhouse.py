@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import o_dsum
+from ..functions.determinism import dsum, o_dsum, quantize_long
 from ..plans.registry import query
 from ..session import conf_override
 from ..tables import load
@@ -39,9 +39,17 @@ def prepare_billing_frame(orders: DataFrame) -> DataFrame:
         F.col("o_orderkey").alias("record_id"),
         F.col("o_custkey").alias("account_id"),
         F.col("o_orderdate").cast("date").alias("usage_date"),
-        # money as Decimal for exactness in the sink (fixtures keep double
-        # for oracle parity; Decimal is the at-rest billing type)
-        F.col("o_totalprice").cast("decimal(18,4)").alias("cost"),
+        # money as Decimal for exactness in the sink (Decimal is the
+        # at-rest billing type). The 4dp value comes from the shared
+        # floor-quantization (quantize_long), NOT a double->decimal HALF_UP
+        # cast: the cast rounds on the exact binary expansion while the
+        # oracle quantizes the IEEE product, and the two disagree for
+        # inputs with >2 decimal digits near scale-4 half-boundaries. The
+        # exact integer-units / 10^4 decimal division below is lossless,
+        # so the stored decimal equals the quantized value bit-for-bit.
+        (quantize_long("o_totalprice", scale=4).cast("decimal(18,0)") / 10000)
+        .cast("decimal(18,4)")
+        .alias("cost"),
         F.col("o_orderstatus").alias("status"),
         (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
         .cast("int")
@@ -123,5 +131,9 @@ def sink_clickhouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = sink.read_back(spark)
     return back.groupBy("yyyymm").agg(
         F.count(F.lit(1)).alias("n_records"),
-        F.sum("cost").cast("double").alias("total_cost"),
+        # same quantization function as the oracle's o_dsum: the stored
+        # decimal is already exactly the quantized 4dp value (see
+        # prepare_billing_frame), so dsum recovers the identical integer
+        # units and the sum/divide ops match the oracle op-for-op.
+        dsum("cost", "total_cost", scale=4),
     )

@@ -32,7 +32,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.determinism import dsum, o_dsum, quantize_long
+from ..functions.determinism import MICRO, dsum, o_dsum, quantize_long
 from ..plans.registry import query
 from ..tables import (
     events_finalize_ts,
@@ -349,7 +349,7 @@ def _stateful_update(key, pdfs, state):
         {
             "user_id": [user_id],
             "n_events": [cnt],
-            "sum_value": [float(micro) / 1000000.0],
+            "sum_value": [float(micro) / MICRO],
             "last_ts": [last],
         }
     )

@@ -162,6 +162,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         # larger graphs take the width-scaled label-propagation loop, which
         # never single-partitions (tests pin path equality).
         "ext_dedup_cluster": "union-find path gated on measured edge count",
+        # round 7: same 1-row-scalar pattern as the entries above
+        "agg_heavy_hitters_exact": "1-row global event-count aggregate",
+        "ext_dedup_semantic_rep": "inherits ext_kmeans_lite centroid fold",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -186,6 +189,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_pagerank_lite": "1-row broadcast node-count frame (teleport term)",
         "ext_length_bucket_batching": "1-row broadcast global-max (pad_naive)",
         "prof_column_stats": "cross-join of four 1-row per-column profiles",
+        # round 7: same 1-row-broadcast pattern
+        "agg_heavy_hitters_exact": "1-row broadcast event-count frame (share)",
+        "ext_dedup_semantic_rep": "inherits ext_kmeans_lite centroid array",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
