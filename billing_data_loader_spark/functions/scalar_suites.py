@@ -500,3 +500,67 @@ def fn_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+# --- fn_lambda_suite --------------------------------------------------------
+
+# Higher-order array functions (SQL lambdas): transform / filter / exists /
+# forall / aggregate — the expression-level loop constructs that replace
+# Python UDFs for per-row collection logic. Quantities quantize to integer
+# cents BEFORE entering the lambdas, so every fold is exact integer
+# arithmetic and bit-identical cross-engine (DuckDB's list_aggregate 'sum'
+# returns HUGEINT — cast back to BIGINT). exists/forall are expressed as
+# list_filter cardinalities in the oracle: identical semantics on non-null
+# elements, and the fixture arrays are null-free by construction.
+_LAMBDA_ORACLE = """
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(floor(CAST(l_quantity AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS qc
+  FROM lineitem
+),
+g AS (SELECT l_orderkey, list_sort(list(qc)) AS a FROM q GROUP BY l_orderkey)
+SELECT l_orderkey,
+       CAST(len(a) AS BIGINT) AS n_items,
+       CAST(list_aggregate(a, 'sum') AS BIGINT) AS qty_sum_c,
+       CAST(len(list_filter(a, x -> x >= 3000)) AS BIGINT) AS n_heavy,
+       len(list_filter(a, x -> x >= 4500)) > 0 AS any_ge_45,
+       len(list_filter(a, x -> x > 4900)) = 0 AS all_le_49,
+       CAST(list_aggregate(list_transform(a, x -> x * x), 'sum') AS BIGINT)
+         AS sq_sum_c
+FROM g
+"""
+
+
+@query("fn_lambda_suite", oracle=_LAMBDA_ORACLE, tier=2)
+def fn_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order function suite over per-order quantity arrays:
+    transform, filter, exists, forall, and aggregate (fold) lambdas.
+    These are the JVM-side, codegen'd replacement for per-row Python
+    UDFs on collection columns — at 100 TB the difference between an
+    expression evaluated inside the scan stage and an Arrow round-trip
+    per batch. The array is sort_array(collect_list(...)) so its order
+    (and therefore every fold) is deterministic regardless of shuffle
+    layout; elements are integer cents, so sums are exact."""
+    from ..functions.determinism import quantize_long
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", quantize_long("l_quantity", scale=2).alias("qc")
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("qc")).alias("a")
+    )
+    zero = F.lit(0).cast("long")
+    return g.select(
+        "l_orderkey",
+        F.size("a").cast("long").alias("n_items"),
+        F.aggregate("a", zero, lambda acc, x: acc + x).alias("qty_sum_c"),
+        F.size(F.filter("a", lambda x: x >= 3000))
+        .cast("long")
+        .alias("n_heavy"),
+        F.exists("a", lambda x: x >= 4500).alias("any_ge_45"),
+        F.forall("a", lambda x: x <= 4900).alias("all_le_49"),
+        F.aggregate(
+            F.transform("a", lambda x: x * x), zero, lambda acc, x: acc + x
+        ).alias("sq_sum_c"),
+    )

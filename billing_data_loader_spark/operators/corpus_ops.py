@@ -1,0 +1,226 @@
+"""Round-7 second batch: corpus-lifecycle operators for the LLM-data
+pipeline surface (SURVEY.md §2.10 extensions).
+
+Three keys covering the ingestion-and-release lifecycle around the
+existing dedup/curation operators, each with a bit-exact DuckDB oracle:
+
+- ``ext_dup_ngram_coverage`` — per-document duplicate-n-gram fraction
+  (the CC-Net / Gopher "dup-ness" signal): what share of a doc's word
+  trigrams also appear in another document. The scoring complement to the
+  binary keep/drop dedup operators — pipelines THRESHOLD this score.
+- ``ext_dedup_incremental`` — incremental-ingestion dedup: a new batch is
+  checked against the existing corpus by content digest, so re-crawls
+  and refreshes don't re-admit what the corpus already holds.
+- ``ext_train_split_hash`` — deterministic hash-based train/val/test
+  assignment with a per-(split, lang) audit rollup. Like
+  ``ext_sample_hashrank``, md5-of-key assignment reproduces bit-identically
+  on any engine and any cluster size — no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+from .llm_pipeline import _CORPUS_SQL, _corpus_with_dups
+
+# --- ext_dup_ngram_coverage -------------------------------------------------
+
+_DUP_NGRAM_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+  WHERE len(string_split(text, ' ')) >= 3
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           AS g
+  FROM tok
+),
+df AS (SELECT g, COUNT(*) AS docs FROM tri GROUP BY g)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS dup_frac
+FROM tri JOIN df USING (g)
+GROUP BY doc_id
+"""
+
+
+@query("ext_dup_ngram_coverage", oracle=_DUP_NGRAM_ORACLE, tier=3)
+def ext_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-n-gram coverage: the fraction of a doc's
+    DISTINCT word trigrams that appear in at least one OTHER document
+    (shingle doc-frequency >= 2). This is the graded dup-ness score
+    CC-Net/Gopher-style pipelines threshold on, complementing the binary
+    keep/drop operators (ext_dedup_hash keeps one exact copy;
+    ext_neardup_* flag near-pairs): a doc that is 60% boilerplate scores
+    0.6 here and can be down-weighted instead of dropped.
+
+    Shape: distinct (doc, shingle) pairs -> shingle doc-frequency
+    (groupBy g) -> join back on g (reuses the g-partitioning from the
+    aggregate, no extra exchange) -> per-doc rollup. Shuffle keys are
+    shingle strings and doc ids, never full texts. At 100 TB swap the
+    exact doc-frequency map for a bloom/count-min prefilter over shingles
+    with df>=2 (same pattern as ext_bloom_decontaminate) — the per-doc
+    rollup is unchanged. The dup fraction divides two exact integers in
+    one IEEE op, identical in both engines."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), "
+                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+                " element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    df_counts = tri.groupBy("g").agg(F.count(F.lit(1)).alias("docs"))
+    dup = F.when(F.col("docs") >= 2, 1).otherwise(0)
+    return (
+        tri.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_shingles")).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+# --- ext_dedup_incremental --------------------------------------------------
+
+#: Incoming-batch re-tag offset: distinct from llm_pipeline._COPY_OFFSET so
+#: batch ids never collide with either the base corpus or its dup copies.
+_BATCH_OFFSET = 2_000_000
+
+_INCR_ORACLE = f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id + {_BATCH_OFFSET} AS batch_doc_id, text
+  FROM documents WHERE doc_id % 3 = 0
+),
+digests AS (
+  SELECT sha256(text) AS digest, MIN(doc_id) AS first_doc_id,
+         COUNT(*) AS n_corpus
+  FROM corpus GROUP BY digest
+)
+SELECT batch_doc_id,
+       b.digest AS digest,
+       d.first_doc_id IS NOT NULL AS is_dup,
+       d.first_doc_id AS matched_doc_id,
+       COALESCE(d.n_corpus, 0) AS n_corpus_copies
+FROM (SELECT batch_doc_id, sha256(text) AS digest FROM batch) b
+LEFT JOIN digests d USING (digest)
+"""
+
+
+@query("ext_dedup_incremental", oracle=_INCR_ORACLE, tier=3)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: an incoming batch (re-tagged slice of
+    the fixture, doc_id % 3 == 0) is checked against the EXISTING corpus
+    (doc_id % 2 == 0) by sha256 content digest; every-6th doc is in both
+    slices, so the output mixes genuine dups with genuinely new docs.
+    This is the ingestion-time shape of dedup — ext_dedup_hash rebuilds
+    the keep-set over the whole corpus, this admits a day's crawl against
+    it without touching settled data.
+
+    Shape: corpus reduces to one row per digest (min keeper +
+    multiplicity), then a LEFT join keyed on 32-byte digests — never
+    text. At 100 TB the digest table is the corpus's standing dedup
+    index: keep it bucketed by digest so each incremental batch joins
+    co-located, and front it with a bloom filter broadcast
+    (ext_bloom_decontaminate pattern) so the overwhelmingly-new crawl
+    skips the shuffle for non-hits."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _BATCH_OFFSET).alias("batch_doc_id"),
+        F.sha2("text", 256).alias("digest"),
+    )
+    digests = corpus.groupBy(F.sha2("text", 256).alias("digest")).agg(
+        F.min("doc_id").alias("first_doc_id"),
+        F.count(F.lit(1)).alias("n_corpus"),
+    )
+    return batch.join(digests, "digest", "left").select(
+        "batch_doc_id",
+        "digest",
+        F.col("first_doc_id").isNotNull().alias("is_dup"),
+        F.col("first_doc_id").alias("matched_doc_id"),
+        F.coalesce("n_corpus", F.lit(0)).alias("n_corpus_copies"),
+    )
+
+
+# --- ext_train_split_hash ---------------------------------------------------
+
+_SPLIT_SALT = ":bdl-split-7"
+
+_SPLIT_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN substr(h, 1, 1) < 'c' THEN 'train'
+              WHEN substr(h, 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}') AS h
+    FROM documents
+  )
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+FROM assigned
+GROUP BY split, lang
+"""
+
+
+@query("ext_train_split_hash", oracle=_SPLIT_ORACLE, tier=3)
+def ext_train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free hash: the
+    first hex digit of md5(doc_id || salt) buckets each doc 12/2/2
+    sixteenths into train/val/test. md5 of the same string is
+    bit-identical in every engine, so the SAME split reproduces across
+    Spark, DuckDB, and any cluster size or partitioning — the
+    reproducibility `randomSplit(weights, seed)` cannot give (its output
+    depends on partition layout). Changing the salt redraws the split;
+    membership is decidable per-row with no global state, so a 100 TB
+    corpus splits in one map-only pass and any downstream job can
+    re-derive membership instead of materializing it.
+
+    The returned frame is the audit rollup (per split x lang doc and char
+    counts — the balance check run before training); the assignment
+    itself is the map-side CASE and composes into any query."""
+    d = load(spark, sf_dir, "documents")
+    first = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))),
+        1,
+        1,
+    )
+    split = (
+        F.when(first < "c", "train").when(first < "e", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_sum"),
+        )
+    )

@@ -152,6 +152,91 @@ def agg_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- agg_heavy_hitters_approx -----------------------------------------------
+
+_MG_K = 150
+
+_HH_APPROX_ORACLE = f"""
+WITH tot AS (SELECT COUNT(*) AS n FROM events),
+     c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       CAST(n_events AS DOUBLE) / n AS share
+FROM c, tot
+WHERE n_events * {_MG_K} > n
+"""
+
+
+def _mg_candidates(iterator):
+    """Per-partition Misra-Gries summary (capacity ``_MG_K`` counters).
+
+    Merge form: each Arrow batch contributes its exact value_counts
+    (vectorized), then the counter map is reduced back to capacity by
+    subtracting the (cap+1)-th largest residual from everything and
+    dropping non-positives — the standard mergeable-summaries reduction
+    (Agarwal et al., TODS 2013). Guarantee: any key with in-partition
+    count > n_p/(cap+1) survives with a positive residual, so no global
+    heavy hitter above n/_MG_K can be missed by every partition."""
+    import pandas as pd
+
+    counters: dict[int, int] = {}
+    for pdf in iterator:
+        for uid, cnt in pdf["user_id"].value_counts().items():
+            counters[int(uid)] = counters.get(int(uid), 0) + int(cnt)
+        if len(counters) > _MG_K:
+            # subtract the (cap+1)-th largest count; >= cap keys survive
+            cut = sorted(counters.values(), reverse=True)[_MG_K]
+            counters = {
+                k: v - cut for k, v in counters.items() if v - cut > 0
+            }
+    yield pd.DataFrame({"user_id": list(counters) or []}).astype(
+        {"user_id": "int64"}
+    )
+
+
+@query("agg_heavy_hitters_approx", oracle=_HH_APPROX_ORACLE, tier=2)
+def agg_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-phase heavy hitters: per-partition Misra-Gries candidate
+    generation (mapInPandas, O(k) state per task, NO shuffle of raw
+    events) followed by an exact recount of the candidate set only. The
+    MG guarantee (no false negatives above n/k) makes the final output
+    EXACT — identical to agg_heavy_hitters_exact's two-aggregate form —
+    while the shuffle carries only |candidates| <= k x n_partitions ids
+    instead of one row per distinct key per partition.
+
+    This is the 100 TB shape for skewed frequency queries: the exact
+    form's groupBy moves O(distinct keys) through the exchange (billions
+    of rows for user-level keys); the sketch moves O(k x tasks), then
+    recounts candidates with a broadcast semi-join that never shuffles
+    the fact table at all. Worth it precisely when distinct >> k; the
+    exact key documents the opposite regime."""
+    ev = load(spark, sf_dir, "events")
+    import pyspark.sql.types as T
+
+    cand = (
+        ev.select("user_id")
+        .mapInPandas(
+            _mg_candidates,
+            T.StructType([T.StructField("user_id", T.LongType())]),
+        )
+        .distinct()
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        ev.join(F.broadcast(cand), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_events") * _MG_K > F.col("n"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n")).alias("share"),
+        )
+    )
+
+
 # --- win_sum_reset ----------------------------------------------------------
 
 _RESET_ORACLE = """

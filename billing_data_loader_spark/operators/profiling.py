@@ -168,3 +168,56 @@ def prof_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_null, n_distinct, min_val, max_val, sum_val)"
         )
     )
+
+
+# --- prof_skew_report -------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH c AS (
+  SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+),
+s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM c)
+SELECT key, cnt, n_keys, n_rows,
+       CAST(cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio
+FROM c, s
+ORDER BY cnt DESC, key ASC
+LIMIT 10
+"""
+
+
+@query("prof_skew_report", oracle=_SKEW_ORACLE, tier=2)
+def prof_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for orders.o_custkey: the top-10 hottest keys
+    with their skew ratio (key count over the mean count per key). This
+    is the diagnosis run BEFORE choosing a join strategy — a ratio near 1
+    says hash-partitioning balances, a 1000x ratio says salt this key or
+    rely on AQE skew-join splitting (join_skew_salted implements the
+    remedy; this operator finds the patients).
+
+    Shape: one map-side-combined groupBy on the key, a 1-row (n_keys,
+    n_rows) aggregate broadcast back, and TakeOrderedAndProject for the
+    top-10 — never a global window, never a full sort. At 100 TB the
+    per-key count frame is the only shuffle and is exactly the join's own
+    build-side histogram; the report is O(distinct keys) -> 10 rows. The
+    ratio multiplies/divides exact integers in doubles, identical ops in
+    both engines."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "cnt",
+            "n_keys",
+            "n_rows",
+            (F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"))
+            .alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )

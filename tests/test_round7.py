@@ -152,3 +152,119 @@ def test_semantic_rep_invariants(spark):
         # exactly one representative per cluster, and everyone points at it
         assert len(reps) == 1, f"cluster {cid}: {len(reps)} reps"
         assert all(m["rep_vec_id"] == reps[0]["vec_id"] for m in members)
+
+
+# --- round-7 second batch (corpus_ops / extras / profiling / lambdas) -------
+
+
+def test_mg_candidates_superset_of_true_heavy_hitters(spark):
+    # the Misra-Gries guarantee the operator's exactness rests on: every
+    # key above the threshold must appear among the sketch candidates
+    import pyspark.sql.types as T
+
+    from billing_data_loader_spark.operators.extras import (
+        _MG_K,
+        _mg_candidates,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cand = {
+        r["user_id"]
+        for r in ev.select("user_id")
+        .mapInPandas(
+            _mg_candidates,
+            T.StructType([T.StructField("user_id", T.LongType())]),
+        )
+        .collect()
+    }
+    n = ev.count()
+    true_hh = {
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .count()
+        .filter(F.col("count") * _MG_K > n)
+        .collect()
+    }
+    assert true_hh, "fixture should have keys above n/_MG_K at sf0.01"
+    assert true_hh <= cand
+    # and the final operator output equals the exact computation
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in catalog()["agg_heavy_hitters_approx"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == true_hh
+
+
+def test_dup_ngram_coverage_copies_score_one(spark):
+    from billing_data_loader_spark.operators.llm_pipeline import _COPY_OFFSET
+
+    rows = {
+        r["doc_id"]: r
+        for r in catalog()["ext_dup_ngram_coverage"].fn(spark, SF_DIR).collect()
+    }
+    copies = [r for i, r in rows.items() if i >= _COPY_OFFSET]
+    assert copies, "synthetic corpus must contain re-tagged copies"
+    # a verbatim copy shares every trigram with its original
+    assert all(r["dup_frac"] == 1.0 for r in copies)
+    for i, r in rows.items():
+        assert 0.0 <= r["dup_frac"] <= 1.0 and r["n_dup"] <= r["n_shingles"]
+        # the original of every copy also scores 1.0
+        if i + _COPY_OFFSET in rows:
+            assert rows[i]["dup_frac"] == 1.0
+
+
+def test_train_split_partitions_whole_corpus(spark):
+    rows = catalog()["ext_train_split_hash"].fn(spark, SF_DIR).collect()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    # 12/2/2 sixteenths with generous bands for a 500-doc fixture
+    total = sum(by_split.values())
+    assert 0.6 < by_split["train"] / total < 0.9
+    assert by_split["val"] / total < 0.25
+    assert by_split["test"] / total < 0.25
+
+
+def test_dedup_incremental_mixes_dups_and_new(spark):
+    rows = catalog()["ext_dedup_incremental"].fn(spark, SF_DIR).collect()
+    from billing_data_loader_spark.operators.corpus_ops import _BATCH_OFFSET
+
+    dups = [r for r in rows if r["is_dup"]]
+    new = [r for r in rows if not r["is_dup"]]
+    assert dups and new, "batch must mix genuine dups with new docs"
+    for r in dups:
+        # the matched corpus doc is the SAME underlying document
+        assert r["matched_doc_id"] == r["batch_doc_id"] - _BATCH_OFFSET
+        assert r["n_corpus_copies"] >= 1
+    assert all(r["matched_doc_id"] is None for r in new)
+
+
+def test_skew_report_matches_exact_counts(spark):
+    rows = catalog()["prof_skew_report"].fn(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = {
+        r["o_custkey"]: r["count"]
+        for r in o.groupBy("o_custkey").count().collect()
+    }
+    assert len(rows) == 10
+    top_cnt = max(exact.values())
+    assert rows and max(r["cnt"] for r in rows) == top_cnt
+    for r in rows:
+        assert exact[r["key"]] == r["cnt"]
+        want = r["cnt"] * r["n_keys"] / r["n_rows"]
+        assert abs(r["skew_ratio"] - want) < 1e-12
+
+
+def test_lambda_suite_plan_has_no_python_eval(spark):
+    plan = (
+        catalog()["fn_lambda_suite"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

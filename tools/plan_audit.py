@@ -165,6 +165,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         # round 7: same 1-row-scalar pattern as the entries above
         "agg_heavy_hitters_exact": "1-row global event-count aggregate",
         "ext_dedup_semantic_rep": "inherits ext_kmeans_lite centroid fold",
+        "agg_heavy_hitters_approx": "1-row global event-count aggregate",
+        "prof_skew_report": "1-row (n_keys, n_rows) profile aggregate",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -192,6 +194,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         # round 7: same 1-row-broadcast pattern
         "agg_heavy_hitters_exact": "1-row broadcast event-count frame (share)",
         "ext_dedup_semantic_rep": "inherits ext_kmeans_lite centroid array",
+        "agg_heavy_hitters_approx": "1-row broadcast event-count frame (share)",
+        "prof_skew_report": "1-row broadcast (n_keys, n_rows) frame (ratio)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
