@@ -502,3 +502,195 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("emb", lambda x: F.abs(x - code(x) * F.col("scale")))
         ).alias("max_abs_err"),
     )
+
+
+# --- ext_ann_lsh ------------------------------------------------------------
+
+_LSH_TABLES = 3
+_LSH_BITS = 6
+_LSH_ANCHORS = _LSH_TABLES * _LSH_BITS * 2  # 36: anchor pair per plane
+
+# Full algorithm-mirror oracle (the ext_ann_ivf precedent): planes are
+# DIFFERENCES of deterministic anchor-vector pairs (vec_id 1..36 — a
+# data-derived stand-in for gaussian hyperplanes; differences are
+# mean-centered directions, so sign-splits balance: 64/64 codes occupied
+# at sf0.01, max bucket 17/500). Signatures, multiprobe expansion, and
+# the candidate cosine re-rank are all the same integer/IEEE ops in both
+# engines, so the declared top-10 hash-matches. Recall vs exact top-10 is
+# pinned separately in tests/test_ann.py (8/10 at the sf0.01 grading
+# tier for 3 tables x Hamming<=2 probing).
+_LSH_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+pl AS (
+  SELECT t, j, list_transform(range(1, 65), i -> a.ve[i] - b.ve[i]) AS hv
+  FROM (SELECT 1 AS t UNION ALL SELECT 2 UNION ALL SELECT 3) tt
+  CROSS JOIN range(1, {_LSH_BITS + 1}) r(j)
+  JOIN v a ON a.vec_id = (t - 1) * {2 * _LSH_BITS} + 2 * j - 1
+  JOIN v b ON b.vec_id = (t - 1) * {2 * _LSH_BITS} + 2 * j
+),
+sig AS (
+  SELECT v.vec_id, pl.t,
+         CAST(SUM(CASE WHEN list_dot_product(v.ve, pl.hv) >= 0
+                  THEN (1 << (j - 1)) ELSE 0 END) AS BIGINT) AS sig
+  FROM v CROSS JOIN pl GROUP BY v.vec_id, pl.t
+),
+q AS (SELECT t, sig FROM sig WHERE vec_id = 0),
+probes AS (
+  SELECT DISTINCT t, psig FROM (
+    SELECT t, sig AS psig FROM q
+    UNION ALL
+    SELECT t, xor(sig, 1 << (j - 1)) FROM q, range(1, {_LSH_BITS + 1}) r(j)
+    UNION ALL
+    SELECT t, xor(sig, (1 << (j - 1)) | (1 << (k - 1)))
+    FROM q, range(1, {_LSH_BITS + 1}) r(j), range(1, {_LSH_BITS + 1}) u(k)
+    WHERE k > j
+  )
+),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sig s JOIN probes p ON s.t = p.t AND s.sig = p.psig
+  WHERE s.vec_id <> 0
+),
+qv AS (SELECT ve AS qv FROM v WHERE vec_id = 0)
+SELECT v.vec_id,
+       list_dot_product(v.ve, qv)
+       / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(qv, qv)))
+         AS cos_sim
+FROM v JOIN cand USING (vec_id) CROSS JOIN qv
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT {_TOP_K}
+"""
+
+
+@query("ext_ann_lsh", oracle=_LSH_ORACLE, tier=3)
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for the vec_id=0 query: 3 hash
+    tables of 6 sign-of-projection bits each (planes = anchor-pair
+    differences), candidates drawn from the query's bucket and every
+    bucket within Hamming distance 2 per table, exact cosine re-rank on
+    the candidates. The LSH complement to ext_ann_ivf's coarse-cell
+    index: IVF partitions by nearest-pivot Voronoi cells, LSH by
+    locality-preserving bit codes — the standard pairing for ANN at
+    scale, and the one that degrades gracefully under inserts (a new
+    vector's code never changes; IVF cells drift with the pivot set).
+
+    Shape: the 18 plane vectors fold to ONE broadcast row; signatures
+    are a map-side integer fold per table computed inside the scan stage
+    (no shuffle, order-insensitive integer sum so collect_list order
+    cannot perturb them); the probe set is O(tables x bits^2) codes
+    broadcast back; candidate ids dedup through one id-only shuffle
+    (vectors never move until the final fetch-join). At 100 TB the
+    corpus shuffles ONCE on (table, sig) into a bucketed index; a query
+    touches only its probe buckets. The fixture's 6-bit/64-bucket codes
+    are sized to its 500-2000 vectors — at real scale bits grow with
+    log(corpus) and probing narrows, shrinking the scanned fraction; the
+    multiprobe breadth here is the honest small-corpus trade to hold
+    recall (pinned in tests)."""
+    from ..session import widen_scan
+
+    e = widen_scan(load(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", _as_double("embedding").alias("v"))
+
+    anchors = v.filter(F.col("vec_id").between(1, _LSH_ANCHORS))
+    blk = ((F.col("vec_id") - 1) / (2 * _LSH_BITS)).cast("int") + 1
+    off = F.col("vec_id") - (blk - 1) * (2 * _LSH_BITS)
+    a = anchors.filter(F.col("vec_id") % 2 == 1).select(
+        blk.alias("t"), ((off + 1) / 2).cast("int").alias("j"),
+        F.col("v").alias("av"),
+    )
+    b = anchors.filter(F.col("vec_id") % 2 == 0).select(
+        blk.alias("t"), (off / 2).cast("int").alias("j"),
+        F.col("v").alias("bv"),
+    )
+    planes = a.join(b, ["t", "j"]).select(
+        "t",
+        "j",
+        F.expr("cast(shiftleft(1, j - 1) as long)").alias("bit"),
+        F.zip_with("av", "bv", lambda x, y: x - y).alias("hv"),
+    )
+    # all 18 planes fold into ONE row; the per-table signature is an
+    # order-insensitive integer sum of per-plane bit contributions, so
+    # collect_list's nondeterministic order is harmless
+    plane_arr = planes.agg(
+        F.collect_list(F.struct("t", "j", "bit", "hv")).alias("ps")
+    )
+
+    def _sig(t: int):
+        return F.aggregate(
+            F.filter("ps", lambda p: p["t"] == t),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(_dot(F.col("v"), p["hv"]) >= 0, p["bit"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+
+    sig_rows = (
+        v.crossJoin(F.broadcast(plane_arr))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"), _sig(t).alias("sig")
+                        )
+                        for t in range(1, _LSH_TABLES + 1)
+                    ]
+                )
+            ).alias("ts"),
+        )
+        .select("vec_id", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    )
+    # the signature frame feeds three consumers (query sigs, the probe
+    # join, nothing else re-derives it) — persist once per declared query
+    # so the 18-dot fold per vector runs a single time
+    from ..session import scoped_persist
+
+    sig_rows = scoped_persist(sig_rows)
+
+    qsig = sig_rows.filter(F.col("vec_id") == 0)
+    probe_exprs = [F.col("sig")]
+    probe_exprs += [
+        F.col("sig").bitwiseXOR(F.lit(1 << (j - 1)).cast("long"))
+        for j in range(1, _LSH_BITS + 1)
+    ]
+    probe_exprs += [
+        F.col("sig").bitwiseXOR(
+            F.lit((1 << (j - 1)) | (1 << (k - 1))).cast("long")
+        )
+        for j in range(1, _LSH_BITS + 1)
+        for k in range(j + 1, _LSH_BITS + 1)
+    ]
+    # probes derives FROM sig_rows (the query row), so the self-join must
+    # rename both key columns — a bare sig_rows.t == probes.t resolves both
+    # sides to the same attribute (trivially-true predicate) and would
+    # cross-match probe codes across tables
+    probes = (
+        qsig.select(
+            F.col("t").alias("pt"),
+            F.explode(F.array(*probe_exprs)).alias("psig"),
+        )
+        .distinct()
+    )
+
+    cand_ids = (
+        sig_rows.join(
+            F.broadcast(probes),
+            (F.col("t") == F.col("pt")) & (F.col("sig") == F.col("psig")),
+        )
+        .select("vec_id")
+        .filter(F.col("vec_id") != 0)
+        .distinct()
+    )
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        v.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cos(F.col("v"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(_TOP_K)
+    )

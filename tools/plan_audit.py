@@ -116,6 +116,20 @@ AUDITED = {
         "stat derives from the histogram in a 1-row aggregate, and the "
         "four 1-row frames cross-join as broadcasts."
     ),
+    "agg_heavy_hitters_approx": (
+        "Sketch-phase heavy hitters (round 7): Misra-Gries candidates via "
+        "MapInPandas with O(k) state per task (no shuffle of raw events), "
+        "candidate recount behind a broadcast left-semi join, 1-row total "
+        "broadcast for the share — the fact table never hash-shuffles on "
+        "the key."
+    ),
+    "ext_ann_lsh": (
+        "LSH-bucketed ANN (round 7): 18 plane vectors fold to one "
+        "broadcast row; per-table sign-bit signatures are an integer fold "
+        "inside the scan stage; probe codes broadcast back; only candidate "
+        "IDs shuffle (distinct), vectors move only in the final fetch-join "
+        "before TakeOrderedAndProject."
+    ),
 }
 
 
@@ -167,6 +181,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_dedup_semantic_rep": "inherits ext_kmeans_lite centroid fold",
         "agg_heavy_hitters_approx": "1-row global event-count aggregate",
         "prof_skew_report": "1-row (n_keys, n_rows) profile aggregate",
+        "ext_ann_lsh": "1-row plane-array fold (18 planes -> one array row)",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -196,6 +211,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_dedup_semantic_rep": "inherits ext_kmeans_lite centroid array",
         "agg_heavy_hitters_approx": "1-row broadcast event-count frame (share)",
         "prof_skew_report": "1-row broadcast (n_keys, n_rows) frame (ratio)",
+        "ext_ann_lsh": "1-row plane array + 1-row query vector broadcasts",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
