@@ -507,3 +507,96 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+# --- win_rolling_slope ------------------------------------------------------
+
+_SLOPE_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) AS x_us,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS y_c
+  FROM events
+),
+rel AS (
+  SELECT event_id, user_id, ts, y_c,
+         (x_us - min(x_us) OVER (PARTITION BY user_id)) // 1000000 AS x_s
+  FROM base
+),
+s AS (
+  SELECT event_id, user_id,
+         COUNT(*) OVER w AS n,
+         SUM(x_s) OVER w AS sx,
+         SUM(y_c) OVER w AS sy,
+         SUM(x_s * y_c) OVER w AS sxy,
+         SUM(x_s * x_s) OVER w AS sxx
+  FROM rel
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, CAST(n AS BIGINT) AS n_window,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_c_per_s
+FROM s
+"""
+
+
+@query("win_rolling_slope", oracle=_SLOPE_ORACLE, tier=3)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend per user: the least-squares slope of (value vs
+    time) over each user's trailing 10 events — the usage-trend signal a
+    billing pipeline alerts on (spend accelerating vs flat), computed as
+    pure window algebra instead of a per-group Python regression.
+
+    Every windowed term is an EXACT integer sum: x is whole seconds
+    since the user's first event (integer division of epoch micros —
+    bounded ~2.6e6 on the fixture span, so every product and 10-row sum
+    sits far inside int64), y is floor-quantized cents. The closed-form
+    slope (n*sxy - sx*sy) / (n*sxx - sx^2) then divides two exact
+    integers in ONE IEEE op — bit-identical cross-engine, no float
+    reduction order anywhere. Degenerate windows (all x equal — a
+    user's first event, or same-second bursts) yield NULL by the same
+    integer zero-test in both engines.
+
+    Shape: all three windows (the per-user min and the two rolling
+    frames) partition on user_id — one shuffle, one sort, shared by
+    every frame; output is one row per input row, generated in the same
+    stage. At 100 TB this scales with users exactly like
+    win_running_sum's per-user form."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    rel = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        quantize_long("value", scale=2).alias("y_c"),
+        F.expr(
+            "(unix_micros(ts) - min(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id)) div 1000000"
+        ).alias("x_s"),
+    )
+    s = rel.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x_s").over(w).alias("sx"),
+        F.sum("y_c").over(w).alias("sy"),
+        F.sum(F.col("x_s") * F.col("y_c")).over(w).alias("sxy"),
+        F.sum(F.col("x_s") * F.col("x_s")).over(w).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_id",
+        "user_id",
+        F.col("n").alias("n_window"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope_c_per_s"),
+    )

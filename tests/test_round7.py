@@ -268,3 +268,37 @@ def test_lambda_suite_plan_has_no_python_eval(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_rolling_slope_exact_on_linear_series(spark):
+    # y = 3.5 cents/sec exactly -> every full window's slope is exactly 3.5;
+    # the first event of each user (single-point window) must be NULL
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for uid in (1, 2):
+        for i in range(12):
+            eid += 1
+            rows.append((eid, uid, t0 + timedelta(seconds=10 * i), 0.035 * 10 * i))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"]).astype(
+        {"event_id": "int64", "user_id": "int64"}
+    )
+    out = tempfile.mkdtemp(prefix="bdl_slope_toy_")
+    pdf.to_parquet(f"{out}/events.parquet", index=False)
+    res = {
+        r["event_id"]: r
+        for r in catalog()["win_rolling_slope"].fn(spark, out).collect()
+    }
+    for uid_base in (0, 12):
+        first = res[uid_base + 1]
+        assert first["n_window"] == 1 and first["slope_c_per_s"] is None
+        for k in range(2, 13):
+            r = res[uid_base + k]
+            assert r["n_window"] == min(k, 10)
+            # value grows 0.35 units per 10 s = 35 cents / 10 s = 3.5 c/s
+            assert abs(r["slope_c_per_s"] - 3.5) < 1e-12
