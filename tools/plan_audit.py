@@ -182,6 +182,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_heavy_hitters_approx": "1-row global event-count aggregate",
         "prof_skew_report": "1-row (n_keys, n_rows) profile aggregate",
         "ext_ann_lsh": "1-row plane-array fold (18 planes -> one array row)",
+        "ext_domain_mix_temperature": "1-row quantized-weight total aggregate",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -212,6 +213,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_heavy_hitters_approx": "1-row broadcast event-count frame (share)",
         "prof_skew_report": "1-row broadcast (n_keys, n_rows) frame (ratio)",
         "ext_ann_lsh": "1-row plane array + 1-row query vector broadcasts",
+        "ext_domain_mix_temperature": "1-row broadcast weight-total frame",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
