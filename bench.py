@@ -151,6 +151,25 @@ def main() -> None:
         for k, v in timings.items()
         if k in prior_q and prior_q[k] > 0 and v > 1.5 * prior_q[k]
     }
+    # drift-watch (VERDICT r7 #6): the 1.5x guard was blind to the round-7
+    # 1.25-1.42x drift band that appeared while loadavg was 6.4 at start —
+    # nine keys moved together with unchanged plans and nothing flagged
+    # them. Every >1.25x move vs the same-protocol prior is now recorded,
+    # tagged contention_suspect when the host was loaded (1-min loadavg >
+    # 3 at either end of the run): a suspect row means "re-measure at
+    # trough before reading this as a plan regression", a non-suspect row
+    # means "this moved on a quiet host — investigate the plan".
+    host_loaded = load_start[0] > 3.0 or os.getloadavg()[0] > 3.0
+    drifts = {
+        k: {
+            "prior": prior_q[k],
+            "now": v,
+            "ratio": round(v / prior_q[k], 2),
+            "contention_suspect": host_loaded,
+        }
+        for k, v in timings.items()
+        if k in prior_q and prior_q[k] > 0 and v > 1.25 * prior_q[k]
+    }
     detail_path.write_text(
         json.dumps(
             {
@@ -180,6 +199,7 @@ def main() -> None:
                 "prior_protocol_tag": prior_tag,
                 "prior_comparable": prior_comparable,
                 "regressions_vs_prior": regressions,
+                "drifted_vs_prior": drifts,
                 "bench_failures": failures,
                 # host contention evidence: 1/5/15-min load averages at
                 # run start and end (32-core box with external tenants) —
@@ -221,6 +241,7 @@ def main() -> None:
                 "streaming_sum": round(sum(excluded.values()), 4),
                 "raw_single_shot_sum": round(raw_headline, 4),
                 "n_failures": len(failures),
+                "n_drifts_vs_prior": len(drifts),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

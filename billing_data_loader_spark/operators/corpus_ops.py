@@ -256,8 +256,18 @@ w AS (
   FROM c
 ),
 tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+q0 AS (
+  SELECT lang, n,
+         ({_MIX_TARGET} * wq) // tw AS q0,
+         ({_MIX_TARGET} * wq) % tw AS rem
+  FROM w, tot
+),
+short AS (SELECT {_MIX_TARGET} - SUM(q0) AS r FROM q0),
 quota AS (
-  SELECT lang, n, ({_MIX_TARGET} * wq) // tw AS quota FROM w, tot
+  SELECT lang, n,
+         q0 + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) <= r
+                   THEN 1 ELSE 0 END AS quota
+  FROM q0, short
 ),
 ranked AS (
   SELECT doc_id, lang,
@@ -286,14 +296,22 @@ def ext_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: sqrt is correctly rounded IEEE in both engines; weights
     floor-quantize to 6dp BIGINTs BEFORE the total (integer sum — no
-    float reduction order), and quotas are integer floor division. The
-    member draw reuses the ext_sample_hashrank mechanics (md5 rank per
-    domain, salt redraws).
+    float reduction order), and quotas are integer floor division PLUS a
+    deterministic largest-remainder pass (ADVICE r7): floor quotas alone
+    undershoot the target by up to n_domains-1, so the shortfall
+    r = TARGET - sum(floor quotas) is redistributed +1 to the r domains
+    with the largest integer remainders (tie-break: lang asc) — Hamilton
+    apportionment, every step integer-exact, so sum(quota) == TARGET
+    whenever every quota stays within its domain size. The member draw
+    reuses the ext_sample_hashrank mechanics (md5 rank per domain, salt
+    redraws).
 
     Shape: one tiny domain-count aggregate, a 1-row quantized-weight
-    total broadcast back, one window shuffle of (doc_id, lang) for the
-    rank — payloads never move. At 100 TB the rank uses the same
-    bucket-salt merge as ext_sample_hashrank for huge domains."""
+    total broadcast back, an O(n_domains)-row remainder-rank window
+    (single partition by construction — the quota frame is one row per
+    language), one window shuffle of (doc_id, lang) for the rank —
+    payloads never move. At 100 TB the rank uses the same bucket-salt
+    merge as ext_sample_hashrank for huge domains."""
     from pyspark.sql import Window as W
 
     d = load(spark, sf_dir, "documents")
@@ -306,12 +324,23 @@ def ext_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wq"),
     )
     tot = w.agg(F.sum("wq").alias("tw"))
+    q0 = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").alias("n_domain"),
+        F.expr(f"({_MIX_TARGET} * wq) div tw").alias("q0"),
+        F.expr(f"({_MIX_TARGET} * wq) % tw").alias("rem"),
+    )
+    short = q0.agg((F.lit(_MIX_TARGET) - F.sum("q0")).alias("r"))
+    rem_rank = F.row_number().over(
+        W.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    )
     quota = (
-        w.crossJoin(F.broadcast(tot))
+        q0.crossJoin(F.broadcast(short))
+        .withColumn("boost", (rem_rank <= F.col("r")).cast("long"))
         .select(
             "lang",
-            F.col("n").alias("n_domain"),
-            F.expr(f"({_MIX_TARGET} * wq) div tw").alias("quota"),
+            "n_domain",
+            (F.col("q0") + F.col("boost")).alias("quota"),
         )
     )
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT)))

@@ -175,7 +175,17 @@ def _mg_candidates(iterator):
     dropping non-positives — the standard mergeable-summaries reduction
     (Agarwal et al., TODS 2013). Guarantee: any key with in-partition
     count > n_p/(cap+1) survives with a positive residual, so no global
-    heavy hitter above n/_MG_K can be missed by every partition."""
+    heavy hitter above n/_MG_K can be missed by every partition.
+
+    Memory bound (ADVICE r7): peak state is O(k + distinct keys per
+    Arrow batch), NOT O(k) — the whole batch's exact value_counts is
+    absorbed before each reduction. That is the deliberate trade: the
+    vectorized batch merge is ~100x faster than a per-row classic MG
+    decrement loop in Python, and the batch-distinct term is capped by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (Spark default
+    10k rows → at most 10k transient counters), so the bound is a
+    config knob, not data-dependent. Steady-state between batches is
+    O(k)."""
     import pandas as pd
 
     counters: dict[int, int] = {}
@@ -196,8 +206,9 @@ def _mg_candidates(iterator):
 @query("agg_heavy_hitters_approx", oracle=_HH_APPROX_ORACLE, tier=2)
 def agg_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-phase heavy hitters: per-partition Misra-Gries candidate
-    generation (mapInPandas, O(k) state per task, NO shuffle of raw
-    events) followed by an exact recount of the candidate set only. The
+    generation (mapInPandas, O(k + batch-distinct) peak state per task —
+    see _mg_candidates — NO shuffle of raw events) followed by an exact
+    recount of the candidate set only. The
     MG guarantee (no false negatives above n/k) makes the final output
     EXACT — identical to agg_heavy_hitters_exact's two-aggregate form —
     while the shuffle carries only |candidates| <= k x n_partitions ids

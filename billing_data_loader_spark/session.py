@@ -157,6 +157,17 @@ def reassert_parity(spark: SparkSession) -> None:
     error. The registry wrapper calls this at every declared-query entry:
     one py4j get per key here (2 keys), a set only on actual drift, versus
     the full conf sweep per table read that the memo exists to avoid.
+
+    The RuntimeError below is deliberate and safe to keep unconditional
+    (ADVICE r7 asked for confirmation): both _PARITY_CONF_KEYS are dynamic
+    SQL confs — ``SQLConf`` entries, not ``StaticSQLConf`` — on every
+    Spark this package supports (3.x and 4.x), so ``conf.set`` cannot
+    fail for being static; tests/test_round6.py pins
+    ``spark.conf.isModifiable(k)`` for both keys on the running build.
+    The raise is therefore reachable only when something is genuinely
+    wrong (a security-locked conf via ``spark.sql.conf.modifiable`` deny
+    lists, a broken py4j bridge) — exactly the cases where limping on
+    would grade wrong answers.
     """
     for key in _PARITY_CONF_KEYS:
         want = _RUNTIME_CONF[key]

@@ -74,6 +74,19 @@ class TestParityReassert:
             == "true"
         )
 
+    def test_parity_keys_runtime_settable(self, spark):
+        # ADVICE r7: reassert_parity raises on a failed repair, which is
+        # only sound if both parity confs are dynamic (never static) SQL
+        # confs on the running build. Pin that here so a Spark upgrade
+        # that made either key static fails THIS test, not every query.
+        from billing_data_loader_spark.session import _PARITY_CONF_KEYS
+
+        for key in _PARITY_CONF_KEYS:
+            assert spark.conf.isModifiable(key), (
+                f"parity conf {key!r} is not runtime-settable on this "
+                "build; scope reassert_parity's hard failure before using"
+            )
+
 
 class TestSimhashShortDocGuard:
     def test_short_duplicate_doc_excluded(self, spark, tmp_path):

@@ -316,7 +316,9 @@ def test_temperature_mix_flattens_toward_low_resource(spark):
         assert r["rn"] <= r["quota"]
     total_docs = sum(n_dom.values())
     total_kept = sum(kept.values())
-    assert total_kept <= 100  # floor-division quotas never exceed target
+    # largest-remainder redistribution (ADVICE r7): quotas sum EXACTLY to
+    # the target whenever every quota fits its domain (true on fixtures)
+    assert total_kept == 100
     # alpha=0.5 must shrink the dominant domain's share and grow the
     # smallest domain's share relative to raw proportions
     big = max(n_dom, key=n_dom.get)

@@ -182,7 +182,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_heavy_hitters_approx": "1-row global event-count aggregate",
         "prof_skew_report": "1-row (n_keys, n_rows) profile aggregate",
         "ext_ann_lsh": "1-row plane-array fold (18 planes -> one array row)",
-        "ext_domain_mix_temperature": "1-row quantized-weight total aggregate",
+        "ext_domain_mix_temperature": (
+            "1-row quantized-weight total + O(n_domains)-row "
+            "largest-remainder rank window (one row per language)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -213,7 +216,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_heavy_hitters_approx": "1-row broadcast event-count frame (share)",
         "prof_skew_report": "1-row broadcast (n_keys, n_rows) frame (ratio)",
         "ext_ann_lsh": "1-row plane array + 1-row query vector broadcasts",
-        "ext_domain_mix_temperature": "1-row broadcast weight-total frame",
+        "ext_domain_mix_temperature": (
+            "1-row broadcast weight-total + 1-row shortfall frames"
+        ),
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
