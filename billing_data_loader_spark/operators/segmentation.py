@@ -1,0 +1,166 @@
+"""Round-8: document segmentation operators for the LLM-data pipeline
+surface (SURVEY.md §2.10 extensions).
+
+Two keys covering the tokenizer-side transforms between curation and
+training, each with a bit-exact DuckDB oracle:
+
+- ``ext_chunk_sliding`` — split long documents into fixed-size token
+  windows with overlap (the standard pre-training chunking transform;
+  VERDICT r7 #3). Composes with ``ext_seq_pack`` (pack the chunks) and
+  ``ext_train_split_hash`` (assign the chunks).
+- ``ext_bpe_pair_counts`` — corpus-wide adjacent-symbol pair counts over
+  the word vocabulary: the candidate table the first BPE merge iteration
+  ranks. ``ext_token_count``'s BPE-ish regex consumes a trained merge
+  list; this is the operator that would train it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# --- ext_chunk_sliding --------------------------------------------------------
+
+#: Window size / stride in word tokens. S < C => consecutive chunks overlap
+#: by C - S tokens, the usual context-continuity overlap.
+_CHUNK_C = 64
+_CHUNK_S = 48
+
+_CHUNK_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, n, i
+  FROM p, unnest(range(0,
+    CASE WHEN n <= {_CHUNK_C} THEN 0
+         ELSE (n - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S} END + 1)) AS u(i)
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       1 + i * {_CHUNK_S} AS tok_start,
+       CAST(LEAST({_CHUNK_C}, n - i * {_CHUNK_S}) AS BIGINT) AS n_tok_chunk,
+       CAST(len(array_to_string(
+         t[1 + i * {_CHUNK_S} : i * {_CHUNK_S} + {_CHUNK_C}], ' '))
+         AS BIGINT) AS n_chars_chunk,
+       array_to_string(t[1 + i * {_CHUNK_S} : i * {_CHUNK_S} + {_CHUNK_C}],
+                       ' ') AS chunk_text
+FROM starts
+"""
+
+
+@query("ext_chunk_sliding", oracle=_CHUNK_ORACLE, tier=3)
+def ext_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: each doc becomes
+    ceil(max(n - C, 0) / S) + 1 chunks of up to C = 64 word tokens at
+    stride S = 48 (16-token overlap), carrying (doc_id, chunk_idx,
+    tok_start, sizes, chunk_text). This is the standard transform between
+    a curated corpus and a training dataloader — long docs must be cut to
+    the model's context length, and the overlap preserves cross-boundary
+    context. The last chunk is the only one allowed to run short, and a
+    chunk fully contained in its predecessor is never emitted (the start
+    count stops once coverage reaches n), so chunk membership is a pure
+    integer function of n — no floats anywhere.
+
+    Shape: map-side only — split, an integer chunk-count expression,
+    sequence() + explode, slice() + array_join per chunk. Zero exchanges:
+    the 100 TB plan is scan -> project/explode -> sink, and output size
+    is input size x (1 + overlap fraction). Spark's slice(t, start, C)
+    mirrors the oracle's 1-based inclusive t[a:b] with b = a + C - 1."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    p = d.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    imax = F.when(F.col("n") <= _CHUNK_C, F.lit(0)).otherwise(
+        F.expr(f"(n - {_CHUNK_C} + {_CHUNK_S} - 1) div {_CHUNK_S}")
+    )
+    starts = p.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), imax)).alias("i"),
+    )
+    chunk = F.slice("t", F.lit(1) + F.col("i") * _CHUNK_S, _CHUNK_C)
+    chunk_text = F.array_join(chunk, " ")
+    return starts.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        (F.lit(1) + F.col("i") * _CHUNK_S).cast("long").alias("tok_start"),
+        F.least(F.lit(_CHUNK_C), F.col("n") - F.col("i") * _CHUNK_S)
+        .cast("long")
+        .alias("n_tok_chunk"),
+        F.length(chunk_text).cast("long").alias("n_chars_chunk"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
+# --- ext_bpe_pair_counts ------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS n_word FROM tok GROUP BY word),
+pairs AS (
+  SELECT word, n_word, substr(word, CAST(i AS INT), 2) AS pair
+  FROM wc, unnest(range(1, len(word))) AS u(i)
+  WHERE len(word) >= 2
+),
+per_word AS (
+  SELECT pair, word, n_word, COUNT(*) AS occ_in_word
+  FROM pairs GROUP BY pair, word, n_word
+)
+SELECT pair,
+       CAST(SUM(occ_in_word * n_word) AS BIGINT) AS n_occurrences,
+       COUNT(*) AS n_distinct_words
+FROM per_word
+GROUP BY pair
+"""
+
+
+@query("ext_bpe_pair_counts", oracle=_BPE_ORACLE, tier=3)
+def ext_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-character pair statistics over the word
+    vocabulary — the candidate table of the first BPE merge iteration
+    (count every adjacent symbol pair, weighted by word frequency; the
+    argmax pair becomes the first merge). Emitting the whole table rather
+    than the argmax makes it an operator (rankable, joinable, re-runnable
+    per merge step with a symbol column swapped in for raw chars).
+
+    Shape: the heavy explode runs over the DISTINCT word vocabulary, not
+    the corpus — word frequencies are reduced first (groupBy word,
+    map-side combined), so a 100 TB corpus explodes |vocab| * avg_len
+    rows, not corpus_tokens * avg_len. Two aggregate exchanges after
+    that ((pair, word) then pair), both over short fixed-width keys.
+    Pair extraction is substr over an exploded integer sequence — pure
+    codegen, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    pairs = (
+        wc.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "n_word",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "word", "n_word", F.expr("substr(word, i, 2)").alias("pair")
+        )
+    )
+    per_word = pairs.groupBy("pair", "word", "n_word").agg(
+        F.count(F.lit(1)).alias("occ_in_word")
+    )
+    return per_word.groupBy("pair").agg(
+        F.sum(F.col("occ_in_word") * F.col("n_word")).alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+    )
