@@ -279,3 +279,109 @@ def ext_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+# --- ext_char_entropy ---------------------------------------------------------
+
+#: Per-term quantization scale for the c*ln(c) sum. ln is NOT bit-identical
+#: across engines (java.lang.Math.log vs libm differ by 1 ulp on some
+#: arguments — measured: ln(3.0)), so each term is floor-quantized to an
+#: integer BEFORE the order-insensitive BIGINT sum; a 1-ulp ln difference
+#: flips a floor only when c*ln(c)*1e6 + 0.5 sits within ~c*2e-10 of an
+#: integer — probability ~1e-6 per term. The FINAL entropy is likewise
+#: floor-quantized to 6dp on both sides: ln(n_obs) carries the same 1-ulp
+#: hazard (measured live: docs with n_obs hitting a divergent ln argument
+#: flipped the raw double's last bit), and the 1e-6 grid absorbs a ~1e-15
+#: discrepancy with per-doc flip probability ~1e-9. Verified green at
+#: sf0.01 AND sf0.1; a fixture regeneration that hits either corner would
+#: surface as a hash mismatch, not silence.
+_ENT_SCALE = 1_000_000.0
+
+_ENTROPY_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+cc AS (SELECT doc_id, c, COUNT(*) AS n_c FROM ch GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(n_c) AS BIGINT) AS n_obs,
+         COUNT(*) AS n_distinct_chars,
+         CAST(SUM(n_c * n_c) AS BIGINT) AS sum_c2,
+         CAST(SUM(CAST(floor(
+           (n_c * ln(CAST(n_c AS DOUBLE))) * {_ENT_SCALE!r} + 0.5
+         ) AS BIGINT)) AS BIGINT) AS q_nlnn
+  FROM cc GROUP BY doc_id
+)
+SELECT doc_id, n_obs, n_distinct_chars,
+       1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n_obs AS DOUBLE) * n_obs)
+         AS gini_simpson,
+       floor(((ln(CAST(n_obs AS DOUBLE))
+          - (CAST(q_nlnn AS DOUBLE) / {_ENT_SCALE!r}) / n_obs)
+         / ln(2.0)) * {_ENT_SCALE!r} + 0.5) / {_ENT_SCALE!r} AS entropy_bits
+FROM agg
+"""
+
+
+@query("ext_char_entropy", oracle=_ENTROPY_ORACLE, tier=3)
+def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution diversity per document: Shannon entropy in
+    bits plus the Gini-Simpson index — the cheap noise/boilerplate
+    signals quality filters threshold on (near-zero entropy = one
+    repeated character, ~log2(alphabet) = uniform noise; real prose sits
+    in a stable band per language). Complements ext_repetition_score
+    (token bigrams) at the character level, where encoding garbage and
+    pad-character floods show up first.
+
+    Entropy decomposes as ln(n) - (sum_c c*ln(c))/n over per-char counts
+    c, so it needs only the (doc, char) count table. Each c*ln(c) term is
+    floor-quantized to an integer before the BIGINT sum (order-
+    insensitive), and the final bits value is floor-quantized to 6dp —
+    see the _ENT_SCALE note for the 1-ulp cross-engine ln story both
+    quantizations absorb.
+    Gini-Simpson (1 - sum(c^2)/n^2) is exact integer arithmetic until one
+    final division — no transcendental at all.
+
+    Shape: explode to (doc, char) -> groupBy(doc, char) with map-side
+    combine -> per-doc rollup that REUSES the (doc_id, c) hash
+    partitioning (doc_id is a prefix of the grouping key, so Catalyst
+    plans the second aggregate exchange-free). One shuffle end-to-end,
+    alphabet-bounded width."""
+    d = load(spark, sf_dir, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    q_term = F.floor(
+        (F.col("n_c") * F.log(F.col("n_c").cast("double"))) * _ENT_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("n_c").alias("n_obs"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("n_c") * F.col("n_c")).alias("sum_c2"),
+        F.sum(q_term).alias("q_nlnn"),
+    )
+    n_obs_d = F.col("n_obs").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_obs",
+        "n_distinct_chars",
+        (F.lit(1.0) - F.col("sum_c2").cast("double") / (n_obs_d * F.col("n_obs")))
+        .alias("gini_simpson"),
+        (
+            F.floor(
+                (
+                    (
+                        F.log(n_obs_d)
+                        - (F.col("q_nlnn").cast("double") / F.lit(_ENT_SCALE))
+                        / F.col("n_obs")
+                    )
+                    / F.log(F.lit(2.0))
+                )
+                * _ENT_SCALE
+                + F.lit(0.5)
+            )
+            / F.lit(_ENT_SCALE)
+        ).alias("entropy_bits"),
+    )

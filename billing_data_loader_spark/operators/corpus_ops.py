@@ -353,3 +353,128 @@ def ext_domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "lang", "rn", "quota", "n_domain")
     )
+
+
+# --- ext_dup_ngram_bloom ------------------------------------------------------
+
+#: Bloom geometry: m = 2^20 bits packed into 16384 64-bit words, k = 5
+#: probes. At the fixture's dup-shingle cardinality (~1e4) the false-positive
+#: rate is ~(1 - e^(-kn/m))^k ~= 2e-7; at 100 TB you re-size m to the
+#: dup-shingle count and the bitmap still broadcasts (m bits regardless of
+#: corpus size) while a raw dup-shingle set no longer would.
+_DNB_M = 16384 * 64
+_DNB_K = 5
+
+
+def _dnb_positions(gram_hash):
+    """k probe positions off ONE xxhash64, Kirsch-Mitzenmacher style
+    (h1 + i*h2 with h2 forced odd) — same construction as
+    curation._bloom_positions, parameterized by this operator's geometry."""
+    h1 = F.pmod(gram_hash, F.lit(_DNB_M))
+    h2 = F.pmod(F.shiftrightunsigned(gram_hash, 20), F.lit(_DNB_M))
+    h2 = h2 + (1 - F.pmod(h2, F.lit(2)))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(_DNB_M)).cast("int")
+        for i in range(_DNB_K)
+    ]
+
+
+@query("ext_dup_ngram_bloom", oracle=_DUP_NGRAM_ORACLE, tier=3)
+def ext_dup_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ext_dup_ngram_coverage`` through a Bloom-prefiltered join-back —
+    the 100 TB swap that operator's docstring promises (VERDICT r7 #5),
+    with the IDENTICAL exact answer (same oracle; bloom==exact equality is
+    additionally pinned in tests/test_round8.py).
+
+    Where the exact form joins the full (doc, shingle) table back to the
+    doc-frequency map — a second full shuffle of the corpus's shingle
+    table — this form reduces the df>=2 shingles to a FIXED-SIZE bitmap
+    (groupBy(word index).bit_or(mask), <= 16384 rows) that broadcasts,
+    probes every (doc, shingle) row with k map-side bit tests, and sends
+    ONLY the bloom-positive rows (true duplicates + ~2e-7 false
+    positives) into the exact verification join. No false negatives, so
+    per-doc dup counts are exact after verification. On a lightly-
+    duplicated corpus (the usual case) the verify join moves a few
+    percent of the shingle table instead of all of it; the df aggregate
+    itself is unchanged — one shuffle of 8-byte hashed shingles.
+
+    Per-doc totals (n_shingles) come from the pre-probe frame, so docs
+    with zero duplicate shingles still emit their row, exactly as the
+    plain groupBy does."""
+    from ..session import scoped_persist
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    # persisted: the hashed distinct (doc, shingle) frame feeds the df
+    # aggregate, the per-doc totals, and the probe — three consumers
+    tri = scoped_persist(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),"
+                    " element_at(t, i + 2)))"
+                )
+            ).alias("gs"),
+        )
+        .select("doc_id", F.xxhash64("gs").alias("g"))
+        .distinct()
+    )
+    dup_keys = (
+        tri.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .filter(F.col("docs") >= 2)
+        .select("g")
+    )
+
+    pos = F.explode(F.array(*_dnb_positions(F.col("g")))).alias("pos")
+    _mask = "shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
+    bitmap = (
+        dup_keys.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr(_mask.format(p="pos")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+    probe = tri
+    for i, p in enumerate(_dnb_positions(F.col("g"))):
+        probe = (
+            probe.withColumn(f"_p{i}", p)
+            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 64).cast("int"))
+            .withColumn(f"_m{i}", F.expr(_mask.format(p=f"_p{i}")))
+        )
+    for i in range(_DNB_K):
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("word_idx").alias(f"_w{i}"),
+                F.col("word").alias(f"_word{i}"),
+            )
+        )
+        probe = probe.join(bm, f"_w{i}", "left")
+    passed = probe.filter(
+        " AND ".join(
+            f"(_word{i} IS NOT NULL AND (_word{i} & _m{i}) != 0)"
+            for i in range(_DNB_K)
+        )
+    ).select("doc_id", "g")
+
+    # exact verify on bloom survivors only: left-semi against the true
+    # df>=2 keys strips the ~2e-7 false positives
+    verified = passed.join(dup_keys, "g", "left_semi")
+    dups = verified.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    totals = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    n_dup = F.coalesce("n_dup", F.lit(0))
+    return totals.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_dup.alias("n_dup"),
+        (n_dup.cast("double") / F.col("n_shingles")).alias("dup_frac"),
+    )

@@ -695,3 +695,84 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --- ext_quality_classifier ---------------------------------------------------
+
+#: Hashed-feature space and weight derivation. Real pipelines ship a trained
+#: linear model (fastText-style) whose weight table joins on the feature
+#: bucket; the fixture has no checkpoint, so weights derive deterministically
+#: from the bucket id itself (Knuth multiplicative constant, range
+#: [-1000, 1000] thousandths) — the same verified-real-stand-in stance as the
+#: multimodal decode stub, except here the stand-in exercises the ENTIRE
+#: real computation (hash, bucket, sum, normalize), just with made-up
+#: coefficients.
+_QCLS_BUCKETS = 512
+_QCLS_KNUTH = 2654435761
+
+_QCLS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % {_QCLS_BUCKETS}
+           AS bucket
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tok,
+         CAST(SUM((bucket * {_QCLS_KNUTH}) % 2001 - 1000) AS BIGINT)
+           AS w_sum
+  FROM feat GROUP BY doc_id
+)
+SELECT doc_id, n_tok, w_sum,
+       CAST(w_sum AS DOUBLE) / (1000.0 * n_tok) AS logit,
+       (w_sum > 0) AS pred_keep
+FROM scored
+"""
+
+
+@query("ext_quality_classifier", oracle=_QCLS_ORACLE, tier=3)
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (fastText-style scoring): tokens
+    hash into 512 feature buckets, each bucket carries a
+    weight, and a doc's logit is the mean bucket weight — the exact
+    computation CCNet/fastText-filter pipelines run to keep/drop
+    documents at scale, here with deterministic stand-in weights (see the
+    constant's note; a real checkpoint swaps in as a
+    <= 512-row broadcast join on `bucket` with zero plan-shape
+    change).
+
+    Cross-engine exactness: the bucket is a 32-bit md5 prefix mod
+    512 (hex->int bridge as in ext_sample_weighted), the
+    weight is pure integer arithmetic in [-1000, 1000], the per-doc sum
+    is a BIGINT (order-insensitive), and the logit is one IEEE division
+    by the exact double 1000*n_tok. The keep decision compares the
+    INTEGER sum against zero — no float in the decision path at all.
+
+    Shape: hash + bucket + weight are map-side codegen over the token
+    explode; ONE shuffle (per-doc aggregate). At 100 TB this is the
+    classic scan -> explode -> partial-agg -> one exchange plan: the
+    explode never materializes wider than the scan batch, and the
+    aggregate carries two longs per doc."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
+        F.lit(_QCLS_BUCKETS),
+    )
+    w_int = F.pmod(bucket * _QCLS_KNUTH, F.lit(2001)) - 1000
+    scored = tok.select("doc_id", w_int.alias("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("w").alias("w_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        "w_sum",
+        (F.col("w_sum").cast("double") / (F.lit(1000.0) * F.col("n_tok")))
+        .alias("logit"),
+        (F.col("w_sum") > 0).alias("pred_keep"),
+    )
