@@ -564,3 +564,69 @@ def fn_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("a", lambda x: x * x), zero, lambda acc, x: acc + x
         ).alias("sq_sum_c"),
     )
+
+
+# --- fn_try_arith -------------------------------------------------------------
+
+#: 2^62 and a near-Long.MAX base: chosen so the fixture's key space drives
+#: each try_* function through BOTH its null branch and its value branch.
+_TRY_BIG = 9_223_372_036_854_775_800  # Long.MAX - 7
+_TRY_POW62 = 4_611_686_018_427_387_904  # 2^62
+
+_TRY_ARITH_ORACLE = f"""
+SELECT
+  o_orderkey,
+  CASE WHEN o_orderkey % 5 = 0 THEN NULL
+       ELSE o_totalprice / CAST(o_orderkey % 5 AS DOUBLE) END AS safe_div,
+  CASE WHEN o_orderkey % 10 > 7 THEN NULL
+       ELSE {_TRY_BIG} + o_orderkey % 10 END AS safe_add,
+  CASE WHEN o_orderkey % 4 >= 2 THEN NULL
+       ELSE {_TRY_POW62} * (o_orderkey % 4) END AS safe_mul,
+  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+  (string_split(o_orderpriority, '-'))[3] AS part3
+FROM orders
+"""
+
+
+@query("fn_try_arith", oracle=_TRY_ARITH_ORACLE, tier=1)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: Spark 4 runs with ANSI SQL semantics
+    (overflow, bad casts, division by zero, and out-of-range array access
+    all RAISE), so production pipelines reach for the try_* family to get
+    null-on-error semantics per expression instead of per-job. One row
+    per order exercises each function through both branches:
+
+    - try_divide: null at the %5 == 0 zero-denominator rows, the exact
+      IEEE quotient elsewhere (identical division in the oracle's CASE).
+    - try_add / try_multiply: BIGINT overflow -> null (Long.MAX - 7 plus
+      0..9; 2^62 times 0..3 overflows at factor >= 2) — the oracle mirrors
+      the overflow boundary with integer CASEs, since DuckDB's own
+      overflow behavior is an exception too.
+    - try_cast: '1'..'5' priority prefixes parse; 'O'/'F'/'P' statuses
+      null out.
+    - try_element_at: index 3 of a 2-element split -> null (DuckDB list
+      indexing is null-on-out-of-range natively).
+
+    Pure map-side projection — zero exchanges, full codegen; at 100 TB
+    the null branches cost nothing extra and nothing aborts the scan."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            "o_totalprice", (F.col("o_orderkey") % 5).cast("double")
+        ).alias("safe_div"),
+        F.try_add(F.lit(_TRY_BIG), F.col("o_orderkey") % 10).alias(
+            "safe_add"
+        ),
+        F.try_multiply(F.lit(_TRY_POW62), F.col("o_orderkey") % 4).alias(
+            "safe_mul"
+        ),
+        F.expr(
+            "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
+        ).alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.try_element_at(
+            F.split("o_orderpriority", "-"), F.lit(3)
+        ).alias("part3"),
+    )

@@ -478,3 +478,161 @@ def ext_dup_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_dup.alias("n_dup"),
         (n_dup.cast("double") / F.col("n_shingles")).alias("dup_frac"),
     )
+
+
+# --- ext_containment_neardup --------------------------------------------------
+
+#: Containment threshold tau = 4/5; thresholds compare as integers
+#: (5*inter >= 4*n_a), so the bound itself never touches a float.
+_CONT_NUM, _CONT_DEN = 4, 5
+#: Truncated-copy re-tag offset (distinct from _BATCH_OFFSET and
+#: llm_pipeline's _COPY_OFFSET).
+_TRUNC_OFFSET = 3_000_000
+
+#: Synthesized subset-duplicates: every 7th doc re-enters as its first
+#: ~40% of tokens. A 40% prefix shares ALL its trigrams with the original
+#: (containment 1.0) while its Jaccard is only ~0.4 — under
+#: ext_neardup_jaccard's 0.6 threshold. This is exactly the duplicate class
+#: (quotes, excerpt pages, boilerplate-wrapped fragments) containment
+#: catches and symmetric Jaccard structurally cannot.
+_CONT_CORPUS_SQL = f"""
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_TRUNC_OFFSET} AS doc_id, lang,
+         array_to_string(
+           (string_split(text, ' '))[1 :
+             GREATEST(3, (2 * len(string_split(text, ' '))) // 5)], ' ')
+           AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_CONT_ORACLE = f"""
+WITH corpus AS ({_CONT_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM corpus
+  WHERE len(string_split(text, ' ')) >= 3
+),
+tri AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+           AS g
+  FROM tok
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM tri a JOIN tri b
+    ON a.g = b.g AND a.lang = b.lang AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, sa.n AS n_a, n_inter,
+       CAST(n_inter AS DOUBLE) / sa.n AS containment
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+WHERE {_CONT_DEN} * n_inter >= {_CONT_NUM} * sa.n
+"""
+
+
+@query("ext_containment_neardup", oracle=_CONT_ORACLE, tier=3)
+def ext_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: ordered pairs (doc_a contained-in
+    doc_b) with |S_a intersect S_b| / |S_a| >= 0.8 over distinct word
+    trigrams, same language. The subset-duplicate detector Jaccard
+    structurally misses: a 40% excerpt of a long doc has containment 1.0
+    but Jaccard ~0.4 (the synthesized corpus plants exactly those — see
+    _CONT_CORPUS_SQL). Pipelines drop or down-weight the CONTAINED side
+    (doc_a), keeping the superset document.
+
+    EXACT via the asymmetric prefix filter: if the intersection has at
+    least alpha = ceil(tau * n_a) elements, then among doc_a's
+    (n_a - alpha + 1) globally RAREST shingles (global order =
+    doc-frequency asc, hash asc — the ext_neardup_jaccard order) at least
+    one is shared, so joining only the probe side's rare prefix against
+    the FULL inverted index loses no qualifying pair. Unlike Jaccard
+    there is no size filter (a tiny doc can be contained in a huge one) —
+    the prefix bound alone does the work, and hot boilerplate shingles
+    still sort last and stay out of prefixes. Verification intersects the
+    two per-doc hash arrays (O(n_a + n_b) per candidate); the threshold
+    compares integers (5*inter >= 4*n_a) and the emitted containment is
+    one exact division. Shingles shuffle as xxhash64 longs; the oracle
+    joins raw strings (the standing collision stance of
+    ext_dup_ngram_coverage, pinned by the cross-representation hash
+    equality test)."""
+    from pyspark.sql import Window as W
+
+    from ..session import scoped_persist
+    from ..tables import load as _load
+    from .llm_pipeline import _hashed_shingle_tokens
+
+    d = _load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    trunc = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _TRUNC_OFFSET).alias("doc_id"),
+        "lang",
+        F.array_join(
+            F.slice(
+                t,
+                F.lit(1),
+                F.greatest(F.lit(3), F.expr("(2 * size(split(text, ' '))) div 5")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "lang", "text").unionAll(trunc)
+
+    # ranked frame: one (lang, th) window for doc-frequency, one (doc_id)
+    # window for prefix position + set size — the ext_neardup_jaccard
+    # two-window shape, persisted because it feeds both the prefix probe
+    # and the verification arrays
+    tok = _hashed_shingle_tokens(corpus)
+    doc_w = W.partitionBy("doc_id").orderBy("df", "th")
+    ranked = scoped_persist(
+        tok.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("lang", "th"))
+        )
+        .withColumn("pos", F.row_number().over(doc_w))
+        .withColumn(
+            "n_tok",
+            F.count(F.lit(1)).over(
+                doc_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        )
+    )
+    # alpha = ceil(tau * n) = (4n + 4) div 5; prefix keeps pos <= n - alpha + 1
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_tok")
+        - F.expr(f"({_CONT_NUM}*n_tok + {_CONT_DEN - 1}) DIV {_CONT_DEN}")
+        + 1
+    ).select("doc_id", "lang", "th")
+    full = ranked.select("doc_id", "lang", "th")
+    cand = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.th") == F.col("b.th"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = ranked.groupBy("doc_id").agg(
+        F.collect_list("th").alias("ths"), F.first("n_tok").alias("n_tok")
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    n_inter = F.size(F.array_intersect(F.col("sa.ths"), F.col("sb.ths")))
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n_tok").cast("long").alias("n_a"),
+            n_inter.cast("long").alias("n_inter"),
+            (n_inter.cast("double") / F.col("sa.n_tok")).alias("containment"),
+        )
+        .filter(_CONT_DEN * F.col("n_inter") >= _CONT_NUM * F.col("n_a"))
+    )
