@@ -694,3 +694,126 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(_TOP_K)
     )
+
+
+# --- ext_embedding_norm_filter ------------------------------------------------
+
+#: Quantization scale for the corpus-moment sums (norm ~ O(10), norm^2 ~
+#: O(100): 6dp integer units keep the BIGINT sums exact far past 100 TB row
+#: counts when accumulated as decimal(38,0), per determinism.py).
+_NORMF_SCALE = 1_000_000.0
+_NORMF_Z = 2.0
+
+#: The fixture embeddings are unit-normalized (measured: norm std ~4e-8 at
+#: sf0.01), so a norm filter over them is degenerate — std quantizes to
+#: exactly 0. Like ext_pii_scrub's synthetic contact lines, a deterministic
+#: slice is re-scaled to plant real outliers: every 13th vector at 3x norm
+#: (an exploded-activation batch), every 17th at 0.2x (a collapsed one).
+#: The scales are the identical per-element IEEE multiply in both engines.
+_NORMF_SCALE_CASE = (
+    "CASE WHEN vec_id % 13 = 0 THEN 3.0 "
+    "WHEN vec_id % 17 = 0 THEN 0.2 ELSE 1.0 END"
+)
+
+_NORMF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         sqrt(list_dot_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * s),
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * s))) AS l2_norm
+  FROM (SELECT vec_id, label, embedding, {_NORMF_SCALE_CASE} AS s
+        FROM embeddings)
+),
+q AS (
+  SELECT vec_id, label, l2_norm,
+         CAST(floor(l2_norm * {_NORMF_SCALE!r} + 0.5) AS BIGINT) AS qn,
+         CAST(floor(l2_norm * l2_norm * {_NORMF_SCALE!r} + 0.5) AS BIGINT)
+           AS qn2
+  FROM v
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(qn) AS BIGINT) AS sq,
+         CAST(SUM(qn2) AS BIGINT) AS sq2
+  FROM q
+),
+stats AS (
+  SELECT n,
+         (CAST(sq AS DOUBLE) / {_NORMF_SCALE!r}) / n AS mean_norm,
+         sqrt(((CAST(sq2 AS DOUBLE) / {_NORMF_SCALE!r}) / n)
+              - ((CAST(sq AS DOUBLE) / {_NORMF_SCALE!r}) / n)
+                * ((CAST(sq AS DOUBLE) / {_NORMF_SCALE!r}) / n)) AS std_norm
+  FROM m
+)
+SELECT vec_id, label, l2_norm,
+       floor(((l2_norm - mean_norm) / std_norm) * {_NORMF_SCALE!r} + 0.5)
+         / {_NORMF_SCALE!r} AS z,
+       abs(l2_norm - mean_norm) > {_NORMF_Z!r} * std_norm AS is_outlier
+FROM q, stats
+"""
+
+
+@query("ext_embedding_norm_filter", oracle=_NORMF_ORACLE, tier=3)
+def ext_embedding_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm outlier filter: vectors whose norm sits more than
+    2 standard deviations from the corpus mean are flagged — the cheap
+    sanity gate embedding pipelines run before ANN indexing or semantic
+    dedup (collapsed/exploded vectors from a bad encoder batch show up as
+    norm outliers long before cosine metrics notice). The fixture's
+    vectors are unit-normalized, so deterministic bad batches are planted
+    (see _NORMF_SCALE_CASE) — the operator must flag exactly those.
+
+    Cross-engine exactness: the norm is the sequential zip_with/aggregate
+    fold (bit-identical to DuckDB's list_dot_product) + one sqrt; corpus
+    moments use floor-quantized 6dp integer sums (order-insensitive), and
+    variance is the exact-moment identity E[n^2] - E[n]^2 — every
+    post-sum step a single correctly-rounded IEEE op on identical
+    operands. The emitted z is floor-quantized to 6dp (the subtraction
+    inside can cancel to ~1e-16 where a lone ulp would flip a raw hash);
+    the outlier DECISION compares |norm - mean| against 2*std directly —
+    one multiply each side, no epsilon.
+
+    Shape: norms are map-side codegen inside the scan stage; ONE 1-row
+    moment aggregate broadcasts back (O(tasks) partials cross the wire,
+    not rows); the flag is a map-side comparison. At 100 TB: scan ->
+    fold -> 1-row agg -> broadcast -> project, no vector ever shuffles."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "s", F.expr(_NORMF_SCALE_CASE)
+    )
+    v = F.transform("embedding", lambda x: x.cast("double") * F.col("s"))
+    norm = F.sqrt(_dot(v, v))
+    q = e.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        F.floor(norm * _NORMF_SCALE + F.lit(0.5)).cast("long").alias("qn"),
+        F.floor(norm * norm * _NORMF_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("qn2"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qn").alias("sq"),
+        F.sum("qn2").alias("sq2"),
+    )
+    mean = (F.col("sq").cast("double") / F.lit(_NORMF_SCALE)) / F.col("n")
+    stats = m.select(
+        mean.alias("mean_norm"),
+        F.sqrt(
+            (F.col("sq2").cast("double") / F.lit(_NORMF_SCALE)) / F.col("n")
+            - mean * mean
+        ).alias("std_norm"),
+    )
+    z = (F.col("l2_norm") - F.col("mean_norm")) / F.col("std_norm")
+    return q.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        "label",
+        "l2_norm",
+        (
+            F.floor(z * _NORMF_SCALE + F.lit(0.5)) / F.lit(_NORMF_SCALE)
+        ).alias("z"),
+        (
+            F.abs(F.col("l2_norm") - F.col("mean_norm"))
+            > F.lit(_NORMF_Z) * F.col("std_norm")
+        ).alias("is_outlier"),
+    )

@@ -776,3 +776,77 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("logit"),
         (F.col("w_sum") > 0).alias("pred_keep"),
     )
+
+
+# --- ext_doc_topk_terms -------------------------------------------------------
+
+_TOPK_TERMS_K = 3
+
+_TOPK_TERMS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS docfreq FROM tok GROUP BY token),
+tf AS (SELECT doc_id, token, COUNT(*) AS termfreq FROM tok GROUP BY doc_id, token),
+scored AS (
+  SELECT doc_id, tf.token,
+         round(termfreq * ln((n + 1.0) / (docfreq + 1.0)), 6) AS score
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n_docs
+)
+SELECT * FROM (
+  SELECT doc_id, token, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, token ASC
+         ) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= {_TOPK_TERMS_K}
+"""
+
+
+@query("ext_doc_topk_terms", oracle=_TOPK_TERMS_ORACLE, tier=3)
+def ext_doc_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT top-k TF-IDF terms: the keyword/topic-signal extraction
+    step (dataset cards, per-doc tags, cluster labeling) — ext_tfidf's
+    per-language rollup re-keyed to the document, where the window is a
+    million-fold wider and the join-back matters. Same smoothed IDF
+    (ln((N+1)/(df+1))) and the same round-to-6dp on the score (the ln is
+    computed from identical integer-derived operands in both engines and
+    the 1e-6 grid absorbs last-ulp drift; precedent: ext_tfidf, green
+    since r3).
+
+    Shape: token explode -> (doc, token) term frequencies (one shuffle,
+    map-side combined) -> join the vocab-sized docfreq table on token.
+    The df side is aggregated BEFORE the join and is vocabulary-bounded,
+    so at 100 TB it either broadcasts (AQE decides; a few hundred MB for
+    a web-scale vocab) or shuffles only the compact (token, df) pairs —
+    never the corpus. The 1-row n_docs frame broadcasts. Top-k is a
+    per-doc window over rows already partitioned by the tf aggregate's
+    doc-prefixed key."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    n_docs = tok.agg(F.countDistinct("doc_id").alias("n"))
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("docfreq")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("termfreq")
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("termfreq")
+                * F.log((F.col("n") + 1.0) / (F.col("docfreq") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _TOPK_TERMS_K)
+    )

@@ -256,3 +256,49 @@ class TestTryArith:
         assert out.filter(F.col("prio_num").isNull()).count() == 0
         assert out.filter(F.col("status_num").isNotNull()).count() == 0
         assert out.filter(F.col("part3").isNotNull()).count() == 0
+
+
+class TestEmbeddingNormFilter:
+    def test_flags_exactly_the_exploded_batch(self, spark):
+        # planted 3x vectors are >2 sigma out; the 0.2x batch lands inside
+        # 2 sigma of this mixture (|0.2 - mean| < 2*std) — the filter must
+        # flag all of the former and none of the untouched vectors.
+        out = catalog()["ext_embedding_norm_filter"].fn(spark, SF_DIR)
+        flagged = {r["vec_id"] for r in out.filter("is_outlier").collect()}
+        exploded = {
+            r["vec_id"]
+            for r in out.filter("vec_id % 13 = 0 AND vec_id % 17 != 0")
+            .collect()
+        }
+        untouched = {
+            r["vec_id"]
+            for r in out.filter(
+                "vec_id % 13 != 0 AND vec_id % 17 != 0"
+            ).collect()
+        }
+        assert exploded <= flagged
+        assert not (flagged & untouched)
+
+
+class TestDocTopkTerms:
+    def test_every_doc_gets_k_ranked_terms(self, spark):
+        from billing_data_loader_spark.operators.text_analysis import (
+            _TOPK_TERMS_K,
+        )
+        from billing_data_loader_spark.tables import load
+
+        out = catalog()["ext_doc_topk_terms"].fn(spark, SF_DIR)
+        n_docs = load(spark, SF_DIR, "documents").count()
+        per_doc = out.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min("score").alias("lo"),
+            F.max("score").alias("hi"),
+        )
+        assert per_doc.count() == n_docs
+        assert per_doc.filter(F.col("k") != _TOPK_TERMS_K).count() == 0
+        # ranked: rn=1 score is the doc's max
+        top1 = out.filter("rn = 1").select("doc_id", "score")
+        j = top1.join(per_doc, "doc_id").filter(
+            F.col("score") != F.col("hi")
+        )
+        assert j.count() == 0

@@ -186,6 +186,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row quantized-weight total + O(n_domains)-row "
             "largest-remainder rank window (one row per language)"
         ),
+        # round 8: same 1-row-scalar pattern
+        "ext_embedding_norm_filter": "1-row corpus-moment aggregate",
+        "ext_doc_topk_terms": "1-row global n_docs aggregate (IDF term)",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -219,6 +222,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_domain_mix_temperature": (
             "1-row broadcast weight-total + 1-row shortfall frames"
         ),
+        # round 8: same 1-row-broadcast pattern
+        "ext_embedding_norm_filter": "1-row broadcast (mean, std) frame",
+        "ext_doc_topk_terms": "1-row broadcast n_docs frame (IDF smoothing)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
