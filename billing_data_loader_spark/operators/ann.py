@@ -817,3 +817,152 @@ def ext_embedding_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_NORMF_Z) * F.col("std_norm")
         ).alias("is_outlier"),
     )
+
+
+# --- ext_pq_encode ------------------------------------------------------------
+
+#: Product-quantization geometry: 64-dim vectors split into M=4 subspaces
+#: of 16 dims; each subspace has a 16-entry codebook, so a vector encodes
+#: to 4 bytes (4 codes in 0..15) — a 64x compression of float32 vectors.
+#: Codebook = subvectors of seed vectors vec_id 1..16 (the ext_ann_ivf
+#: pivot convention; a trained codebook would come from ext_kmeans_lite
+#: run per subspace and swaps in without plan change).
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 16
+
+# DuckDB's list_aggregate('sum') is not a sequential fold (the
+# ext_kmeans_lite finding), so squared distances are rounded to 9dp on
+# BOTH sides before the argmin and before the reconstruction-error sum;
+# ties then break to the lowest code id identically in both engines.
+_PQ_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS code, ve AS cv FROM v WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+d AS (
+  SELECT v.vec_id, m, cb.code,
+         round(list_aggregate(
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (v.ve[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])
+                  * (v.ve[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])),
+           'sum'), 9) AS dist
+  FROM v CROSS JOIN cb CROSS JOIN unnest(range(0, {_PQ_M})) AS u(m)
+),
+best AS (
+  SELECT vec_id, m, MIN(code) AS code, ANY_VALUE(mind) AS dist FROM (
+    SELECT vec_id, m, code, dist,
+           MIN(dist) OVER (PARTITION BY vec_id, m) AS mind
+    FROM d
+  ) WHERE dist = mind GROUP BY vec_id, m
+),
+pivoted AS (
+  SELECT vec_id,
+         MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+         MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+         MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+         MAX(CASE WHEN m = 3 THEN code END) AS code_3,
+         MAX(CASE WHEN m = 0 THEN dist END) AS e0,
+         MAX(CASE WHEN m = 1 THEN dist END) AS e1,
+         MAX(CASE WHEN m = 2 THEN dist END) AS e2,
+         MAX(CASE WHEN m = 3 THEN dist END) AS e3
+  FROM best GROUP BY vec_id
+)
+SELECT vec_id, code_0, code_1, code_2, code_3,
+       e0 + e1 + e2 + e3 AS recon_err
+FROM pivoted
+"""
+
+
+@query("ext_pq_encode", oracle=_PQ_ORACLE, tier=3)
+def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each 64-dim vector becomes 4 codes
+    (one 16-entry codebook per 16-dim subspace) plus its reconstruction
+    error — the 64x-compressed representation IVFPQ-style ANN indexes
+    store instead of raw floats. Completes the vector-compression family:
+    ext_embedding_quantize is scalar (per-dimension int8), PQ is the
+    subspace-codebook form whose asymmetric distance tables make
+    billion-vector search RAM-resident.
+
+    Exactness: per-subspace squared distances are 9dp-rounded on both
+    sides before the argmin (DuckDB's list sum is not a sequential fold —
+    the ext_kmeans_lite finding), argmin ties break to the lowest code id
+    via struct comparison, and the reconstruction error sums the four
+    rounded minima in fixed left-to-right order — identical IEEE adds.
+
+    Shape: the 4x16 codebook folds into ONE broadcast row (the
+    ext_ann_ivf pivot-array pattern); assignment is an array_max over
+    per-code distance structs evaluated INSIDE the scan task per
+    subspace — zero exchanges, the corpus is never shuffled. At 100 TB:
+    scan -> encode -> sink, with the codebook a few KB broadcast; a
+    trained codebook (per-subspace k-means) swaps in as the same 1-row
+    broadcast."""
+    from ..session import widen_scan
+
+    e = widen_scan(load(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", _as_double("embedding").alias("v"))
+    cb = (
+        v.filter(F.col("vec_id").between(1, _PQ_K))
+        .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
+        .agg(F.collect_list(F.struct("code", "cv")).alias("cbs"))
+    )
+
+    def _sub_sqd(vec, cvec, m):
+        a = F.slice(vec, m * _PQ_SUB + 1, _PQ_SUB)
+        b = F.slice(cvec, m * _PQ_SUB + 1, _PQ_SUB)
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    # PITFALL (found live, round 8): PySpark derives the Catalyst
+    # NamedLambdaVariable's name from the PYTHON argument name, so four
+    # `lambda p: ...` transforms in one plan collide at analysis and the
+    # argmin silently binds against the wrong element (symptom: every
+    # vector "matched" a fixed codebook entry at distance -0.0). The four
+    # subspace lambdas are therefore unrolled with DISTINCT argument
+    # names; the inner zip_with/aggregate lambdas may repeat safely (only
+    # the outermost transform's variable leaks across instances).
+    best_m = [
+        F.array_max(
+            F.transform(
+                F.col("cbs"),
+                lam,
+            )
+        )
+        for lam in (
+            lambda p0: F.struct(
+                (-_sub_sqd(F.col("v"), p0["cv"], 0)).alias("neg_d"),
+                (-p0["code"]).alias("neg_code"),
+            ),
+            lambda p1: F.struct(
+                (-_sub_sqd(F.col("v"), p1["cv"], 1)).alias("neg_d"),
+                (-p1["code"]).alias("neg_code"),
+            ),
+            lambda p2: F.struct(
+                (-_sub_sqd(F.col("v"), p2["cv"], 2)).alias("neg_d"),
+                (-p2["code"]).alias("neg_code"),
+            ),
+            lambda p3: F.struct(
+                (-_sub_sqd(F.col("v"), p3["cv"], 3)).alias("neg_d"),
+                (-p3["code"]).alias("neg_code"),
+            ),
+        )
+    ]
+    out = v.crossJoin(F.broadcast(cb))
+    cols = ["vec_id"]
+    err = None
+    for m, best in enumerate(best_m):
+        out = out.withColumn(f"_b{m}", best)
+        cols.append(f"code_{m}")
+        out = out.withColumn(
+            f"code_{m}", (-F.col(f"_b{m}")["neg_code"]).cast("long")
+        )
+        term = -F.col(f"_b{m}")["neg_d"]
+        err = term if err is None else err + term
+    return out.select(*cols, err.alias("recon_err"))

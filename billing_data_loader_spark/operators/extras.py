@@ -508,3 +508,53 @@ def ext_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pri.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _WSAMPLE_K)
     )
+
+
+# --- ext_sample_hashrank_salted -----------------------------------------------
+
+#: Salt-bucket count for the two-pass top-K merge. K winners per stratum
+#: can hide in at most K distinct buckets, so keeping K per (stratum,
+#: bucket) loses nothing — the finalist pool is B*K rows per stratum, and
+#: the final re-rank is exact.
+_SALTED_B = 8
+
+
+@query("ext_sample_hashrank_salted", oracle=_HASHRANK_ORACLE, tier=3)
+def ext_sample_hashrank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ext_sample_hashrank`` through the bucket-salted two-pass merge its
+    docstring promises for 100 TB strata (VERDICT r7 #5's "exercise the
+    promised swaps" — the sampling-side counterpart to
+    ext_dup_ngram_bloom), with the IDENTICAL output (same oracle;
+    salted==plain equality pinned in tests/test_round8.py).
+
+    A single per-stratum window forces every row of a stratum through one
+    task; with few strata (4 languages here, often ~1 domain at corpus
+    scale) that task sees the whole corpus. Salting splits each stratum
+    into B=8 hash buckets — (lang, xxhash64(doc_id) % B) — takes the
+    top-K inside each bucket (parallelism B per stratum, bounded per-task
+    heap), then re-ranks only the B*K finalists per stratum. Losslessness
+    is structural: the true top-K by md5 rank occupy at most K buckets,
+    and each contributes its members in bucket-local rank order, so every
+    true winner survives its bucket's cut. The finalist re-rank window
+    moves B*K rows per stratum — thousands, at any corpus size.
+
+    Shape: TWO window shuffles, but the first is on the SALTED key (B x
+    parallelism, bounded heaps) and the second on a frame bounded by
+    B*K per stratum — this is the plan that survives a single-stratum
+    100 TB corpus, where the plain form's one-task window cannot."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SAMPLE_SALT)))
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(_SALTED_B))
+    w_bucket = W.partitionBy("lang", "bucket").orderBy("h", "doc_id")
+    finalists = (
+        d.select("doc_id", "lang", h.alias("h"), bucket.alias("bucket"))
+        .withColumn("brn", F.row_number().over(w_bucket))
+        .filter(F.col("brn") <= _SAMPLE_K)
+        .drop("brn")
+    )
+    w_final = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        finalists.withColumn("rn", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+        .select("doc_id", "lang", "h", "rn")
+    )

@@ -164,3 +164,107 @@ def ext_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("occ_in_word") * F.col("n_word")).alias("n_occurrences"),
         F.count(F.lit(1)).alias("n_distinct_words"),
     )
+
+
+# --- ext_group_texts ----------------------------------------------------------
+
+#: Fixed block size in tokens (the training context length in the HF
+#: `group_texts` transform this mirrors).
+_BLOCK_B = 128
+
+_GROUP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents
+),
+pos AS (
+  SELECT doc_id, lang, n,
+         CAST(SUM(n) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n AS BIGINT) AS s
+  FROM d
+),
+spans AS (
+  SELECT doc_id, lang, n, s, b
+  FROM pos, unnest(range(s // {_BLOCK_B}, (s + n - 1) // {_BLOCK_B} + 1))
+    AS u(b)
+),
+contrib AS (
+  SELECT lang, b AS block_id, doc_id,
+         LEAST(s + n, (b + 1) * {_BLOCK_B}) - GREATEST(s, b * {_BLOCK_B})
+           AS n_tok
+  FROM spans
+)
+SELECT lang, block_id,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM contrib
+GROUP BY lang, block_id
+"""
+
+
+@query("ext_group_texts", oracle=_GROUP_ORACLE, tier=3)
+def ext_group_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document block packing (the HF ``group_texts`` transform):
+    per language stream (docs in doc_id order), all tokens concatenate
+    into one sequence cut into fixed 128-token blocks; the output is the
+    per-(lang, block) manifest — token count (== B except each stream's
+    tail), contributing-document count and id range — i.e. which docs a
+    dataloader must read to materialize each training block.
+    ``ext_chunk_sliding`` windows WITHIN a doc (windows can run short);
+    this packs ACROSS docs (every block exactly full). ``ext_seq_pack``
+    is the bin-packing variant that never splits a doc.
+
+    The key design point: the token stream is never materialized. Each
+    doc's block span derives arithmetically from its running token offset
+    s — it overlaps blocks floor(s/B) .. floor((s+n-1)/B) and contributes
+    min(s+n, (b+1)B) - max(s, bB) tokens to block b — so the explode
+    emits one row per (doc, touched block) (~n/B + 1 rows), not one per
+    token. All integer arithmetic; exact in both engines.
+
+    Shape: one per-lang window for the running offset (a genuine
+    sequential prefix — at 100 TB swap in win_running_sum's two-pass
+    partition-offset decomposition, which computes the same cumsum with
+    per-range parallelism), then a map-side sequence/explode and one
+    (lang, block) aggregate that AQE handles with map-side combine. The
+    text column is dropped before the window: only (doc_id, lang, n)
+    ever shuffles."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("doc_id")
+    pos = sized.withColumn(
+        "s", F.sum("n").over(w) - F.col("n")
+    )
+    spans = pos.select(
+        "doc_id",
+        "lang",
+        "n",
+        "s",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_BLOCK_B}"),
+                F.expr(f"(s + n - 1) div {_BLOCK_B}"),
+            )
+        ).alias("b"),
+    )
+    n_tok = F.least(
+        F.col("s") + F.col("n"), (F.col("b") + 1) * _BLOCK_B
+    ) - F.greatest(F.col("s"), F.col("b") * _BLOCK_B)
+    return (
+        spans.select(
+            "lang", F.col("b").alias("block_id"), "doc_id", n_tok.alias("n_tok")
+        )
+        .groupBy("lang", "block_id")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

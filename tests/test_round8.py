@@ -302,3 +302,63 @@ class TestDocTopkTerms:
             F.col("score") != F.col("hi")
         )
         assert j.count() == 0
+
+
+class TestHashrankSalted:
+    def test_salted_two_pass_is_lossless(self, spark):
+        plain = catalog()["ext_sample_hashrank"].fn(spark, SF_DIR)
+        salted = catalog()["ext_sample_hashrank_salted"].fn(spark, SF_DIR)
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b and len(a) > 0
+
+
+class TestGroupTexts:
+    def test_blocks_exactly_full_except_stream_tails(self, spark):
+        from billing_data_loader_spark.operators.segmentation import _BLOCK_B
+        from billing_data_loader_spark.tables import load
+
+        out = catalog()["ext_group_texts"].fn(spark, SF_DIR)
+        # per lang: every block except the last carries exactly B tokens,
+        # blocks are contiguous from 0, and token totals tie out to the
+        # corpus token count
+        rows = out.collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        totals = {
+            r["lang"]: r["n"]
+            for r in load(spark, SF_DIR, "documents")
+            .groupBy("lang")
+            .agg(F.sum(F.size(F.split("text", " "))).alias("n"))
+            .collect()
+        }
+        for lang, blocks in by_lang.items():
+            blocks.sort(key=lambda r: r["block_id"])
+            assert [b["block_id"] for b in blocks] == list(range(len(blocks)))
+            assert all(b["n_tokens"] == _BLOCK_B for b in blocks[:-1])
+            assert 0 < blocks[-1]["n_tokens"] <= _BLOCK_B
+            assert sum(b["n_tokens"] for b in blocks) == totals[lang]
+
+
+class TestPqEncode:
+    def test_codebook_seeds_encode_to_themselves(self, spark):
+        # vectors 1..16 ARE the codebook, so each must encode to its own
+        # id in every subspace with zero reconstruction error — also the
+        # regression pin for the lambda-variable-collision pitfall (a
+        # mis-bound argmin sent every vector to one fixed code).
+        out = catalog()["ext_pq_encode"].fn(spark, SF_DIR)
+        seeds = out.filter(F.col("vec_id").between(1, 16)).collect()
+        assert len(seeds) == 16
+        for r in seeds:
+            assert (
+                r["code_0"] == r["code_1"] == r["code_2"] == r["code_3"]
+                == r["vec_id"]
+            )
+            assert r["recon_err"] == 0.0
+        # non-seed vectors must NOT all share one code (the bug symptom)
+        codes = {
+            r["code_0"]
+            for r in out.filter(F.col("vec_id") > 16).collect()
+        }
+        assert len(codes) > 1

@@ -189,6 +189,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         # round 8: same 1-row-scalar pattern
         "ext_embedding_norm_filter": "1-row corpus-moment aggregate",
         "ext_doc_topk_terms": "1-row global n_docs aggregate (IDF term)",
+        "ext_pq_encode": "1-row codebook-array fold (4x16 codes -> one row)",
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -225,6 +226,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         # round 8: same 1-row-broadcast pattern
         "ext_embedding_norm_filter": "1-row broadcast (mean, std) frame",
         "ext_doc_topk_terms": "1-row broadcast n_docs frame (IDF smoothing)",
+        "ext_pq_encode": "1-row broadcast codebook array (map-side argmin)",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
