@@ -130,6 +130,33 @@ AUDITED = {
         "IDs shuffle (distinct), vectors move only in the final fetch-join "
         "before TakeOrderedAndProject."
     ),
+    "ext_chunk_sliding": (
+        "Sliding-window chunking (round 8): ZERO exchanges — chunk "
+        "membership is an integer expression, chunks come from "
+        "sequence+explode+slice inside the scan's codegen stage. The "
+        "100 TB plan is scan -> project/explode -> sink."
+    ),
+    "ext_dup_ngram_bloom": (
+        "Bloom-prefiltered dup-ngram coverage (round 8): the df>=2 "
+        "shingle set reduces to a fixed <=16384-row bit_or bitmap that "
+        "broadcasts; probes are k map-side bit tests and only bloom "
+        "survivors reach the exact left-semi verify — the corpus shingle "
+        "table shuffles once for the df aggregate and never again "
+        "(the exact sibling joins it back in full)."
+    ),
+    "ext_pq_encode": (
+        "Product quantization (round 8): the 4x16 codebook folds to ONE "
+        "broadcast row; each subspace's argmin is an array_max over "
+        "distance structs evaluated inside the scan task — zero "
+        "exchanges, the corpus never shuffles, output is 4 codes + "
+        "error per vector."
+    ),
+    "ext_group_texts": (
+        "Cross-doc block packing (round 8): one per-lang prefix-sum "
+        "window over (doc_id, lang, n) — text is dropped before the "
+        "shuffle — then block spans explode map-side (~n/B + 1 rows per "
+        "doc, never per token) into one (lang, block) aggregate."
+    ),
 }
 
 
