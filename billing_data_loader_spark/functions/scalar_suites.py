@@ -573,17 +573,31 @@ def fn_lambda_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRY_BIG = 9_223_372_036_854_775_800  # Long.MAX - 7
 _TRY_POW62 = 4_611_686_018_427_387_904  # 2^62
 
+#: Overflow boundaries tuned so the null branch is RARE (~0.8% of rows):
+#: try_add/try_multiply detect overflow via a thrown-and-caught JVM
+#: arithmetic exception PER OVERFLOWING ROW (measured at sf0.1: 20%/50%
+#: overflow rates cost 0.8 s / 1.3 s per column vs ~0.2 s when overflow is
+#: ~1%), so the operator models the production reality — errors are the
+#: exception — and documents the cliff for anyone tempted to lean on
+#: try_* as a bulk branch.
+_TRY_ADD_MOD = 1009   # overflow iff mod value > 1000 (8/1009 of rows)
+_TRY_ADD_BASE = 9_223_372_036_854_774_807  # Long.MAX - 1000 exactly
+_TRY_MUL_MOD = 1031   # overflow iff mod value >= 1024 (7/1031 of rows)
+_TRY_POW53 = 9_007_199_254_740_992  # 2^53; * x overflows long iff x >= 1024
+
 _TRY_ARITH_ORACLE = f"""
 SELECT
   o_orderkey,
   CASE WHEN o_orderkey % 5 = 0 THEN NULL
        ELSE o_totalprice / CAST(o_orderkey % 5 AS DOUBLE) END AS safe_div,
-  CASE WHEN o_orderkey % 10 > 7 THEN NULL
-       ELSE {_TRY_BIG} + o_orderkey % 10 END AS safe_add,
-  CASE WHEN o_orderkey % 4 >= 2 THEN NULL
-       ELSE {_TRY_POW62} * (o_orderkey % 4) END AS safe_mul,
+  CASE WHEN o_orderkey % {_TRY_ADD_MOD} > 1000 THEN NULL
+       ELSE {_TRY_ADD_BASE} + o_orderkey % {_TRY_ADD_MOD} END AS safe_add,
+  CASE WHEN o_orderkey % {_TRY_MUL_MOD} >= 1024 THEN NULL
+       ELSE {_TRY_POW53} * (o_orderkey % {_TRY_MUL_MOD}) END AS safe_mul,
   TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
-  TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+  TRY_CAST(CASE WHEN o_orderkey % 101 = 0 THEN o_orderstatus
+                ELSE substr(o_orderpriority, 1, 1) END AS INTEGER)
+    AS mixed_num,
   (string_split(o_orderpriority, '-'))[3] AS part3
 FROM orders
 """
@@ -599,12 +613,17 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - try_divide: null at the %5 == 0 zero-denominator rows, the exact
       IEEE quotient elsewhere (identical division in the oracle's CASE).
-    - try_add / try_multiply: BIGINT overflow -> null (Long.MAX - 7 plus
-      0..9; 2^62 times 0..3 overflows at factor >= 2) — the oracle mirrors
-      the overflow boundary with integer CASEs, since DuckDB's own
-      overflow behavior is an exception too.
-    - try_cast: '1'..'5' priority prefixes parse; 'O'/'F'/'P' statuses
-      null out.
+    - try_add / try_multiply: BIGINT overflow -> null, with the boundary
+      placed so only ~0.8% of rows overflow (see _TRY_ADD_MOD note: the
+      JVM detects overflow by throwing, so each null-branch row costs an
+      exception — measured 4-6x column slowdown at 20-50% overflow
+      rates) — the oracle mirrors the boundary with integer CASEs, since
+      DuckDB's own overflow behavior is an exception too.
+    - try_cast: '1'..'5' priority prefixes always parse (prio_num);
+      mixed_num swaps in an unparseable status letter on ~1% of rows —
+      the same rare-failure discipline as the overflow columns, because a
+      100%-failing try_cast column measured 1.4 s/150k rows of pure
+      exception throwing.
     - try_element_at: index 3 of a 2-element split -> null (DuckDB list
       indexing is null-on-out-of-range natively).
 
@@ -616,16 +635,19 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(
             "o_totalprice", (F.col("o_orderkey") % 5).cast("double")
         ).alias("safe_div"),
-        F.try_add(F.lit(_TRY_BIG), F.col("o_orderkey") % 10).alias(
-            "safe_add"
-        ),
-        F.try_multiply(F.lit(_TRY_POW62), F.col("o_orderkey") % 4).alias(
-            "safe_mul"
-        ),
+        F.try_add(
+            F.lit(_TRY_ADD_BASE), F.col("o_orderkey") % _TRY_ADD_MOD
+        ).alias("safe_add"),
+        F.try_multiply(
+            F.lit(_TRY_POW53), F.col("o_orderkey") % _TRY_MUL_MOD
+        ).alias("safe_mul"),
         F.expr(
             "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
         ).alias("prio_num"),
-        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.expr(
+            "try_cast(CASE WHEN o_orderkey % 101 = 0 THEN o_orderstatus"
+            " ELSE substr(o_orderpriority, 1, 1) END AS INT)"
+        ).alias("mixed_num"),
         F.try_element_at(
             F.split("o_orderpriority", "-"), F.lit(3)
         ).alias("part3"),

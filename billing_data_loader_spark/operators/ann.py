@@ -966,3 +966,166 @@ def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = -F.col(f"_b{m}")["neg_d"]
         err = term if err is None else err + term
     return out.select(*cols, err.alias("recon_err"))
+
+
+# --- ext_ann_pq_search --------------------------------------------------------
+
+_PQS_TOP_K = 10
+
+# Full algorithm mirror: encode (the _PQ_ORACLE pipeline), build the
+# query's 4x16 asymmetric-distance table, score every vector by 4 table
+# lookups, take the top-10 by (approx asc, vec_id asc), then exact-cosine
+# re-rank the 10 fetched vectors. Every distance is 9dp-rounded on both
+# sides (the ext_kmeans_lite list-sum finding); the final cosine is the
+# bit-identical sequential fold.
+_PQS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS code, ve AS cv FROM v WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+d AS (
+  SELECT v.vec_id, m, cb.code,
+         round(list_aggregate(
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (v.ve[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])
+                  * (v.ve[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])),
+           'sum'), 9) AS dist
+  FROM v CROSS JOIN cb CROSS JOIN unnest(range(0, {_PQ_M})) AS u(m)
+),
+best AS (
+  SELECT vec_id, m, MIN(code) AS code FROM (
+    SELECT vec_id, m, code, dist,
+           MIN(dist) OVER (PARTITION BY vec_id, m) AS mind
+    FROM d
+  ) WHERE dist = mind GROUP BY vec_id, m
+),
+codes AS (
+  SELECT vec_id,
+         MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+         MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+         MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+         MAX(CASE WHEN m = 3 THEN code END) AS code_3
+  FROM best GROUP BY vec_id
+),
+dt AS (
+  SELECT m, code, dist FROM d WHERE vec_id = 0
+),
+scored AS (
+  SELECT c.vec_id,
+         t0.dist + t1.dist + t2.dist + t3.dist AS approx_dist
+  FROM codes c
+  JOIN dt t0 ON t0.m = 0 AND t0.code = c.code_0
+  JOIN dt t1 ON t1.m = 1 AND t1.code = c.code_1
+  JOIN dt t2 ON t2.m = 2 AND t2.code = c.code_2
+  JOIN dt t3 ON t3.m = 3 AND t3.code = c.code_3
+  WHERE c.vec_id <> 0
+),
+topk AS (
+  SELECT vec_id, approx_dist FROM scored
+  ORDER BY approx_dist ASC, vec_id ASC LIMIT {_PQS_TOP_K}
+)
+SELECT t.vec_id, t.approx_dist,
+       list_dot_product(v.ve, q.ve)
+       / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(q.ve, q.ve)))
+         AS cos_sim
+FROM topk t
+JOIN v ON v.vec_id = t.vec_id
+CROSS JOIN (SELECT ve FROM v WHERE vec_id = 0) q
+"""
+
+
+@query("ext_ann_pq_search", oracle=_PQS_ORACLE, tier=3)
+def ext_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (the IVFPQ query path): the query
+    vector builds a 4x16 distance table to every codebook entry; each
+    database vector's approximate distance is then FOUR map lookups on
+    its stored codes — no vector arithmetic per candidate at all, which
+    is why PQ search stays RAM- and compute-resident at billions of
+    vectors. Top-10 by approximate distance, then the 10 fetched vectors
+    re-rank by exact cosine (the standard refine step). Composes with
+    ext_pq_encode (the stored codes) and complements ext_ann_ivf /
+    ext_ann_lsh (candidate pruning vs distance compression).
+
+    Fixture-regime note: the fixture's vectors are random UNIT vectors
+    with no neighbor structure (max pairwise cosine 0.513), and PQ
+    approximates the metric itself — so top-10 recall vs exact KNN is
+    ~chance HERE by construction, where IVF/LSH (which re-rank true
+    cosines and only prune candidates) hold 7-8/10. On clustered real
+    embeddings the distance table tracks true distances and recall
+    climbs with codebook size; the operator's correctness claim is the
+    full algorithm-mirror oracle, not fixture recall.
+
+    Determinism: table entries are the same 9dp-rounded subspace
+    distances the encoder uses; the approximate distance sums four
+    rounded doubles in fixed order; ties break by vec_id; the re-rank
+    cosine is the bit-identical sequential fold. The oracle replays the
+    whole encode + table + lookup + refine pipeline in SQL.
+
+    Shape: codes come from the zero-shuffle encoder; the distance table
+    is 4 MAP columns in ONE broadcast row (map_from_entries over the
+    16-row codebook-distance frame — no HOF lambda at lookup, see the
+    encoder's lambda-collision note); scoring is map-side element_at,
+    top-10 is TakeOrderedAndProject, and only the 10 winners join back
+    for vectors. At 100 TB: scan codes -> project -> top-k; the corpus
+    vectors are touched only for the final 10 fetches."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", _as_double("embedding").alias("v"))
+    cbr = v.filter(F.col("vec_id").between(1, _PQ_K)).select(
+        F.col("vec_id").alias("code"), F.col("v").alias("cv")
+    )
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def _sqd_cols(a, b, m):
+        aa = F.slice(a, m * _PQ_SUB + 1, _PQ_SUB)
+        bb = F.slice(b, m * _PQ_SUB + 1, _PQ_SUB)
+        return F.round(
+            F.aggregate(
+                F.zip_with(aa, bb, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    qdist = cbr.crossJoin(F.broadcast(q)).select(
+        "code",
+        _sqd_cols(F.col("qv"), F.col("cv"), 0).alias("d0"),
+        _sqd_cols(F.col("qv"), F.col("cv"), 1).alias("d1"),
+        _sqd_cols(F.col("qv"), F.col("cv"), 2).alias("d2"),
+        _sqd_cols(F.col("qv"), F.col("cv"), 3).alias("d3"),
+    )
+    dt = qdist.agg(
+        *[
+            F.map_from_entries(
+                F.collect_list(F.struct("code", f"d{m}"))
+            ).alias(f"dt{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+
+    codes = ext_pq_encode(spark, sf_dir).select(
+        "vec_id", "code_0", "code_1", "code_2", "code_3"
+    )
+    approx = (
+        F.element_at(F.col("dt0"), F.col("code_0").cast("int"))
+        + F.element_at(F.col("dt1"), F.col("code_1").cast("int"))
+        + F.element_at(F.col("dt2"), F.col("code_2").cast("int"))
+        + F.element_at(F.col("dt3"), F.col("code_3").cast("int"))
+    )
+    topk = (
+        codes.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(dt))
+        .select("vec_id", approx.alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(_PQS_TOP_K)
+    )
+    return (
+        topk.join(v, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "approx_dist",
+            _cos(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+    )

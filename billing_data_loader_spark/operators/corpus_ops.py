@@ -398,6 +398,16 @@ def ext_dup_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent of the shingle table instead of all of it; the df aggregate
     itself is unchanged — one shuffle of 8-byte hashed shingles.
 
+    Measured regime note (sf0.1, trough load): ~3.0 s vs the exact
+    sibling's ~1.6 s — the FIXTURE is the bloom's worst case (20% planted
+    copies make 8.6% of shingles duplicates, and the whole corpus fits in
+    two shuffles), so the persist+probe overhead exceeds the join it
+    removes. The crossover the operator exists for is the production
+    shape: dup fraction in the low percent and a shingle table whose
+    join-back shuffle no longer fits comfortably — then the probe's zero
+    added exchanges win. Kept as the declared scale variant with the
+    exact-equality pin, not as a local-latency win.
+
     Per-doc totals (n_shingles) come from the pre-probe frame, so docs
     with zero duplicate shingles still emit their row, exactly as the
     plain groupBy does."""
@@ -441,28 +451,40 @@ def ext_dup_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
+    # densify to ONE 16384-long array row: probes become O(1) element_at
+    # bit tests against a single ~128 KB broadcast — ZERO probe-side
+    # joins. (The first form of this operator left-joined the sparse
+    # bitmap k times per gram; five chained broadcast hash joins cost
+    # ~4x the exact sibling at sf0.1 — the dense-array lookup removes
+    # every probe-side join node from the plan.) The left join against
+    # range() fills unset words with 0; array order is pinned by
+    # array_sort on (word_idx, word) structs.
+    dense = (
+        spark.range(_DNB_M // 64)
+        .select(F.col("id").cast("int").alias("word_idx"))
+        .join(bitmap, "word_idx", "left")
+        .select("word_idx", F.coalesce("word", F.lit(0)).alias("word"))
+    )
+    bits_row = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word_idx", "word"))),
+            lambda s: s["word"],
+        ).alias("bits")
+    )
 
-    probe = tri
+    probe = tri.crossJoin(F.broadcast(bits_row))
+    tests = []
     for i, p in enumerate(_dnb_positions(F.col("g"))):
-        probe = (
-            probe.withColumn(f"_p{i}", p)
-            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 64).cast("int"))
-            .withColumn(f"_m{i}", F.expr(_mask.format(p=f"_p{i}")))
+        probe = probe.withColumn(f"_p{i}", p)
+        word = F.element_at(
+            F.col("bits"), (F.col(f"_p{i}") / 64).cast("int") + 1
         )
-    for i in range(_DNB_K):
-        bm = F.broadcast(
-            bitmap.select(
-                F.col("word_idx").alias(f"_w{i}"),
-                F.col("word").alias(f"_word{i}"),
-            )
-        )
-        probe = probe.join(bm, f"_w{i}", "left")
-    passed = probe.filter(
-        " AND ".join(
-            f"(_word{i} IS NOT NULL AND (_word{i} & _m{i}) != 0)"
-            for i in range(_DNB_K)
-        )
-    ).select("doc_id", "g")
+        mask = F.expr(_mask.format(p=f"_p{i}"))
+        tests.append(word.bitwiseAND(mask) != 0)
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    passed = probe.filter(cond).select("doc_id", "g")
 
     # exact verify on bloom survivors only: left-semi against the true
     # df>=2 keys strips the ~2e-7 false positives

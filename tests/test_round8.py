@@ -251,10 +251,12 @@ class TestTryArith:
             nulls = out.filter(F.col(c).isNull()).count()
             vals = out.filter(F.col(c).isNotNull()).count()
             assert nulls > 0 and vals > 0, c
-        # prio_num always parses ('1'..'5' prefixes); status_num never
-        # does ('O'/'F'/'P'); part3 is always out of range
+        # prio_num always parses ('1'..'5' prefixes); mixed_num fails on
+        # the ~1% status-letter rows only; part3 is always out of range
         assert out.filter(F.col("prio_num").isNull()).count() == 0
-        assert out.filter(F.col("status_num").isNotNull()).count() == 0
+        m_null = out.filter(F.col("mixed_num").isNull()).count()
+        m_val = out.filter(F.col("mixed_num").isNotNull()).count()
+        assert 0 < m_null < m_val
         assert out.filter(F.col("part3").isNotNull()).count() == 0
 
 
@@ -362,3 +364,22 @@ class TestPqEncode:
             for r in out.filter(F.col("vec_id") > 16).collect()
         }
         assert len(codes) > 1
+
+
+class TestPqSearch:
+    def test_shape_bounds_and_determinism(self, spark):
+        # Correctness is pinned by the full algorithm-mirror oracle (hash
+        # gate). The fixture's vectors are random unit vectors with NO
+        # neighbor structure (max pairwise cosine 0.513), so PQ — which
+        # approximates the METRIC, unlike IVF/LSH which re-rank true
+        # cosines — ranks by quantization noise there and recall vs exact
+        # KNN is ~chance by construction (measured 0-1/10). What must
+        # hold: exactly k rows, nonnegative approx distances, cosines in
+        # [-1, 1], and bit-identical output across invocations.
+        a = catalog()["ext_ann_pq_search"].fn(spark, SF_DIR).collect()
+        b = catalog()["ext_ann_pq_search"].fn(spark, SF_DIR).collect()
+        assert len(a) == 10
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        for r in a:
+            assert r["approx_dist"] >= 0
+            assert -1.0 <= r["cos_sim"] <= 1.0

@@ -217,6 +217,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_embedding_norm_filter": "1-row corpus-moment aggregate",
         "ext_doc_topk_terms": "1-row global n_docs aggregate (IDF term)",
         "ext_pq_encode": "1-row codebook-array fold (4x16 codes -> one row)",
+        "ext_ann_pq_search": "1-row distance-table + codebook folds",
+        "ext_dup_ngram_bloom": (
+            "1-row dense-bitmap fold (16384 words -> one array row)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -254,6 +258,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_embedding_norm_filter": "1-row broadcast (mean, std) frame",
         "ext_doc_topk_terms": "1-row broadcast n_docs frame (IDF smoothing)",
         "ext_pq_encode": "1-row broadcast codebook array (map-side argmin)",
+        "ext_ann_pq_search": "1-row broadcast distance-table maps + query",
+        "ext_dup_ngram_bloom": "1-row broadcast dense bloom-bitmap array",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
