@@ -658,3 +658,92 @@ def ext_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(_CONT_DEN * F.col("n_inter") >= _CONT_NUM * F.col("n_a"))
     )
+
+
+# --- ext_tokenize_to_ids ------------------------------------------------------
+
+#: Vocabulary size cap: tokens ranked by (corpus frequency desc, token asc);
+#: rank > _VOCAB_TOP maps to the OOV id 0. Output id space is 1..N, 0 = OOV.
+_VOCAB_TOP = 100
+
+_TOK_IDS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, t[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS u(i)
+),
+vocab AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS token_id
+  FROM tok GROUP BY token
+  QUALIFY token_id <= {_VOCAB_TOP}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       string_agg(CAST(COALESCE(token_id, 0) AS VARCHAR), ','
+                  ORDER BY pos ASC) AS ids_csv
+FROM tok LEFT JOIN vocab USING (token)
+GROUP BY doc_id
+"""
+
+
+@query("ext_tokenize_to_ids", oracle=_TOK_IDS_ORACLE, tier=3)
+def ext_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-to-id mapping (the final text -> integer-sequence step before
+    a training dataloader): a frequency-ranked vocabulary of the top 100
+    tokens (rank order: count desc, token asc — deterministic), every
+    other token mapped to the OOV id 0, and each document re-emitted as
+    its id sequence (csv string — the driver's canonicalizer requires
+    flat cells) plus token/OOV counts. Composes with ext_bpe_pair_counts
+    (train the merges) upstream and ext_group_texts / ext_seq_pack
+    (pack the sequences) downstream.
+
+    Shape: the vocabulary is corpus-bounded — one token aggregate, a
+    vocab-sized global rank window (single partition over VOCAB rows,
+    the ext_quality_score stopword pattern — never over the corpus), and
+    the id assignment is a broadcast join from tokens to the <= 100-row
+    vocab. Sequence reassembly sorts (pos, id) pairs inside a per-doc
+    aggregate: array_sort(collect_list(struct(pos, id))) — collect_list
+    order is partition-dependent, the struct sort makes it deterministic.
+    One shuffle of (doc_id, pos, id) triples. At 100 TB the vocab is a
+    real tokenizer's (~100k rows) and still broadcasts; everything else
+    scales linearly in tokens."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    from pyspark.sql import Window as W
+
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "token_id",
+            F.row_number().over(
+                W.orderBy(F.col("n").desc(), F.col("token").asc())
+            ),
+        )
+        .filter(F.col("token_id") <= _VOCAB_TOP)
+        .select("token", "token_id")
+    )
+    mapped = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(0)).alias("tid"),
+        F.col("token_id").isNull().cast("int").alias("oov"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"].cast("string"),
+        ),
+        ",",
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        seq.alias("ids_csv"),
+    )

@@ -383,3 +383,36 @@ class TestPqSearch:
         for r in a:
             assert r["approx_dist"] >= 0
             assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+class TestTokenizeToIds:
+    def test_sequences_reconstruct_token_stream(self, spark):
+        from billing_data_loader_spark.tables import load
+
+        out = catalog()["ext_tokenize_to_ids"].fn(spark, SF_DIR)
+        docs = load(spark, SF_DIR, "documents").select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        )
+        j = out.join(docs, "doc_id")
+        # id sequence length == token count, every id in [0, 100],
+        # n_oov == number of zeros in the sequence
+        bad = j.filter(
+            (F.size(F.split("ids_csv", ",")) != F.col("n"))
+            | (F.col("n_tok") != F.col("n"))
+        ).count()
+        assert bad == 0
+        parsed = out.select(
+            "doc_id",
+            "n_oov",
+            F.transform(
+                F.split("ids_csv", ","), lambda x: x.cast("int")
+            ).alias("ids"),
+        )
+        bad2 = parsed.filter(
+            (F.size(F.filter("ids", lambda x: (x < 0) | (x > 100))) > 0)
+            | (
+                F.size(F.filter("ids", lambda x: x == 0))
+                != F.col("n_oov")
+            )
+        ).count()
+        assert bad2 == 0

@@ -221,6 +221,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_dup_ngram_bloom": (
             "1-row dense-bitmap fold (16384 words -> one array row)"
         ),
+        "ext_tokenize_to_ids": (
+            "vocab-sized global rank window (<= 100 vocabulary rows, "
+            "the ext_quality_score stopword pattern — never the corpus)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
