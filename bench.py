@@ -159,7 +159,15 @@ def main() -> None:
     # 3 at either end of the run): a suspect row means "re-measure at
     # trough before reading this as a plan regression", a non-suspect row
     # means "this moved on a quiet host — investigate the plan".
-    host_loaded = load_start[0] > 3.0 or os.getloadavg()[0] > 3.0
+    # 1-min loadavg at the two endpoints misses a mid-run burst (observed
+    # r8: start 0.40, end 2.54 — yet the 5-min at end read 4.18 and a
+    # dozen unchanged-code keys drifted together 1.3-1.5x). The 5-min
+    # average at END integrates the run itself, so it is the better
+    # mid-run contention witness on a ~10-min run.
+    load_end = os.getloadavg()
+    host_loaded = (
+        load_start[0] > 3.0 or load_end[0] > 3.0 or load_end[1] > 3.0
+    )
     drifts = {
         k: {
             "prior": prior_q[k],
