@@ -558,3 +558,122 @@ def ext_sample_hashrank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SAMPLE_K)
         .select("doc_id", "lang", "h", "rn")
     )
+
+
+# --- agg_count_min_sketch -----------------------------------------------------
+
+#: Sketch geometry: d=4 rows x w=1024 counters (eps ~ 2e/w ~ 0.5% of the
+#: stream per estimate at delta ~ e^-4). Hash bridge: 8-hex md5 prefix per
+#: (depth, key) — the cross-engine bridge ext_sample_weighted pinned.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_SALT = ":bdl-cms-8"
+#: Probe set: every 31st user — mixes heavy and light keys (~16 probes at
+#: sf0.01, ~64 at sf0.1).
+_CMS_PROBE_MOD = 31
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || '{_CMS_SALT}'
+                         || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM events CROSS JOIN unnest(range(0, {_CMS_D})) AS u(d)
+  GROUP BY d, bucket
+),
+truth AS (
+  SELECT user_id, COUNT(*) AS true_count FROM events
+  WHERE user_id % {_CMS_PROBE_MOD} = 0 GROUP BY user_id
+),
+est AS (
+  SELECT t.user_id, t.true_count, MIN(c.c) AS cms_estimate
+  FROM truth t
+  JOIN cells c
+    ON c.bucket = ('0x' || substr(md5(CAST(c.d AS VARCHAR) || '{_CMS_SALT}'
+                                  || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {_CMS_W}
+  GROUP BY t.user_id, t.true_count
+)
+SELECT user_id, true_count, cms_estimate,
+       cms_estimate - true_count AS overcount
+FROM est
+"""
+
+
+@query("agg_count_min_sketch", oracle=_CMS_ORACLE, tier=2)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation: a 4 x 1024 counter grid
+    built in ONE pass over events (each event increments one bucket per
+    depth), then point queries answered as min-over-depths — the
+    mergeable-sketch complement to agg_approx_distinct (HLL) and
+    agg_heavy_hitters_approx (Misra-Gries): CMS answers "how often did
+    THIS key occur" with a one-sided error (never undercounts, pinned in
+    tests), and two sketches merge by cell-wise addition, so per-hour /
+    per-partition sketches roll up without rescans.
+
+    Probes are every-31st user: the output carries true count, estimate,
+    and the overcount so the eps*N error bound is visible and testable.
+    Hashing is the md5-prefix bridge (bit-identical in both engines);
+    every count is exact integer arithmetic, so the whole sketch is
+    deterministic and the oracle replays it cell for cell.
+
+    Shape: the build is one groupBy over (depth, bucket) — map-side
+    combined, at most d*w = 4096 rows cross the exchange regardless of
+    stream size. The probe joins the 4096-row sketch (broadcast) to the
+    probe keys' per-depth buckets. At 100 TB the sketch is still 4096
+    rows — that invariance is the whole point."""
+    e = load(spark, sf_dir, "events")
+    depths = F.explode(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+    ).alias("d")
+    bucket_of = lambda d_col, key_col: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        d_col.cast("string"),
+                        F.lit(_CMS_SALT),
+                        key_col.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_CMS_W),
+    )
+    cells = (
+        e.select("user_id", depths)
+        .select("d", bucket_of(F.col("d"), F.col("user_id")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = (
+        e.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    probes = truth.select(
+        "user_id",
+        "true_count",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+    ).select(
+        "user_id",
+        "true_count",
+        "d",
+        bucket_of(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "true_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+    )

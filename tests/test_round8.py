@@ -416,3 +416,19 @@ class TestTokenizeToIds:
             )
         ).count()
         assert bad2 == 0
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_and_bounded_sketch(self, spark):
+        out = catalog()["agg_count_min_sketch"].fn(spark, SF_DIR).collect()
+        assert len(out) > 0
+        # CMS never undercounts: estimate >= true count for every probe
+        assert all(r["overcount"] >= 0 for r in out)
+        assert all(r["cms_estimate"] >= r["true_count"] for r in out)
+        # and the expected overcount is bounded by ~N/w per depth; with
+        # min-over-4-depths the worst observed probe should sit far under
+        # the single-row bound (sanity, not the probabilistic bound)
+        from billing_data_loader_spark.tables import load
+
+        n = load(spark, SF_DIR, "events").count()
+        assert max(r["overcount"] for r in out) <= n // 64
