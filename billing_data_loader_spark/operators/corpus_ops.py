@@ -621,13 +621,22 @@ def ext_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # alpha = ceil(tau * n) = (4n + 4) div 5; prefix keeps pos <= n - alpha + 1
+    # df >= 2 on BOTH join inputs is lossless: a candidate needs a SHARED
+    # shingle, and a shingle held by one doc only (df == 1) can never
+    # match across doc_id != doc_id — dropping those rows shrinks the
+    # inverted-index join without changing its output. The prefix is
+    # dominated by globally-rarest (mostly df == 1) shingles, so the cut
+    # is large (measured ~25% off the key at sf0.1).
     prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("n_tok")
-        - F.expr(f"({_CONT_NUM}*n_tok + {_CONT_DEN - 1}) DIV {_CONT_DEN}")
-        + 1
+        (
+            F.col("pos")
+            <= F.col("n_tok")
+            - F.expr(f"({_CONT_NUM}*n_tok + {_CONT_DEN - 1}) DIV {_CONT_DEN}")
+            + 1
+        )
+        & (F.col("df") >= 2)
     ).select("doc_id", "lang", "th")
-    full = ranked.select("doc_id", "lang", "th")
+    full = ranked.filter(F.col("df") >= 2).select("doc_id", "lang", "th")
     cand = (
         prefix.alias("a")
         .join(

@@ -420,8 +420,14 @@ def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # df >= 2 is a lossless join-input cut (round 8): a qualifying pair
+    # shares its prefix witness, so that shingle's doc frequency is >= 2
+    # by definition — df == 1 prefix rows (the bulk of a rarest-first
+    # prefix) can never match and are dropped from BOTH sides of the
+    # self-join. Output unchanged; measured ~35% off the key at sf0.1.
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n_tok") - F.expr("(3*n_tok + 4) DIV 5") + 1
+        (F.col("pos") <= F.col("n_tok") - F.expr("(3*n_tok + 4) DIV 5") + 1)
+        & (F.col("df") >= 2)
     ).select("doc_id", "lang", "th", "n_tok")
     a = prefix.alias("a")
     b = prefix.alias("b")
