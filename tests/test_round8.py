@@ -432,3 +432,68 @@ class TestCountMinSketch:
 
         n = load(spark, SF_DIR, "events").count()
         assert max(r["overcount"] for r in out) <= n // 64
+
+
+class TestSegmentationFormulaSweep:
+    def test_chunk_count_formula_all_n(self, spark):
+        # exhaustive n = 1..2000 sweep of the Spark-side integer chunk
+        # arithmetic against a Python reference — the fixture only covers
+        # the n values its docs happen to have; boundary cases (n == C,
+        # n == C + 1, n == C + k*S, +-1) live here.
+        from billing_data_loader_spark.operators.segmentation import (
+            _CHUNK_C,
+            _CHUNK_S,
+        )
+
+        rows = (
+            spark.range(1, 2001)
+            .selectExpr(
+                "id AS n",
+                f"CASE WHEN id <= {_CHUNK_C} THEN 0 "
+                f"ELSE (id - {_CHUNK_C} + {_CHUNK_S} - 1) div {_CHUNK_S} "
+                "END AS imax",
+            )
+            .collect()
+        )
+        for r in rows:
+            n, imax = r["n"], r["imax"]
+            # python reference: minimal start count covering 1..n
+            ref = 0
+            while ref * _CHUNK_S + _CHUNK_C < n:
+                ref += 1
+            assert imax == ref, (n, imax, ref)
+            # coverage + no chunk contained in its predecessor
+            last_start = 1 + imax * _CHUNK_S
+            assert last_start + _CHUNK_C - 1 >= n
+            if imax > 0:
+                prev_end = 1 + (imax - 1) * _CHUNK_S + _CHUNK_C - 1
+                assert prev_end < n  # the last chunk adds new tokens
+
+    def test_group_texts_span_arithmetic_all_offsets(self, spark):
+        # sweep (s, n) pairs: the per-doc block-span contribution formula
+        # must tile each doc's tokens exactly across its touched blocks.
+        from billing_data_loader_spark.operators.segmentation import (
+            _BLOCK_B,
+        )
+
+        rows = (
+            spark.range(0, 1500)
+            .selectExpr(
+                "id div 40 AS s",  # offsets 0..37
+                "1 + id % 40 AS n",  # lengths 1..40
+            )
+            .selectExpr(
+                "s",
+                "n",
+                f"""aggregate(
+                     sequence(s div {_BLOCK_B}, (s + n - 1) div {_BLOCK_B}),
+                     0L,
+                     (acc, b) -> acc
+                       + (least(s + n, (b + 1) * {_BLOCK_B})
+                          - greatest(s, b * {_BLOCK_B})))
+                   AS covered""",
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r["covered"] == r["n"], (r["s"], r["n"], r["covered"])
