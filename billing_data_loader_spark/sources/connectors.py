@@ -535,3 +535,108 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("month") <= 6).select(
         "sku_id", "month", "rate", (F.col("rate") * 100).alias("cents")
     )
+
+
+# --- scan_parquet_metadata ----------------------------------------------------
+
+#: Tables whose footers the metadata scan inspects (flat-typed files; the
+#: embeddings list column is excluded because engines disagree on
+#: num_values semantics for nested chunks).
+_PQMETA_TABLES = ("lineitem", "orders", "documents")
+
+#: The driver's oracle tier runs at sf0.01 by contract (TESTDATA.md), and
+#: parquet_metadata() takes literal paths, not the registered views — so
+#: the oracle pins the correctness-tier fixture paths directly. The Spark
+#: side keeps taking sf_dir (bench runs it at sf0.1 without an oracle).
+_PQMETA_SF = "/root/testdata/sf0.01"
+
+_PQMETA_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT regexp_extract(file_name, '([^/]+)$', 1) AS file,
+       CAST(row_group_id AS BIGINT) AS row_group_id,
+       CAST(row_group_num_rows AS BIGINT) AS rg_num_rows,
+       path_in_schema AS column_name,
+       CAST(num_values AS BIGINT) AS num_values,
+       CAST(stats_null_count AS BIGINT) AS null_count,
+       CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+       CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes
+FROM parquet_metadata('{_PQMETA_SF}/{t}.parquet')"""
+    for t in _PQMETA_TABLES
+)
+
+
+def _read_footers(iterator):
+    """One Arrow batch of file paths in, one row per (row group, column
+    chunk) out — each task parses only footers (KBs), never data pages."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in iterator:
+        rows = []
+        for path in pdf["path"]:
+            md = pq.ParquetFile(path).metadata
+            fname = path.rsplit("/", 1)[-1]
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    st = col.statistics
+                    rows.append(
+                        (
+                            fname,
+                            g,
+                            rg.num_rows,
+                            col.path_in_schema,
+                            col.num_values,
+                            None if st is None else st.null_count,
+                            col.total_compressed_size,
+                            col.total_uncompressed_size,
+                        )
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "file",
+                "row_group_id",
+                "rg_num_rows",
+                "column_name",
+                "num_values",
+                "null_count",
+                "compressed_bytes",
+                "uncompressed_bytes",
+            ],
+        )
+
+
+@query("scan_parquet_metadata", oracle=_PQMETA_ORACLE, tier=2)
+def scan_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parquet-footer inspection: one row per (file,
+    row group, column chunk) with row counts, value counts, null counts
+    and compressed/uncompressed sizes — the diagnostic that explains scan
+    parallelism before any job runs. BASELINE.md's central finding (the
+    fixture files are SINGLE-row-group, capping Spark's scan at one task
+    per file) is exactly what this operator surfaces; on a 100 TB lake
+    it answers "are my files splittable, how big are row groups, which
+    columns dominate bytes" across 100k+ files by distributing the
+    footer reads (a file list explodes into tasks; each task parses KB
+    footers via pyarrow inside mapInPandas — data pages are never read).
+
+    The honest-Python case: footer decoding is not a Catalyst
+    expression; Arrow-batched mapInPandas is the right tool (same stance
+    as the multimodal decode plumbing). The oracle is DuckDB's
+    parquet_metadata() over the same files — an independent
+    implementation of the same footer spec, matched column for column.
+
+    The oracle embeds the correctness-tier (sf0.01) paths literally —
+    the driver's oracle compare runs at sf0.01 by contract and
+    parquet_metadata() reads paths, not views."""
+    paths = [f"{sf_dir}/{t}.parquet" for t in _PQMETA_TABLES]
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(len(paths))
+    return files.mapInPandas(
+        _read_footers,
+        "file string, row_group_id long, rg_num_rows long,"
+        " column_name string, num_values long, null_count long,"
+        " compressed_bytes long, uncompressed_bytes long",
+    )

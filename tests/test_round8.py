@@ -497,3 +497,22 @@ class TestSegmentationFormulaSweep:
         )
         for r in rows:
             assert r["covered"] == r["n"], (r["s"], r["n"], r["covered"])
+
+
+class TestParquetMetadata:
+    def test_footer_facts(self, spark):
+        out = catalog()["scan_parquet_metadata"].fn(spark, SF_DIR).collect()
+        assert len(out) > 0
+        files = {r["file"] for r in out}
+        assert files == {"lineitem.parquet", "orders.parquet",
+                         "documents.parquet"}
+        for r in out:
+            # flat columns: one value per row; compression never inflates
+            # beyond the raw footer accounting by much (snappy can inflate
+            # tiny pages slightly; bound loosely)
+            assert r["num_values"] == r["rg_num_rows"]
+            assert r["compressed_bytes"] <= 2 * r["uncompressed_bytes"]
+            assert r["null_count"] == 0
+        # the BASELINE.md finding this operator exists to surface: the
+        # fixture files are single-row-group (scan parallelism 1/file)
+        assert all(r["row_group_id"] == 0 for r in out)
