@@ -850,3 +850,80 @@ def ext_doc_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _TOPK_TERMS_K)
     )
+
+
+# --- ext_rank_fusion ----------------------------------------------------------
+
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM ({_BM25_ORACLE}) t
+),
+sem AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS r
+  FROM ({{knn}}) t
+)
+SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+       CAST(l.r AS BIGINT) AS lex_rank,
+       CAST(s.r AS BIGINT) AS sem_rank,
+       COALESCE(1.0 / ({_RRF_K} + l.r), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + s.r), 0.0) AS rrf_score
+FROM lex l FULL JOIN sem s ON l.doc_id = s.vec_id
+"""
+
+
+def _rrf_oracle() -> str:
+    from .llm_pipeline import _KNN_ORACLE
+
+    return _RRF_ORACLE.format(knn=_KNN_ORACLE)
+
+
+@query("ext_rank_fusion", oracle=_rrf_oracle(), tier=3)
+def ext_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two declared retrieval systems —
+    lexical (ext_bm25's top-10 for the corpus's hottest terms) and
+    semantic (ext_knn_cosine's top-10 for the query embedding) — the
+    standard hybrid-retrieval combiner (RRF, k=60): score(d) =
+    sum over systems of 1 / (k + rank_d). Pure composition of graded
+    operators, the way a RAG/data-curation pipeline actually fuses
+    candidate pools; emitting both source ranks keeps the attribution.
+
+    Exactness: ranks are integers with deterministic tie-breaks (score
+    desc, id asc over already-hash-green scores); each reciprocal is one
+    IEEE division and the two-term sum is written in fixed order with
+    COALESCE(., 0) for a doc present in only one list.
+
+    Shape: two <= 10-row frames, two 10-row rank windows (flagged 1-row-
+    class SinglePartition, justified), one full outer join of 10-row
+    sides — everything downstream of the graded sub-operators is
+    driver-trivial; the heavy lifting (tokenize aggregates, cosine scan)
+    keeps the sub-operators' documented plans."""
+    from ..operators.llm_pipeline import ext_knn_cosine
+    from pyspark.sql import Window as W
+
+    lex = ext_bm25(spark, sf_dir).withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .cast("long"),
+    ).select("doc_id", "lex_rank")
+    sem = ext_knn_cosine(spark, sf_dir).withColumn(
+        "sem_rank",
+        F.row_number()
+        .over(W.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()))
+        .cast("long"),
+    ).select(F.col("vec_id"), "sem_rank")
+    fused = lex.join(
+        sem, lex["doc_id"] == sem["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused

@@ -516,3 +516,32 @@ class TestParquetMetadata:
         # the BASELINE.md finding this operator exists to surface: the
         # fixture files are single-row-group (scan parallelism 1/file)
         assert all(r["row_group_id"] == 0 for r in out)
+
+
+class TestRankFusion:
+    def test_rrf_agrees_with_sources(self, spark):
+        fused = {
+            r["doc_id"]: r
+            for r in catalog()["ext_rank_fusion"].fn(spark, SF_DIR).collect()
+        }
+        lex = [
+            r["doc_id"]
+            for r in catalog()["ext_bm25"].fn(spark, SF_DIR).collect()
+        ]
+        sem = [
+            r["vec_id"]
+            for r in catalog()["ext_knn_cosine"].fn(spark, SF_DIR).collect()
+        ]
+        assert set(fused) == set(lex) | set(sem)
+        for d, r in fused.items():
+            expect = 0.0
+            if r["lex_rank"] is not None:
+                expect += 1.0 / (60 + r["lex_rank"])
+            if r["sem_rank"] is not None:
+                expect += 1.0 / (60 + r["sem_rank"])
+            assert abs(r["rrf_score"] - expect) < 1e-12
+        # a doc in both lists must outrank the same ranks held singly
+        both = [r for r in fused.values()
+                if r["lex_rank"] is not None and r["sem_rank"] is not None]
+        for r in both:
+            assert r["rrf_score"] > 1.0 / (60 + r["lex_rank"])

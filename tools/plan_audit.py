@@ -221,6 +221,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_dup_ngram_bloom": (
             "1-row dense-bitmap fold (16384 words -> one array row)"
         ),
+        "ext_rank_fusion": (
+            "two 10-row fused-ranking windows over the sub-operators' "
+            "top-10 frames"
+        ),
         "ext_tokenize_to_ids": (
             "vocab-sized global rank window (<= 100 vocabulary rows, "
             "the ext_quality_score stopword pattern — never the corpus)"
@@ -264,6 +268,7 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_pq_encode": "1-row broadcast codebook array (map-side argmin)",
         "ext_ann_pq_search": "1-row broadcast distance-table maps + query",
         "ext_dup_ngram_bloom": "1-row broadcast dense bloom-bitmap array",
+        "ext_rank_fusion": "inherits ext_knn_cosine's 1-row query vector",
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
