@@ -1076,14 +1076,34 @@ def ext_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
 
+    # The four _sqd_cols instances below are SIBLING outermost HOFs in one
+    # projection — the exact plan-level lambda-name-collision class the
+    # ext_pq_encode PITFALL documents (PySpark names the Catalyst lambda
+    # variable after the PYTHON argument, so same-named siblings can
+    # mis-bind). Unrolled with distinct argument names per subspace, same
+    # as the encoder's p0..p3 (r8 ADVICE); pinned by
+    # tests/test_round9.py::TestSiblingZipWithLambdas.
+    _zw_lams = (
+        lambda x0, y0: (x0 - y0) * (x0 - y0),
+        lambda x1, y1: (x1 - y1) * (x1 - y1),
+        lambda x2, y2: (x2 - y2) * (x2 - y2),
+        lambda x3, y3: (x3 - y3) * (x3 - y3),
+    )
+    _fold_lams = (
+        lambda acc0, e0: acc0 + e0,
+        lambda acc1, e1: acc1 + e1,
+        lambda acc2, e2: acc2 + e2,
+        lambda acc3, e3: acc3 + e3,
+    )
+
     def _sqd_cols(a, b, m):
         aa = F.slice(a, m * _PQ_SUB + 1, _PQ_SUB)
         bb = F.slice(b, m * _PQ_SUB + 1, _PQ_SUB)
         return F.round(
             F.aggregate(
-                F.zip_with(aa, bb, lambda x, y: (x - y) * (x - y)),
+                F.zip_with(aa, bb, _zw_lams[m]),
                 F.lit(0.0),
-                lambda acc, x: acc + x,
+                _fold_lams[m],
             ),
             9,
         )

@@ -546,9 +546,15 @@ _PQMETA_TABLES = ("lineitem", "orders", "documents")
 
 #: The driver's oracle tier runs at sf0.01 by contract (TESTDATA.md), and
 #: parquet_metadata() takes literal paths, not the registered views — so
-#: the oracle pins the correctness-tier fixture paths directly. The Spark
-#: side keeps taking sf_dir (bench runs it at sf0.1 without an oracle).
-_PQMETA_SF = "/root/testdata/sf0.01"
+#: the oracle embeds the correctness-tier fixture root. It is derived from
+#: the same env knob the local oracle replica (tests/conftest.py) honors,
+#: so a harness running the tier elsewhere templates ONE variable instead
+#: of silently diverging from a hard-coded absolute path (r8 ADVICE). The
+#: Spark side keeps taking sf_dir (bench runs it at sf0.1 without an
+#: oracle).
+_PQMETA_SF = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 _PQMETA_ORACLE = " UNION ALL ".join(
     f"""

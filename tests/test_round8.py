@@ -212,8 +212,9 @@ class TestContainmentNeardup:
                 assert j < 0.6
                 checked += 1
         # not every source reappears as a doc_a; the assertion above runs
-        # on those that do — require at least a handful actually checked
-        assert checked >= 0
+        # on those that do — require at least one actually checked so the
+        # J < 0.6 invisibility property is guaranteed exercised (r8 ADVICE)
+        assert checked >= 1
 
 
 class TestCharEntropy:
