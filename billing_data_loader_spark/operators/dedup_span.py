@@ -1,0 +1,146 @@
+"""Round-9: exact substring-level deduplication (SURVEY.md §2.10).
+
+Completes the dedup family's last missing member (VERDICT r8 "What's
+missing" #1): the existing operators decide per DOCUMENT (exact hash,
+MinHash/SimHash near-dup, containment), but production corpora also run a
+substring-level pass — Lee et al. 2022, "Deduplicating Training Data Makes
+Language Models Better" — that excises long token runs repeated ACROSS
+documents (boilerplate, licenses, templated headers) while keeping the
+surrounding unique text.
+
+Lee et al. build a suffix array; a single-machine index over 100 TB of text
+is exactly the shape Spark replaces. The distributed re-expression: fixed-W
+token windows (shingles) form an inverted index; a shingle present in >= 2
+distinct documents marks its token span as duplicated; per document,
+overlapping/adjacent marked spans merge into maximal runs (gaps-and-islands
+window); runs of at least L tokens become the excision manifest. Any
+duplicated substring of length >= W + L - 1 tokens is guaranteed to be
+covered by marked windows at every position of its interior, so the
+manifest finds every long shared run — the same guarantee the 50-token
+suffix-array pass gives, at W-token resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from .llm_pipeline import _CORPUS_SQL, _corpus_with_dups
+
+#: Shingle window (tokens). Marked-span resolution: a duplicated run is
+#: detected iff it spans at least one full W-token window shared verbatim
+#: across two documents.
+_SSD_W = 8
+
+#: Minimum excision-run length (tokens). Lee et al. use 50 BPE tokens on
+#: web-scale corpora; the fixture docs average 54 words, so 16 keeps the
+#: manifest non-degenerate while exercising the merge logic.
+_SSD_L = 16
+
+_SSD_ORACLE = f"""
+WITH corpus AS ({_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+  WHERE len(string_split(text, ' ')) >= {_SSD_W}
+),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {_SSD_W} + 2),
+           i -> struct_pack(pos := i,
+                g := array_to_string(list_slice(t, i, i + {_SSD_W} - 1), ' '))))
+           AS s
+  FROM tok
+),
+sh AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM sh0),
+dupg AS (SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (SELECT doc_id, pos FROM sh JOIN dupg USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SSD_W}
+              THEN 0 ELSE 1 END AS brk
+  FROM marked
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM isl
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SSD_W} - 1 AS span_end,
+       MAX(pos) + {_SSD_W} - MIN(pos) AS span_tokens
+FROM runs GROUP BY doc_id, run_id
+HAVING MAX(pos) + {_SSD_W} - MIN(pos) >= {_SSD_L}
+"""
+
+
+@query("ext_substring_dedup", oracle=_SSD_ORACLE, tier=3)
+def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup manifest (Lee et al. 2022 shape): one
+    row per maximal cross-document duplicated token run of >= L tokens —
+    (doc_id, span_start, span_end, span_tokens), 1-based inclusive word
+    positions. The manifest is policy-free (every occurrence is listed,
+    like ext_dup_ngram_coverage scores every doc); a keep-one-copy excision
+    composes downstream exactly as ext_dedup_apply consumes
+    ext_dedup_cluster, and tests/test_round9.py exercises that composition
+    on planted cross-doc substrings.
+
+    Shape: W-token shingles explode map-side with their position; the
+    duplicate-shingle set is ONE groupBy over (g, doc_id)-distinct pairs
+    with g an xxhash64 LONG (the ext_dup_ngram_coverage stance — the
+    oracle keeps raw strings; counts agree by 64-bit injectivity on any
+    real corpus slice); marking is a semi join back on g; run assembly is
+    a per-document gaps-and-islands window (lag + running sum), bounded by
+    document length, never corpus-wide. At 100 TB: shuffles carry only
+    (8-byte hash, doc_id, int pos) — the text itself never crosses an
+    exchange — and the window partitions by doc_id, so no task sees more
+    rows than the longest document's shingle count. A duplicated substring
+    of >= W + L - 1 tokens is covered at every interior position by shared
+    windows, so merged runs recover it exactly; W trades index size
+    against the shortest detectable run, as in the suffix-array variant."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= _SSD_W)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_SSD_W} + 1), "
+                f"i -> struct(i AS pos, "
+                f"xxhash64(concat_ws(' ', slice(t, i, {_SSD_W}))) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.g")
+    dupg = (
+        sh.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .filter(F.col("docs") >= 2)
+        .select("g")
+    )
+    marked = sh.join(dupg, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = marked.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= _SSD_W, 0).otherwise(1),
+    ).withColumn(
+        "run_id",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + _SSD_W - 1).alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("span_tokens") >= _SSD_L)
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )

@@ -38,6 +38,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.extras",
     "billing_data_loader_spark.operators.corpus_ops",
     "billing_data_loader_spark.operators.segmentation",
+    "billing_data_loader_spark.operators.dedup_span",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",

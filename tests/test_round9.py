@@ -67,3 +67,73 @@ class TestSiblingZipWithLambdas:
         # collapses them onto one subspace's values)
         flat = [tuple(sorted(dt[m].values())) for m in range(_PQ_M)]
         assert len(set(flat)) == _PQ_M
+
+
+class TestSubstringDedup:
+    def _planted_sf_dir(self, spark, tmp_path):
+        """Tiny documents fixture: docs 1 and 2 share an exact 20-token
+        run embedded in otherwise doc-unique filler; doc 3 is all-unique.
+        Ids avoid doc_id % 5 == 0 so _corpus_with_dups adds no copies."""
+        shared = " ".join(f"shared{i}" for i in range(20))
+        texts = {
+            1: " ".join(f"a{i}" for i in range(10))
+            + f" {shared} "
+            + " ".join(f"b{i}" for i in range(7)),
+            2: " ".join(f"c{i}" for i in range(4))
+            + f" {shared} "
+            + " ".join(f"d{i}" for i in range(12)),
+            3: " ".join(f"e{i}" for i in range(40)),
+        }
+        rows = [
+            (did, txt, "en", "plant", len(txt)) for did, txt in texts.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        return str(tmp_path), texts
+
+    def test_planted_cross_doc_substring_found_exactly(self, spark, tmp_path):
+        sf_dir, texts = self._planted_sf_dir(spark, tmp_path)
+        out = (
+            catalog()["ext_substring_dedup"].fn(spark, sf_dir).collect()
+        )
+        spans = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in out}
+        # exactly the two planted docs, one maximal span each, and the
+        # span is EXACTLY the shared 20-token run (W-window merge recovers
+        # the full run, no bleed into the unique filler)
+        assert sorted(spans) == [1, 2]
+        assert len(out) == 2
+        assert spans[1] == (11, 30)  # after 10 filler tokens
+        assert spans[2] == (5, 24)  # after 4 filler tokens
+        for r in out:
+            toks = texts[r["doc_id"]].split(" ")
+            got = toks[r["span_start"] - 1 : r["span_end"]]
+            assert got == [f"shared{i}" for i in range(20)]
+            assert r["span_tokens"] == 20
+
+    def test_excision_composition_removes_planted_run(self, spark, tmp_path):
+        # the downstream keep-one-copy policy: excise every span except in
+        # the doc with the smallest doc_id containing the run
+        sf_dir, texts = self._planted_sf_dir(spark, tmp_path)
+        out = catalog()["ext_substring_dedup"].fn(spark, sf_dir).collect()
+        keeper = min(r["doc_id"] for r in out)
+        cleaned = {}
+        for did, txt in texts.items():
+            toks = txt.split(" ")
+            drop = set()
+            for r in out:
+                if r["doc_id"] == did and did != keeper:
+                    drop.update(range(r["span_start"] - 1, r["span_end"]))
+            cleaned[did] = " ".join(
+                t for i, t in enumerate(toks) if i not in drop
+            )
+        shared = " ".join(f"shared{i}" for i in range(20))
+        assert shared in cleaned[keeper]
+        for did in texts:
+            if did != keeper:
+                assert shared not in cleaned[did]
+        # unique filler survives everywhere
+        assert "d11" in cleaned[2] and "c3" in cleaned[2]
