@@ -69,6 +69,88 @@ class TestSiblingZipWithLambdas:
         assert len(set(flat)) == _PQ_M
 
 
+class TestIvfPq:
+    def test_composition_equals_replay_over_probed_cells(self, spark):
+        """Structural pins for the composed index (fixture recall is
+        ~chance by construction — see the ext_ann_pq_search regime note):
+        (a) every result's cell is one of the 8 probed cells; (b) the
+        top-10 IS the min-10 of a from-scratch Python ADC replay
+        restricted to probed-cell candidates — i.e. the composition
+        changes WHICH vectors are scored, never HOW they are scored."""
+        from billing_data_loader_spark.operators.ann import (
+            _N_PIVOTS,
+            _N_PROBE,
+            _PQ_K,
+            _PQ_M,
+            _PQ_SUB,
+        )
+
+        emb = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in load(spark, SF_DIR, "embeddings").collect()
+        }
+        q = emb[0]
+
+        def cos(a, b):
+            def dot(x, y):
+                acc = 0.0
+                for i in range(len(x)):
+                    acc = acc + x[i] * y[i]
+                return acc
+
+            return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+        assign = {
+            vid: max(
+                range(1, _N_PIVOTS + 1),
+                key=lambda p: (cos(v, emb[p]), -p),
+            )
+            for vid, v in emb.items()
+        }
+        probe = set(
+            sorted(
+                range(1, _N_PIVOTS + 1),
+                key=lambda p: (-cos(emb[p], q), p),
+            )[:_N_PROBE]
+        )
+
+        def sub_sqd(a, b, m):
+            acc = 0.0
+            for i in range(m * _PQ_SUB, (m + 1) * _PQ_SUB):
+                acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+            return round(acc, 9)
+
+        dt = {
+            m: {c: sub_sqd(q, emb[c], m) for c in range(1, _PQ_K + 1)}
+            for m in range(_PQ_M)
+        }
+        codes = {
+            r["vec_id"]: [r[f"code_{m}"] for m in range(_PQ_M)]
+            for r in catalog()["ext_pq_encode"].fn(spark, SF_DIR).collect()
+        }
+        replay = {
+            vid: sum(dt[m][cs[m]] for m in range(_PQ_M))
+            for vid, cs in codes.items()
+            if vid != 0 and assign[vid] in probe
+        }
+        want_top = sorted(replay, key=lambda v: (replay[v], v))[:10]
+
+        out = catalog()["ext_ann_ivfpq"].fn(spark, SF_DIR).collect()
+        assert len(out) == 10
+        assert sorted(r["vec_id"] for r in out) == sorted(want_top)
+        for r in out:
+            assert r["cell_id"] in probe
+            assert r["cell_id"] == assign[r["vec_id"]]
+            assert math.isclose(
+                r["approx_dist"], replay[r["vec_id"]], abs_tol=1e-8
+            )
+            assert -1.0 <= r["cos_sim"] <= 1.0
+        # pruning must be REAL on this fixture: some corpus vectors sit in
+        # unprobed cells, so the candidate set is strictly smaller
+        n_all = sum(1 for vid in emb if vid != 0)
+        assert len(replay) < n_all
+
+
 class TestSubstringDedup:
     def _planted_sf_dir(self, spark, tmp_path):
         """Tiny documents fixture: docs 1 and 2 share an exact 20-token
