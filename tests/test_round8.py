@@ -94,8 +94,15 @@ class TestChunkSliding:
 
 class TestDupNgramBloomEqualsExact:
     def test_bloom_prefilter_is_lossless(self, spark):
+        # force the bloom path: since the r9 adaptive gate, the declared
+        # key picks the exact plan on this high-dup fixture, so the
+        # bitmap's losslessness must be pinned against the forced path
+        from billing_data_loader_spark.operators.corpus_ops import (
+            _dup_ngram_rollup,
+        )
+
         exact = catalog()["ext_dup_ngram_coverage"].fn(spark, SF_DIR)
-        bloom = catalog()["ext_dup_ngram_bloom"].fn(spark, SF_DIR)
+        bloom = _dup_ngram_rollup(spark, SF_DIR, force="bloom")
         a = sorted(map(tuple, exact.collect()))
         b = sorted(map(tuple, bloom.collect()))
         assert a == b and len(a) > 0

@@ -151,6 +151,67 @@ class TestIvfPq:
         assert len(replay) < n_all
 
 
+class TestDupNgramAdaptive:
+    def test_forced_paths_equal_and_fixture_picks_exact(self, spark):
+        """The adaptive gate (r8 VERDICT #5) must be output-invisible:
+        both forced paths produce identical rollups, and on THIS fixture
+        (dup_row_frac 0.755 at sf0.01, deep in the exact regime) the
+        unforced key must take the exact path — i.e. never be the slower
+        plan on either regime."""
+        from billing_data_loader_spark.operators.corpus_ops import (
+            _DNB_REGIME_CUT,
+            _dup_ngram_rollup,
+        )
+
+        bloom = sorted(
+            map(tuple, _dup_ngram_rollup(spark, SF_DIR, force="bloom").collect())
+        )
+        exact = sorted(
+            map(tuple, _dup_ngram_rollup(spark, SF_DIR, force="exact").collect())
+        )
+        assert bloom == exact
+        adaptive = sorted(
+            map(
+                tuple,
+                catalog()["ext_dup_ngram_bloom"].fn(spark, SF_DIR).collect(),
+            )
+        )
+        assert adaptive == exact
+        # the fixture statistic itself sits above the cut (pin the regime
+        # so a fixture regeneration that flips it is caught, not silent)
+        docs = load(spark, SF_DIR, "documents")
+        from billing_data_loader_spark.operators.llm_pipeline import (
+            _corpus_with_dups,
+        )
+
+        tri = (
+            _corpus_with_dups(spark, SF_DIR)
+            .select("doc_id", F.split("text", " ").alias("t"))
+            .filter(F.size("t") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 2), "
+                        "i -> concat_ws(' ', element_at(t, i), "
+                        "element_at(t, i + 1), element_at(t, i + 2)))"
+                    )
+                ).alias("gs"),
+            )
+            .select("doc_id", F.xxhash64("gs").alias("g"))
+            .distinct()
+        )
+        dfc = tri.groupBy("g").agg(F.count(F.lit(1)).alias("docs"))
+        m = dfc.agg(
+            F.sum("docs").alias("rows"),
+            F.sum(
+                F.when(F.col("docs") >= 2, F.col("docs")).otherwise(0)
+            ).alias("dup_rows"),
+        ).first()
+        assert m["dup_rows"] / m["rows"] >= _DNB_REGIME_CUT
+        assert docs.count() > 0
+
+
 class TestSubstringDedup:
     def _planted_sf_dir(self, spark, tmp_path):
         """Tiny documents fixture: docs 1 and 2 share an exact 20-token
