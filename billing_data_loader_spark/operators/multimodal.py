@@ -41,9 +41,11 @@ def _load_image_codec():
         return None
 
 
-def attach_payload(documents: DataFrame) -> DataFrame:
+def attach_payload(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Synthesize the multimodal frame: binary payload (magic header +
-    UTF-8 bytes as the stand-in 'pixel buffer') + typed metadata struct."""
+    UTF-8 bytes as the stand-in 'pixel buffer') + typed metadata struct.
+    ``keep`` carries extra document columns through (e.g. the shard
+    packer's lang) so consumers never self-join back to the source."""
     payload = F.concat(
         F.lit(_MAGIC), F.encode("text", "UTF-8")
     ).cast("binary")
@@ -53,7 +55,7 @@ def attach_payload(documents: DataFrame) -> DataFrame:
         (F.col("n_chars") % 48 + 1).cast("int").alias("height"),
     )
     return documents.select(
-        "doc_id", payload.alias("payload"), meta.alias("meta")
+        "doc_id", *keep, payload.alias("payload"), meta.alias("meta")
     )
 
 
@@ -149,4 +151,120 @@ def ext_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform("sampled", lambda x: x.cast("string")), ","
         ).alias("sampled"),
+    )
+
+
+# --- ext_webdataset_shards ------------------------------------------------------
+
+#: Shard size bound (bytes of tar stream, excluding the end-of-archive
+#: blocks). WebDataset's ShardWriter `maxsize` analog; a new shard starts
+#: at the first sample whose tar entry would BEGIN at/after the bound —
+#: shards exceed it by at most one entry, exactly like a tar writer that
+#: closes the archive after the write that crossed the line.
+_WDS_BYTES = 16384
+
+#: tar framing: each entry is a 512-byte header + payload zero-padded to a
+#: 512-byte multiple; an archive ends with two zero blocks (1024 bytes).
+_WDS_BLOCK = 512
+_WDS_EOF = 1024
+
+_WDS_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, lang,
+         CAST(n_chars + 4 AS BIGINT) AS payload_bytes,
+         CAST({_WDS_BLOCK} + ((n_chars + 4 + {_WDS_BLOCK - 1}) // {_WDS_BLOCK})
+              * {_WDS_BLOCK} AS BIGINT) AS entry_bytes
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, payload_bytes, entry_bytes,
+         CAST(SUM(entry_bytes) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - entry_bytes AS BIGINT) AS prev_cum
+  FROM e
+),
+s AS (
+  SELECT doc_id, lang, payload_bytes, entry_bytes,
+         prev_cum // {_WDS_BYTES} AS shard_id
+  FROM c
+)
+SELECT lang, shard_id,
+       concat(lang, '-', lpad(CAST(shard_id AS VARCHAR), 5, '0'), '.tar')
+         AS shard_file,
+       COUNT(*) AS n_samples,
+       CAST(SUM(payload_bytes) AS BIGINT) AS payload_bytes,
+       CAST(SUM(entry_bytes) + {_WDS_EOF} AS BIGINT) AS tar_bytes,
+       MIN(doc_id) AS first_doc_id,
+       MAX(doc_id) AS last_doc_id
+FROM s GROUP BY lang, shard_id
+"""
+
+
+@query("ext_webdataset_shards", oracle=_WDS_ORACLE, tier=3)
+def ext_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest packer (VERDICT r8 #6): the
+    (doc_id, binary payload, meta) frame packs greedily, in doc_id order
+    per language stream, into size-bounded tar shards; the output is the
+    per-shard manifest — shard file name (`{{lang}}-{{00000}}.tar`),
+    sample count, raw payload bytes, exact tar-stream bytes (512-byte
+    entry headers, 512-padded payloads, 1024-byte end-of-archive), and
+    the doc id range a dataloader needs to materialize the shard. This is
+    the index a multimodal training job reads INSTEAD of listing 100M
+    objects: sequential-read tar shards are the whole point of the
+    WebDataset layout, and the manifest is what makes shards addressable.
+
+    Concreteness without codecs (the honest-gate stance of
+    ext_multimodal_decode): sizes come from the REAL binary payload
+    column (F.length over bytes), not from metadata — the oracle mirrors
+    them as n_chars + 4 only because the fixture text is pure ASCII
+    (verified by the hash-green decode key whose n_bytes column equates
+    the two).
+
+    Packing rule (ext_group_texts arithmetic, bytes instead of tokens): a
+    sample's shard is floor(prev_cum_entry_bytes / MAXSIZE) — the shard
+    its tar entry would START in; shards overflow by at most one entry,
+    exactly like a tar ShardWriter that closes after the crossing write.
+    Unlike group_texts, entries never split across shards, so no
+    span-explode is needed — one window, one aggregate.
+
+    Shape: the payload column is scanned ONLY to measure length (Parquet
+    reads the binary column; at 100 TB swap in the page-level
+    column-statistics read — same manifest, no payload I/O). The prefix
+    sum is one per-lang window carrying (doc_id, lang, two longs) — the
+    bytes themselves never shuffle; the manifest aggregate is map-side
+    combinable. The per-lang sequential window swaps to win_running_sum's
+    two-pass partition-offset decomposition at 100 TB, as in
+    ext_group_texts."""
+    frame = attach_payload(load(spark, sf_dir, "documents"), keep=("lang",))
+    sized = frame.select(
+        "doc_id",
+        "lang",
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+    entry = (
+        F.lit(_WDS_BLOCK)
+        + F.expr(f"(payload_bytes + {_WDS_BLOCK - 1}) div {_WDS_BLOCK}")
+        * _WDS_BLOCK
+    ).cast("long")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("doc_id")
+    c = sized.withColumn("entry_bytes", entry).withColumn(
+        "prev_cum", F.sum("entry_bytes").over(w) - F.col("entry_bytes")
+    )
+    s = c.withColumn("shard_id", F.expr(f"prev_cum div {_WDS_BYTES}"))
+    return s.groupBy("lang", "shard_id").agg(
+        F.concat(
+            F.col("lang"),
+            F.lit("-"),
+            F.lpad(F.col("shard_id").cast("string"), 5, "0"),
+            F.lit(".tar"),
+        ).alias("shard_file"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("payload_bytes").alias("payload_bytes"),
+        (F.sum("entry_bytes") + _WDS_EOF).alias("tar_bytes"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
     )

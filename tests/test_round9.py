@@ -151,6 +151,69 @@ class TestIvfPq:
         assert len(replay) < n_all
 
 
+class TestWebdatasetShards:
+    def test_manifest_matches_a_real_tar_writer(self, spark):
+        """The manifest's tar_bytes must equal what Python's tarfile
+        actually writes (512-byte ustar headers, 512-padded payloads,
+        1024-byte end-of-archive) — pinning the arithmetic to a real tar
+        implementation, not just to the mirrored SQL."""
+        import io
+        import tarfile
+
+        from billing_data_loader_spark.operators.multimodal import (
+            _WDS_EOF,
+            attach_payload,
+        )
+
+        out = catalog()["ext_webdataset_shards"].fn(spark, SF_DIR).collect()
+        manifest = {(r["lang"], r["shard_id"]): r for r in out}
+        docs = load(spark, SF_DIR, "documents")
+        payloads = {
+            r["doc_id"]: (r["lang"], bytes(r["payload"]))
+            for r in attach_payload(docs, keep=("lang",)).collect()
+        }
+        # rebuild every shard's member list from the id ranges
+        for (lang, sid), row in sorted(manifest.items()):
+            members = sorted(
+                did
+                for did, (lg, _) in payloads.items()
+                if lg == lang
+                and row["first_doc_id"] <= did <= row["last_doc_id"]
+            )
+            assert len(members) == row["n_samples"]
+            buf = io.BytesIO()
+            tf = tarfile.open(
+                fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+            )
+            total_payload = 0
+            for did in members:
+                data = payloads[did][1]
+                info = tarfile.TarInfo(name=f"{did}.bin")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                total_payload += len(data)
+            content_bytes = tf.offset  # before end-of-archive blocks
+            tf.close()
+            assert total_payload == row["payload_bytes"]
+            assert content_bytes + _WDS_EOF == row["tar_bytes"], (
+                f"{lang}-{sid}: tarfile wrote {content_bytes + _WDS_EOF}, "
+                f"manifest says {row['tar_bytes']}"
+            )
+        # coverage: every doc lands in exactly one shard
+        assert sum(r["n_samples"] for r in out) == docs.count()
+
+    def test_shard_ids_contiguous_and_ranges_disjoint(self, spark):
+        out = catalog()["ext_webdataset_shards"].fn(spark, SF_DIR).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rows in by_lang.items():
+            rows.sort(key=lambda r: r["shard_id"])
+            assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+            for a, b in zip(rows, rows[1:]):
+                assert a["last_doc_id"] < b["first_doc_id"]
+
+
 class TestDupNgramAdaptive:
     def test_forced_paths_equal_and_fixture_picks_exact(self, spark):
         """The adaptive gate (r8 VERDICT #5) must be output-invisible:
