@@ -38,8 +38,9 @@ _SSD_W = 8
 #: manifest non-degenerate while exercising the merge logic.
 _SSD_L = 16
 
-_SSD_ORACLE = f"""
-WITH corpus AS ({_CORPUS_SQL}),
+# CTE chain shared between the manifest oracle and the apply oracle
+# (which consumes the manifest as a subquery).
+_SSD_CTES = f"""corpus AS ({_CORPUS_SQL}),
 tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM corpus
   WHERE len(string_split(text, ' ')) >= {_SSD_W}
@@ -67,12 +68,17 @@ runs AS (
          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                         ROWS UNBOUNDED PRECEDING) AS run_id
   FROM isl
-)
+)"""
+
+_SSD_SELECT = f"""
 SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SSD_W} - 1 AS span_end,
        MAX(pos) + {_SSD_W} - MIN(pos) AS span_tokens
 FROM runs GROUP BY doc_id, run_id
 HAVING MAX(pos) + {_SSD_W} - MIN(pos) >= {_SSD_L}
 """
+
+_SSD_ORACLE = f"""
+WITH {_SSD_CTES}{_SSD_SELECT}"""
 
 
 @query("ext_substring_dedup", oracle=_SSD_ORACLE, tier=3)
@@ -143,4 +149,93 @@ def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("span_tokens") >= _SSD_L)
         .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
+# --- ext_substring_dedup_apply --------------------------------------------------
+
+# The apply oracle replays the manifest pipeline, then rebuilds each doc
+# from its uncovered 1-based token positions (string_agg ORDER BY pos) —
+# docs whose every token is excised still emit their row (empty string).
+_SSDA_ORACLE = f"""
+WITH {_SSD_CTES},
+spans AS ({_SSD_SELECT}),
+alltok AS (
+  SELECT doc_id, i AS pos, t[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       unnest(range(1, len(t) + 1)) AS u(i)
+),
+covered AS (
+  SELECT DISTINCT s.doc_id, u.pos
+  FROM spans s, unnest(range(s.span_start, s.span_end + 1)) AS u(pos)
+),
+kept AS (
+  SELECT a.doc_id, a.pos, a.token
+  FROM alltok a
+  LEFT JOIN covered c ON a.doc_id = c.doc_id AND a.pos = c.pos
+  WHERE c.pos IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(token, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM corpus d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("ext_substring_dedup_apply", oracle=_SSDA_ORACLE, tier=3)
+def ext_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excision applied: every document rebuilt with its duplicated runs
+    removed — (doc_id, clean_text, n_kept, n_removed). The policy is Lee
+    et al. 2022's ExactSubstr: EVERY occurrence of a duplicated substring
+    is deleted (the paper's own choice; they note heavily-duplicated docs
+    can empty out, which this fixture's whole-doc copies exhibit — both
+    the copy and its source clean to ''). Consumes the declared
+    ext_substring_dedup manifest the way ext_dedup_apply consumes
+    ext_dedup_cluster.
+
+    Shape — the corpus is NEVER exploded to (doc, pos) rows: the spans
+    manifest (tiny — a few rows per affected doc) aggregates to ONE
+    array-of-spans row per doc and joins back doc-keyed; excision is then
+    a map-side indexed-lambda array filter (token kept iff no span covers
+    its 1-based position) and reassembly is array_join — order preserved
+    structurally, no sort, no second shuffle. The oracle rebuilds via
+    exploded positions + string_agg(ORDER BY pos) instead; identical
+    strings because both drop exactly the covered positions. At 100 TB
+    the only data-sized exchanges are the manifest build itself; the
+    apply adds one small-side doc-keyed join and zero corpus shuffles.
+
+    Lambda hygiene (the r8 PITFALL): the indexed filter's outer lambda
+    (tokv, ti) nests an exists over spans (sp) — three DISTINCT names,
+    and no sibling HOF in this projection reuses them."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    spans = ext_substring_dedup(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = corpus.select("doc_id", F.split("text", " ").alias("t"))
+    joined = toks.join(per_doc, "doc_id", "left")
+    keep = F.filter(
+        F.col("t"),
+        lambda tokv, ti: ~F.coalesce(
+            F.exists(
+                F.col("spans"),
+                lambda sp: (ti + 1 >= sp["span_start"])
+                & (ti + 1 <= sp["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(keep, " ").alias("clean_text"),
+        F.size(keep).cast("long").alias("n_kept"),
+        (F.size("t") - F.size(keep)).cast("long").alias("n_removed"),
     )

@@ -320,6 +320,29 @@ class TestSubstringDedup:
             assert got == [f"shared{i}" for i in range(20)]
             assert r["span_tokens"] == 20
 
+    def test_apply_operator_excises_all_occurrences(self, spark, tmp_path):
+        # the DECLARED apply operator implements Lee et al.'s ExactSubstr
+        # policy: every occurrence goes (both planted docs lose the run),
+        # unique filler and span-free docs are byte-identical
+        sf_dir, texts = self._planted_sf_dir(spark, tmp_path)
+        out = {
+            r["doc_id"]: r
+            for r in catalog()["ext_substring_dedup_apply"]
+            .fn(spark, sf_dir)
+            .collect()
+        }
+        shared = " ".join(f"shared{i}" for i in range(20))
+        assert sorted(out) == [1, 2, 3]
+        for did in (1, 2):
+            assert shared not in out[did]["clean_text"]
+            assert out[did]["n_removed"] == 20
+            want = texts[did].replace(f" {shared} ", " ")
+            assert out[did]["clean_text"] == want
+        assert out[3]["clean_text"] == texts[3]
+        assert out[3]["n_removed"] == 0
+        for did, r in out.items():
+            assert r["n_kept"] + r["n_removed"] == len(texts[did].split(" "))
+
     def test_excision_composition_removes_planted_run(self, spark, tmp_path):
         # the downstream keep-one-copy policy: excise every span except in
         # the doc with the smallest doc_id containing the run
