@@ -385,3 +385,189 @@ def ext_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(_ENT_SCALE)
         ).alias("entropy_bits"),
     )
+
+
+# --- ext_lm_bigram_score ------------------------------------------------------
+
+#: Same salt/thresholds as ext_train_split_hash (corpus_ops.py) — the LM
+#: trains on the hash-train split ONLY, so scoring val/test docs exercises
+#: genuine backoff on bigrams (and occasionally unigrams) the model never
+#: saw. Self-training on the full corpus would make the backoff branch
+#: structurally dead (every scored bigram would be in the table).
+_BLM_SALT = ":bdl-split-7"
+
+#: Stupid-backoff discount (Brants et al. 2007): unseen bigram scores
+#: alpha * p_unigram(w); unseen unigram scores alpha / N (one more rung).
+_BLM_ALPHA = 0.4
+
+_BLM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '{_BLM_SALT}'), 1, 1)
+                   < 'c' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || '{_BLM_SALT}'), 1, 1)
+                   < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, split, i AS pos,
+         CASE WHEN i >= 2 THEN t[i - 1] END AS prev,
+         t[i] AS cur
+  FROM d, unnest(range(1, len(t) + 1)) AS u(i)
+),
+uni AS (
+  SELECT cur AS w, COUNT(*) AS c FROM tok WHERE split = 'train' GROUP BY cur
+),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+bi AS (
+  SELECT prev, cur, COUNT(*) AS cb FROM tok
+  WHERE split = 'train' AND pos >= 2 GROUP BY prev, cur
+),
+scored AS (
+  SELECT tok.doc_id, tok.split,
+         CASE
+           WHEN tok.pos >= 2 AND bi.cb IS NOT NULL
+             THEN round(ln(CAST(bi.cb AS DOUBLE) / cu.c), 6)
+           WHEN tok.pos = 1 AND uw.c IS NOT NULL
+             THEN round(ln(CAST(uw.c AS DOUBLE) / tot.n), 6)
+           WHEN tok.pos >= 2 AND uw.c IS NOT NULL
+             THEN round(ln({_BLM_ALPHA} * CAST(uw.c AS DOUBLE) / tot.n), 6)
+           WHEN tok.pos = 1
+             THEN round(ln({_BLM_ALPHA} / tot.n), 6)
+           ELSE round(ln({_BLM_ALPHA} * {_BLM_ALPHA} / tot.n), 6)
+         END AS lnp,
+         CASE WHEN tok.pos >= 2 AND bi.cb IS NOT NULL THEN 0
+              WHEN tok.pos = 1 AND uw.c IS NOT NULL THEN 0
+              ELSE 1 END AS backed
+  FROM tok
+  LEFT JOIN uni uw ON uw.w = tok.cur
+  LEFT JOIN uni cu ON cu.w = tok.prev
+  LEFT JOIN bi ON bi.prev = tok.prev AND bi.cur = tok.cur
+  CROSS JOIN tot
+)
+SELECT doc_id, split,
+       COUNT(*) AS n_tokens,
+       {o_davg("lnp", "avg_logprob")},
+       CAST(SUM(backed) AS BIGINT) AS n_backoff
+FROM scored GROUP BY doc_id, split
+"""
+
+
+@query("ext_lm_bigram_score", oracle=_BLM_ORACLE, tier=3)
+def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy with stupid backoff (Brants et al.
+    2007) — the CCNet-style quality filter one rung above
+    ext_lm_unigram_score: token score is ln(c(u,w)/c(u)) when the bigram
+    was seen in training, alpha-discounted unigram (then alpha/N) when
+    not. The model trains on the ext_train_split_hash TRAIN split only
+    and scores the whole corpus, so val/test docs exercise genuine
+    backoff (self-training on the scored corpus would make the backoff
+    branch structurally dead); n_backoff per doc is the honesty meter —
+    a high backoff rate means the score leans on the weaker model.
+
+    Determinism: counts are exact integers; each branch's ln is
+    6dp-rounded on both sides (the ext_tfidf libm treatment) with
+    identical CASE order and arithmetic shape; the per-doc mean is the
+    quantized-exact davg.
+
+    Shape: positions/bigram pairs derive map-side from the token array
+    (one explode, no self-join for adjacency); the unigram table is
+    vocab-bounded and BROADCASTS back onto the token stream (the
+    stopword pattern, twice: cur and prev); the bigram table joins
+    un-hinted — AQE broadcasts it at this scale, and at 100 TB (where
+    bigram TYPES outgrow any broadcast) the same plan degrades to a
+    shuffle join keyed on the 2-token pair while everything else is
+    unchanged; a production variant would also cap the table at top-K
+    bigrams with the OOV floor absorbing the tail. One aggregate
+    produces the per-doc rollup."""
+    d = load(spark, sf_dir, "documents")
+    first = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_BLM_SALT))),
+        1,
+        1,
+    )
+    splitc = (
+        F.when(first < "c", "train").when(first < "e", "val").otherwise("test")
+    )
+    base = d.select(
+        "doc_id", splitc.alias("split"), F.split("text", " ").alias("t")
+    )
+    tok = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)), i -> struct("
+                "i AS pos, "
+                "CASE WHEN i >= 2 THEN element_at(t, i - 1) END AS prev, "
+                "element_at(t, i) AS cur))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "split", "s.pos", "s.prev", "s.cur")
+    train = tok.filter(F.col("split") == "train")
+    uni = train.groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    bi = (
+        train.filter(F.col("pos") >= 2)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+
+    uw = F.broadcast(
+        uni.select(F.col("cur").alias("uw_w"), F.col("c").alias("uw_c"))
+    )
+    cu = F.broadcast(
+        uni.select(F.col("cur").alias("cu_w"), F.col("c").alias("cu_c"))
+    )
+    joined = (
+        tok.join(uw, tok.cur == F.col("uw_w"), "left")
+        .join(cu, tok.prev == F.col("cu_w"), "left")
+        .join(
+            bi.select(
+                F.col("prev").alias("b_prev"),
+                F.col("cur").alias("b_cur"),
+                "cb",
+            ),
+            (tok.prev == F.col("b_prev")) & (tok.cur == F.col("b_cur")),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    a = _BLM_ALPHA
+    lnp = (
+        F.when(
+            (F.col("pos") >= 2) & F.col("cb").isNotNull(),
+            F.round(F.log(F.col("cb").cast("double") / F.col("cu_c")), 6),
+        )
+        .when(
+            (F.col("pos") == 1) & F.col("uw_c").isNotNull(),
+            F.round(F.log(F.col("uw_c").cast("double") / F.col("n")), 6),
+        )
+        .when(
+            (F.col("pos") >= 2) & F.col("uw_c").isNotNull(),
+            F.round(
+                F.log(
+                    F.lit(a) * F.col("uw_c").cast("double") / F.col("n")
+                ),
+                6,
+            ),
+        )
+        .when(F.col("pos") == 1, F.round(F.log(F.lit(a) / F.col("n")), 6))
+        .otherwise(F.round(F.log(F.lit(a) * F.lit(a) / F.col("n")), 6))
+    )
+    backed = (
+        F.when((F.col("pos") >= 2) & F.col("cb").isNotNull(), 0)
+        .when((F.col("pos") == 1) & F.col("uw_c").isNotNull(), 0)
+        .otherwise(1)
+    )
+    from ..functions.determinism import davg
+
+    scored = joined.select(
+        "doc_id", "split", lnp.alias("lnp"), backed.alias("backed")
+    )
+    return scored.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        davg("lnp", "avg_logprob"),
+        F.sum("backed").cast("long").alias("n_backoff"),
+    )

@@ -695,3 +695,188 @@ def ext_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pad_naive"),
         )
     )
+
+
+# --- ext_overlap_kmv ----------------------------------------------------------
+
+#: KMV (bottom-k / k-minimum-values) sketch size. Relative error of the
+#: distinct-count estimator is ~1/sqrt(k-2) ~= 6% at k=256; the
+#: Jaccard/containment estimators inherit binomial error on k draws.
+_KMV_K = 256
+
+#: 2^48 — the hex-bridge value space (first 12 md5 hex chars as an int;
+#: bit-equality of the bridge is pinned in tests/test_round8.py).
+_KMV_SPACE = 281474976710656.0
+
+_KMV_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 1 THEN text || ' {_SNIPPET}' ELSE text END
+           AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM synth
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                               i -> array_to_string(t[i:i+7], ' '))) AS g
+  FROM toks
+), flagged AS (
+  SELECT g,
+         MAX(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS in_b
+  FROM grams GROUP BY g
+), bench_extra AS (
+  SELECT '{_SNIPPET}' AS g, 0 AS in_a, 1 AS in_b
+), unified AS (
+  SELECT g, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (SELECT * FROM flagged UNION ALL SELECT * FROM bench_extra)
+  GROUP BY g
+), hashed AS (
+  SELECT md5(g) AS h,
+         ('0x' || substr(md5(g), 1, 12))::BIGINT AS v,
+         in_a, in_b
+  FROM unified
+), usk AS (
+  SELECT * FROM hashed ORDER BY h ASC LIMIT {_KMV_K}
+), uagg AS (
+  SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS sketch_shared,
+         CAST(SUM(in_a * in_b) AS DOUBLE) / {_KMV_K} AS est_jaccard,
+         ({_KMV_K} - 1) * {_KMV_SPACE} / MAX(v) AS est_union_size
+  FROM usk
+), bsk AS (
+  SELECT * FROM hashed WHERE in_b = 1 ORDER BY h ASC LIMIT {_KMV_K}
+), bagg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS b_sketch_n,
+         CAST(SUM(in_a) AS BIGINT) AS b_sketch_in_a,
+         CAST(SUM(in_a) AS DOUBLE) / COUNT(*) AS est_containment
+  FROM bsk
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       u.sketch_shared, u.est_jaccard, u.est_union_size,
+       u.est_jaccard * u.est_union_size AS est_shared_size,
+       b.b_sketch_n, b.b_sketch_in_a, b.est_containment
+FROM uagg u CROSS JOIN bagg b
+"""
+
+
+@query("ext_overlap_kmv", oracle=_KMV_ORACLE, tier=3)
+def ext_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination ESTIMATION via a bottom-k (KMV) sketch — the cheap
+    pre-pass a 100 TB pipeline runs before committing to exact
+    ext_decontaminate: estimate |corpus-grams ∩ benchmark-grams|, the
+    Jaccard, and the benchmark-containment fraction from ONE fixed-size
+    sketch instead of a full gram join. Same fixture framing as the exact
+    key (8-gram space, doc_id%97 benchmark slice, planted snippet), so
+    the estimates are test-checkable against the exact operator's truth.
+
+    KMV background (Bar-Yossef et al. 2002; Beyer et al. 2007): the k
+    smallest hash values of a set form a uniform sample of its distinct
+    elements; |A∪B| ~= (k-1)/u_k (u_k = normalized k-th minimum) and
+    Jaccard ~= the shared fraction WITHIN the union's bottom-k, because
+    the bottom-k of A∪B is an unbiased sample of A∪B. Containment
+    (B's leaked share — the decontamination decision number) uses B's
+    OWN bottom-k instead: the union sketch can hold zero benchmark
+    members when |B| << |A∪B| (found live — divide-by-zero at k=256 on
+    this very fixture), while sampling B directly both always works and
+    turns EXACT whenever |B| <= k, which is the common case for eval
+    suites.
+
+    Determinism (no RNG, no engine hash): elements rank by their md5 HEX
+    string (bit-identical text in both engines); the numeric estimator
+    uses the r8 hex bridge — first 12 hex chars as a 48-bit int
+    (conv(...,16,10) == ('0x'||prefix)::BIGINT, bit-equality pinned in
+    tests/test_round8.py). Every output is exact integer counting inside
+    the sketch plus single IEEE divisions of exactly-representable
+    values — no rounding needed on either side.
+
+    Shape: gram flags fold in the SAME groupBy that dedups grams (one
+    shuffle of gram strings — swap to xxhash64 longs + a tiny md5-keyed
+    finalist fetch at extreme scale); the sketch is a global bottom-k =
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    stage, never a full sort); the estimator is one aggregate over 256
+    rows. The corpus is touched once; nothing about the plan changes at
+    any corpus size — THE defining property of sketch-based estimation."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 1,
+            F.concat(F.col("text"), F.lit(f" {_SNIPPET}")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t = F.split(F.col("text"), " ")
+    grams_arr = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda gi: F.concat_ws(" ", F.slice(t, gi, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(grams_arr)).alias("g")
+    )
+    flagged = grams.groupBy("g").agg(
+        F.max(
+            F.when(F.col("doc_id") % 97 != 0, 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    extra = spark.createDataFrame(
+        [(_SNIPPET, 0, 1)], "g string, in_a int, in_b int"
+    )
+    unified = (
+        flagged.unionAll(extra)
+        .groupBy("g")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    hashed = unified.select(
+        F.md5("g").alias("h"),
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("v"),
+        "in_a",
+        "in_b",
+    )
+    from ..session import scoped_persist
+
+    hashed = scoped_persist(hashed)  # feeds both sketches
+    shared = F.sum(F.col("in_a") * F.col("in_b"))
+    est_j = shared.cast("double") / _KMV_K
+    est_u = (_KMV_K - 1) * F.lit(_KMV_SPACE) / F.max("v")
+    uagg = (
+        hashed.orderBy(F.col("h").asc())
+        .limit(_KMV_K)
+        .agg(
+            shared.cast("long").alias("sketch_shared"),
+            est_j.alias("est_jaccard"),
+            est_u.alias("est_union_size"),
+        )
+    )
+    bagg = (
+        hashed.filter(F.col("in_b") == 1)
+        .orderBy(F.col("h").asc())
+        .limit(_KMV_K)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("b_sketch_n"),
+            F.sum("in_a").cast("long").alias("b_sketch_in_a"),
+            (F.sum("in_a").cast("double") / F.count(F.lit(1))).alias(
+                "est_containment"
+            ),
+        )
+    )
+    return uagg.crossJoin(F.broadcast(bagg)).select(
+        F.lit(_KMV_K).cast("long").alias("k"),
+        "sketch_shared",
+        "est_jaccard",
+        "est_union_size",
+        (F.col("est_jaccard") * F.col("est_union_size")).alias(
+            "est_shared_size"
+        ),
+        "b_sketch_n",
+        "b_sketch_in_a",
+        "est_containment",
+    )

@@ -151,6 +151,134 @@ class TestIvfPq:
         assert len(replay) < n_all
 
 
+class TestOverlapKmv:
+    def test_estimators_against_exact_truth(self, spark):
+        """KMV guarantees, checked against exact set computations on the
+        same gram space: union-size estimate within the k=256 error
+        envelope; containment EXACT because the benchmark fits inside its
+        own bottom-k sketch (|B| <= k)."""
+        from billing_data_loader_spark.operators.curation import (
+            _KMV_K,
+            _SNIPPET,
+        )
+
+        r = (
+            catalog()["ext_overlap_kmv"].fn(spark, SF_DIR).collect()[0]
+        )
+        docs = load(spark, SF_DIR, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 23 == 1,
+                F.concat(F.col("text"), F.lit(f" {_SNIPPET}")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        t = F.split(F.col("text"), " ")
+        grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(t) >= 8,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 7),
+                        lambda gi: F.concat_ws(" ", F.slice(t, gi, 8)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        a_set = {
+            x["g"]
+            for x in grams.filter(F.col("doc_id") % 97 != 0)
+            .select("g")
+            .distinct()
+            .collect()
+        }
+        b_set = {
+            x["g"]
+            for x in grams.filter(F.col("doc_id") % 97 == 0)
+            .select("g")
+            .distinct()
+            .collect()
+        } | {_SNIPPET}
+        true_union = len(a_set | b_set)
+        # union-size: KMV std error ~ 1/sqrt(k-2) => 3-sigma ~ 19%
+        assert abs(r["est_union_size"] - true_union) / true_union < 0.25
+        # containment: |B| <= k makes the B-sketch exhaustive -> EXACT
+        assert len(b_set) <= _KMV_K
+        assert r["b_sketch_n"] == len(b_set)
+        true_cont = len(a_set & b_set) / len(b_set)
+        assert r["b_sketch_in_a"] == len(a_set & b_set)
+        assert abs(r["est_containment"] - true_cont) < 1e-12
+        # the planted snippet is the leak the estimator must see
+        assert _SNIPPET in (a_set & b_set)
+
+
+class TestLmBigramScore:
+    def test_backoff_fires_exactly_where_the_model_is_blind(self, spark, tmp_path):
+        """Planted corpus: train docs define the model; one val doc uses
+        only seen unigrams in an UNSEEN order (bigram backoff), another
+        contains an unseen word (double backoff). Scores replayed in
+        Python to 6dp."""
+        import hashlib
+        import math
+
+        from billing_data_loader_spark.operators.corpus_hygiene import (
+            _BLM_ALPHA,
+            _BLM_SALT,
+        )
+
+        def split_of(did):
+            h = hashlib.md5(f"{did}{_BLM_SALT}".encode()).hexdigest()[0]
+            return "train" if h < "c" else ("val" if h < "e" else "test")
+
+        train_ids = [d for d in range(1, 200) if split_of(d) == "train"][:2]
+        other_ids = [d for d in range(1, 200) if split_of(d) != "train"][:2]
+        # train: "a b" x2 and "b a" — model knows bigrams (a,b), (b,a)
+        rows = [
+            (train_ids[0], "a b a b", "en", "plant", 7),
+            (train_ids[1], "b a", "en", "plant", 3),
+            # val/test 1: seen unigrams, unseen bigram (a,a)
+            (other_ids[0], "a a", "en", "plant", 3),
+            # val/test 2: unseen word z after seen a
+            (other_ids[1], "a z", "en", "plant", 3),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in catalog()["ext_lm_bigram_score"]
+            .fn(spark, str(tmp_path))
+            .collect()
+        }
+        # model: tokens a:3, b:3, N=6; bigrams (a,b):2, (b,a):2
+        N = 6.0
+        for did in train_ids:
+            assert out[did]["split"] == "train"
+            assert out[did]["n_backoff"] == 0
+        # doc "a a": pos1 ln(3/6); pos2 unseen bigram -> ln(.4*3/6)
+        d1 = out[other_ids[0]]
+        assert d1["n_backoff"] == 1
+        want = (
+            round(math.log(3 / N), 6)
+            + round(math.log(_BLM_ALPHA * 3 / N), 6)
+        ) / 2
+        assert abs(d1["avg_logprob"] - want) < 1e-5
+        # doc "a z": pos1 ln(3/6); pos2 unseen word -> ln(.4*.4/6)
+        d2 = out[other_ids[1]]
+        assert d2["n_backoff"] == 1
+        want2 = (
+            round(math.log(3 / N), 6)
+            + round(math.log(_BLM_ALPHA * _BLM_ALPHA / N), 6)
+        ) / 2
+        assert abs(d2["avg_logprob"] - want2) < 1e-5
+
+
 class TestWebdatasetShards:
     def test_manifest_matches_a_real_tar_writer(self, spark):
         """The manifest's tar_bytes must equal what Python's tarfile
