@@ -229,6 +229,15 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "vocab-sized global rank window (<= 100 vocabulary rows, "
             "the ext_quality_score stopword pattern — never the corpus)"
         ),
+        # round 9: same 1-row-scalar pattern
+        "ext_ann_ivfpq": (
+            "inherits the three composed halves' 1-row folds: pivot "
+            "array (ivf), codebook array (pq_encode), distance table"
+        ),
+        "ext_lm_bigram_score": (
+            "1-row global train-token-total aggregate (the "
+            "ext_lm_unigram_score pattern, O(tasks) partials)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -269,6 +278,16 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_ann_pq_search": "1-row broadcast distance-table maps + query",
         "ext_dup_ngram_bloom": "1-row broadcast dense bloom-bitmap array",
         "ext_rank_fusion": "inherits ext_knn_cosine's 1-row query vector",
+        # round 9: same 1-row-broadcast pattern
+        "ext_ann_ivfpq": (
+            "1-row broadcasts from all three composed halves: pivot "
+            "array, query vector, codebook array, distance-table maps"
+        ),
+        "ext_lm_bigram_score": "1-row broadcast train-token-total frame",
+        "ext_overlap_kmv": (
+            "cross join of the two 1-row sketch aggregates (union "
+            "sketch stats x benchmark sketch stats)"
+        ),
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
