@@ -137,12 +137,14 @@ AUDITED = {
         "100 TB plan is scan -> project/explode -> sink."
     ),
     "ext_dup_ngram_bloom": (
-        "Bloom-prefiltered dup-ngram coverage (round 8): the df>=2 "
-        "shingle set reduces to a fixed <=16384-row bit_or bitmap that "
-        "broadcasts; probes are k map-side bit tests and only bloom "
-        "survivors reach the exact left-semi verify — the corpus shingle "
-        "table shuffles once for the df aggregate and never again "
-        "(the exact sibling joins it back in full)."
+        "Regime-adaptive dup-ngram coverage (round 9): the duplicate-row "
+        "fraction, estimated from a 1/16 key-space sample and memoized "
+        "per corpus, picks the plan. On THIS fixture (frac 0.999, deep "
+        "in the exact regime) the audited plan below IS the exact "
+        "sibling's single-pass join-back — the bloom bitmap path "
+        "(fixed <=16384-row bit_or broadcast + k map-side bit tests) "
+        "engages below the 0.10 cut, where the probe actually filters; "
+        "forced-path equality is pinned in tests."
     ),
     "ext_pq_encode": (
         "Product quantization (round 8): the 4x16 codebook folds to ONE "
@@ -156,6 +158,30 @@ AUDITED = {
         "window over (doc_id, lang, n) — text is dropped before the "
         "shuffle — then block spans explode map-side (~n/B + 1 rows per "
         "doc, never per token) into one (lang, block) aggregate."
+    ),
+    "ext_substring_dedup": (
+        "Substring-level dedup manifest (round 9, Lee et al. shape): "
+        "W-token windows hash map-side WITH positions; one "
+        "(g, doc)-distinct aggregate finds cross-doc shingles (8-byte "
+        "hashes cross the exchanges, never text); a semi join marks "
+        "positions; run merging is a per-doc gaps-and-islands window "
+        "bounded by document length — no task ever sees more rows than "
+        "the longest doc's shingle count."
+    ),
+    "ext_ann_ivfpq": (
+        "Composed IVF+PQ search (round 9): pivots, codebook, and the "
+        "query's distance table are all 1-row broadcasts; cell "
+        "assignment is an array_max inside the scan task; candidate "
+        "selection is a broadcast join on cell_id; ADC scoring is "
+        "map-side element_at; top-10 is TakeOrderedAndProject and only "
+        "those 10 fetch their vectors for the exact refine."
+    ),
+    "ext_webdataset_shards": (
+        "Tar shard manifest packer (round 9): entry sizes measured off "
+        "the binary column map-side; ONE per-lang prefix-sum window "
+        "carrying (doc_id, lang, 2 longs) — payload bytes never "
+        "shuffle; shard assignment is integer arithmetic on the running "
+        "offset and the manifest aggregate is map-side combinable."
     ),
 }
 
