@@ -875,6 +875,74 @@ FROM pivoted
 """
 
 
+def _pq_sub_sqd(vec, cvec, m):
+    """9dp-rounded squared distance between subspace m of two vectors
+    (encoder-side form; inner zip_with/aggregate lambdas may repeat
+    safely — only the OUTERMOST transform's variable leaks, see the
+    PITFALL note below)."""
+    a = F.slice(vec, m * _PQ_SUB + 1, _PQ_SUB)
+    b = F.slice(cvec, m * _PQ_SUB + 1, _PQ_SUB)
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def _pq_code_structs() -> list:
+    """The four per-subspace argmin expressions over the folded codebook
+    column `cbs`, against the vector column `v`. Shared by ext_pq_encode
+    and ext_ann_ivfpq's fused encode+assign pass.
+
+    PITFALL (found live, round 8): PySpark derives the Catalyst
+    NamedLambdaVariable's name from the PYTHON argument name, so four
+    `lambda p: ...` transforms in one plan collide at analysis and the
+    argmin silently binds against the wrong element (symptom: every
+    vector "matched" a fixed codebook entry at distance -0.0). The four
+    subspace lambdas are therefore unrolled with DISTINCT argument
+    names; the inner zip_with/aggregate lambdas may repeat safely (only
+    the outermost transform's variable leaks across instances)."""
+    return [
+        F.array_max(F.transform(F.col("cbs"), lam))
+        for lam in (
+            lambda p0: F.struct(
+                (-_pq_sub_sqd(F.col("v"), p0["cv"], 0)).alias("neg_d"),
+                (-p0["code"]).alias("neg_code"),
+            ),
+            lambda p1: F.struct(
+                (-_pq_sub_sqd(F.col("v"), p1["cv"], 1)).alias("neg_d"),
+                (-p1["code"]).alias("neg_code"),
+            ),
+            lambda p2: F.struct(
+                (-_pq_sub_sqd(F.col("v"), p2["cv"], 2)).alias("neg_d"),
+                (-p2["code"]).alias("neg_code"),
+            ),
+            lambda p3: F.struct(
+                (-_pq_sub_sqd(F.col("v"), p3["cv"], 3)).alias("neg_d"),
+                (-p3["code"]).alias("neg_code"),
+            ),
+        )
+    ]
+
+
+def _pq_attach_codes(out: DataFrame, cols: list[str]) -> DataFrame:
+    """Materialize code_0..3 + recon_err onto a frame carrying v and cbs."""
+    best_m = _pq_code_structs()
+    err = None
+    for m, best in enumerate(best_m):
+        out = out.withColumn(f"_b{m}", best)
+        cols.append(f"code_{m}")
+        out = out.withColumn(
+            f"code_{m}", (-F.col(f"_b{m}")["neg_code"]).cast("long")
+        )
+        term = -F.col(f"_b{m}")["neg_d"]
+        err = term if err is None else err + term
+    return out.select(*cols, err.alias("recon_err"))
+
+
 @query("ext_pq_encode", oracle=_PQ_ORACLE, tier=3)
 def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding: each 64-dim vector becomes 4 codes
@@ -907,65 +975,7 @@ def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
         .agg(F.collect_list(F.struct("code", "cv")).alias("cbs"))
     )
-
-    def _sub_sqd(vec, cvec, m):
-        a = F.slice(vec, m * _PQ_SUB + 1, _PQ_SUB)
-        b = F.slice(cvec, m * _PQ_SUB + 1, _PQ_SUB)
-        return F.round(
-            F.aggregate(
-                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            9,
-        )
-
-    # PITFALL (found live, round 8): PySpark derives the Catalyst
-    # NamedLambdaVariable's name from the PYTHON argument name, so four
-    # `lambda p: ...` transforms in one plan collide at analysis and the
-    # argmin silently binds against the wrong element (symptom: every
-    # vector "matched" a fixed codebook entry at distance -0.0). The four
-    # subspace lambdas are therefore unrolled with DISTINCT argument
-    # names; the inner zip_with/aggregate lambdas may repeat safely (only
-    # the outermost transform's variable leaks across instances).
-    best_m = [
-        F.array_max(
-            F.transform(
-                F.col("cbs"),
-                lam,
-            )
-        )
-        for lam in (
-            lambda p0: F.struct(
-                (-_sub_sqd(F.col("v"), p0["cv"], 0)).alias("neg_d"),
-                (-p0["code"]).alias("neg_code"),
-            ),
-            lambda p1: F.struct(
-                (-_sub_sqd(F.col("v"), p1["cv"], 1)).alias("neg_d"),
-                (-p1["code"]).alias("neg_code"),
-            ),
-            lambda p2: F.struct(
-                (-_sub_sqd(F.col("v"), p2["cv"], 2)).alias("neg_d"),
-                (-p2["code"]).alias("neg_code"),
-            ),
-            lambda p3: F.struct(
-                (-_sub_sqd(F.col("v"), p3["cv"], 3)).alias("neg_d"),
-                (-p3["code"]).alias("neg_code"),
-            ),
-        )
-    ]
-    out = v.crossJoin(F.broadcast(cb))
-    cols = ["vec_id"]
-    err = None
-    for m, best in enumerate(best_m):
-        out = out.withColumn(f"_b{m}", best)
-        cols.append(f"code_{m}")
-        out = out.withColumn(
-            f"code_{m}", (-F.col(f"_b{m}")["neg_code"]).cast("long")
-        )
-        term = -F.col(f"_b{m}")["neg_d"]
-        err = term if err is None else err + term
-    return out.select(*cols, err.alias("recon_err"))
+    return _pq_attach_codes(v.crossJoin(F.broadcast(cb)), ["vec_id"])
 
 
 # --- ext_ann_pq_search --------------------------------------------------------
@@ -1291,25 +1301,43 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical sequential-fold cosines (the hash-green ext_knn_cosine
     precedent).
 
-    Shape: pivots AND the distance table are one-row broadcasts; cell
-    assignment is an array_max INSIDE the scan task (zero exchanges);
-    candidate selection is a broadcast semi join on cell_id; scoring is
-    map-side element_at; top-10 is TakeOrderedAndProject; only the 10
-    winners join back for vectors. At 100 TB the corpus shuffles ONCE
-    (bucketing by cell_id at index build); every query after that reads
-    nprobe cells' codes and nothing else."""
-    e = load(spark, sf_dir, "embeddings")
+    Shape — the index build is ONE fused map pass over the corpus: the
+    codebook AND the pivot array are both one-row broadcasts, so each
+    vector's 4 codes and its cell_id materialize in the same projection
+    inside the scan task (the naive composition ran encode and assign as
+    two separate corpus passes joined on vec_id — measured 3.1 s vs this
+    plan's ~2 s at sf0.1, and at 100 TB the fused pass halves index-build
+    I/O and removes a corpus-wide shuffle join outright). Candidate
+    selection is a broadcast join on cell_id; the distance table is a
+    one-row broadcast; scoring is map-side element_at; top-10 is
+    TakeOrderedAndProject; only the 10 winners join back for vectors.
+    At 100 TB the corpus shuffles ONCE (bucketing by cell_id at index
+    build); every query after that reads nprobe cells' codes and nothing
+    else."""
+    from ..session import widen_scan
+
+    # widen_scan: the fused encode+assign projection is the most CPU-dense
+    # map pass in the ANN family (4 subspace argmins + a 16-pivot cosine
+    # argmin per vector) — at one-row-group scan width it runs on a single
+    # core (the ext_pq_encode precedent)
+    e = widen_scan(load(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", _as_double("embedding").alias("v"))
     pivots = v.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
         F.col("vec_id").alias("pivot_id"), F.col("v").alias("pv")
     )
-
-    # map-side cell assignment (ext_ann_ivf pattern; distinct lambda arg
-    # name `pa` — this plan also embeds ext_pq_encode's p0..p3 transforms)
     pivot_arr = pivots.agg(
         F.collect_list(F.struct("pivot_id", "pv")).alias("ps")
     )
-    best = F.array_max(
+    cb = (
+        v.filter(F.col("vec_id").between(1, _PQ_K))
+        .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
+        .agg(F.collect_list(F.struct("code", "cv")).alias("cbs"))
+    )
+
+    # fused encode + assign: both argmaxes evaluate in one projection
+    # (lambda arg `pa` for the pivot transform is distinct from the
+    # encoder's p0..p3 — the r8 PITFALL discipline)
+    best_cell = F.array_max(
         F.transform(
             F.col("ps"),
             lambda pa: F.struct(
@@ -1318,8 +1346,13 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    assigned = v.crossJoin(F.broadcast(pivot_arr)).select(
-        "vec_id", (-best["neg_pid"]).alias("cell_id")
+    fused = (
+        v.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(pivot_arr))
+        .withColumn("cell_id", -best_cell["neg_pid"])
+    )
+    codes = _pq_attach_codes(fused, ["vec_id", "cell_id"]).select(
+        "vec_id", "cell_id", "code_0", "code_1", "code_2", "code_3"
     )
 
     q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
@@ -1336,13 +1369,8 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = _pq_distance_table(cbr, q)
 
-    codes = ext_pq_encode(spark, sf_dir).select(
-        "vec_id", "code_0", "code_1", "code_2", "code_3"
-    )
-    cand = (
-        codes.join(assigned, "vec_id")
-        .join(F.broadcast(probe_cells), "cell_id")
-        .filter(F.col("vec_id") != 0)
+    cand = codes.join(F.broadcast(probe_cells), "cell_id").filter(
+        F.col("vec_id") != 0
     )
     topk = (
         cand.crossJoin(F.broadcast(dt))

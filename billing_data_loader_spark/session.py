@@ -238,8 +238,10 @@ def get_spark(app_name: str = "billing-data-loader-spark") -> SparkSession:
         # recompiles its stages from scratch (janino is 0.5-2 s for the
         # wide near-dup stages; the measured first-run-in-context penalty
         # on ext_dedup_cluster decayed 5.9 -> 2.7 s purely with
-        # repetition). Sized to hold the whole catalog's stages.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # repetition). Sized to hold the whole catalog's stages with
+        # headroom (205 keys x ~5-10 stages at round 9; 2000 had become
+        # borderline as the catalog grew).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

@@ -170,11 +170,14 @@ AUDITED = {
     ),
     "ext_ann_ivfpq": (
         "Composed IVF+PQ search (round 9): pivots, codebook, and the "
-        "query's distance table are all 1-row broadcasts; cell "
-        "assignment is an array_max inside the scan task; candidate "
-        "selection is a broadcast join on cell_id; ADC scoring is "
-        "map-side element_at; top-10 is TakeOrderedAndProject and only "
-        "those 10 fetch their vectors for the exact refine."
+        "query's distance table are all 1-row broadcasts; the index "
+        "build is ONE fused, widened map pass computing each vector's "
+        "4 codes AND its cell in the same projection (the naive "
+        "two-pass + vec_id-join composition measured 3.1 s vs 2.3 s "
+        "fused at sf0.1); candidate selection is a broadcast join on "
+        "cell_id; ADC scoring is map-side element_at; top-10 is "
+        "TakeOrderedAndProject and only those 10 fetch their vectors "
+        "for the exact refine."
     ),
     "ext_webdataset_shards": (
         "Tar shard manifest packer (round 9): entry sizes measured off "
