@@ -842,3 +842,86 @@ def ext_tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("long").alias("n_oov"),
         seq.alias("ids_csv"),
     )
+
+
+# --- ext_epoch_shuffle --------------------------------------------------------
+
+#: Epoch-shuffle geometry: docs deal into 8 shards per epoch; two epochs
+#: declared so the reshuffle property (different epoch -> different order)
+#: is part of the graded surface, not just a docstring claim.
+_ESH_SHARDS = 8
+_ESH_EPOCHS = (0, 1)
+_ESH_SALT = ":bdl-epoch-7"
+
+_ESH_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, u.epoch,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_ESH_SALT}'
+                             || CAST(u.epoch AS VARCHAR)), 1, 12))::BIGINT AS v
+  FROM documents, unnest([{", ".join(str(x) for x in _ESH_EPOCHS)}]) AS u(epoch)
+)
+SELECT epoch, doc_id,
+       v % {_ESH_SHARDS} AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY epoch, v % {_ESH_SHARDS}
+         ORDER BY v ASC, doc_id ASC
+       ) AS BIGINT) AS pos
+FROM e
+"""
+
+
+@query("ext_epoch_shuffle", oracle=_ESH_ORACLE, tier=3)
+def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle per epoch — the
+    dataloader's reading plan: every document gets, for each epoch, a
+    shard (which worker reads it) and a position (in what order), drawn
+    from md5(doc_id || salt || epoch). This is how a 100 TB corpus is
+    'shuffled' without ever materializing a permutation: membership and
+    order are PURE FUNCTIONS of (doc_id, epoch), so any worker can
+    re-derive its reading list independently, resume mid-epoch without
+    coordination, and every engine reproduces the identical order (the
+    ext_train_split_hash argument, extended from membership to
+    sequence). A new epoch re-salts the hash — a genuinely different
+    permutation, no RNG state shipped anywhere.
+
+    Determinism: the sort key is the r8 48-bit hex bridge of md5
+    (bit-equal across engines, pinned in tests/test_round8.py) with
+    doc_id as total-order tie-break; shard is v % S on nonneg ints.
+
+    Shape: hashing and shard assignment are map-side; the only exchange
+    is the per-(epoch, shard) rank window — each window partition is
+    1/S of an epoch, and at 100 TB the position column drops entirely
+    (sortWithinPartitions on v at write time gives the same order
+    physically) or decomposes via win_running_sum's two-pass
+    partition-offset pattern if an explicit index must be stored."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(len(_ESH_EPOCHS)).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(_ESH_SALT),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    e = d.crossJoin(F.broadcast(epochs)).select("doc_id", "epoch", v.alias("v"))
+    from pyspark.sql import Window as W
+
+    shard = F.pmod(F.col("v"), F.lit(_ESH_SHARDS))
+    w = W.partitionBy("epoch", "shard").orderBy(
+        F.col("v").asc(), F.col("doc_id").asc()
+    )
+    return (
+        e.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("epoch", "doc_id", "shard", "pos")
+    )

@@ -151,6 +151,42 @@ class TestIvfPq:
         assert len(replay) < n_all
 
 
+class TestEpochShuffle:
+    def test_epochs_permute_completely_and_differently(self, spark):
+        from billing_data_loader_spark.operators.corpus_ops import (
+            _ESH_EPOCHS,
+            _ESH_SHARDS,
+        )
+
+        out = catalog()["ext_epoch_shuffle"].fn(spark, SF_DIR).collect()
+        n_docs = load(spark, SF_DIR, "documents").count()
+        by_epoch = {}
+        for r in out:
+            by_epoch.setdefault(r["epoch"], []).append(r)
+        assert sorted(by_epoch) == list(_ESH_EPOCHS)
+        orders = {}
+        for ep, rows in by_epoch.items():
+            # complete coverage: every doc exactly once per epoch
+            assert len(rows) == n_docs
+            assert len({r["doc_id"] for r in rows}) == n_docs
+            # positions contiguous from 1 within each shard
+            shards = {}
+            for r in rows:
+                assert 0 <= r["shard"] < _ESH_SHARDS
+                shards.setdefault(r["shard"], []).append(r["pos"])
+            for poss in shards.values():
+                assert sorted(poss) == list(range(1, len(poss) + 1))
+            orders[ep] = sorted(
+                (r["shard"], r["pos"], r["doc_id"]) for r in rows
+            )
+        # different epochs -> genuinely different reading order
+        e0, e1 = (orders[ep] for ep in _ESH_EPOCHS[:2])
+        assert e0 != e1
+        # determinism: a second invocation is bit-identical
+        again = catalog()["ext_epoch_shuffle"].fn(spark, SF_DIR).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 class TestOverlapKmv:
     def test_estimators_against_exact_truth(self, spark):
         """KMV guarantees, checked against exact set computations on the
