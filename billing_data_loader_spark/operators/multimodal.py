@@ -268,3 +268,153 @@ def ext_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+# --- scan_webdataset ------------------------------------------------------------
+
+_WDS_SCAN_ORACLE = f"""
+WITH e AS (
+  SELECT doc_id, lang, text,
+         CAST(n_chars + 4 AS BIGINT) AS payload_bytes,
+         CAST({_WDS_BLOCK} + ((n_chars + 4 + {_WDS_BLOCK - 1}) // {_WDS_BLOCK})
+              * {_WDS_BLOCK} AS BIGINT) AS entry_bytes
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, text, payload_bytes,
+         CAST(SUM(entry_bytes) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - entry_bytes AS BIGINT) AS prev_cum
+  FROM e
+)
+SELECT doc_id,
+       concat(lang, '-', lpad(CAST(prev_cum // {_WDS_BYTES} AS VARCHAR), 5, '0'),
+              '.tar') AS shard_file,
+       payload_bytes AS member_bytes,
+       sha256('IMG0' || text) AS sha
+FROM c
+"""
+
+
+@query("scan_webdataset", oracle=_WDS_SCAN_ORACLE, tier=3)
+def scan_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebDataset READ path, round-tripped through REAL tar files:
+    stage writes one genuine .tar per (lang, shard) — DISTRIBUTED, each
+    applyInPandas task serializes its own shard with Python's tarfile —
+    then the measured operator is a binaryFile scan of the shards with
+    per-task tar parsing in mapInPandas: one output row per member with
+    its doc id, shard file, byte size, and payload sha256. Together with
+    ext_webdataset_shards (the manifest) this makes the multimodal
+    family a CONCRETE storage format end to end with zero codecs: write
+    real shards, read real shards, verify real bytes — the oracle
+    recomputes every member's size and sha from the source table, so a
+    corrupted write, a mis-assigned shard, or a lost member all fail the
+    hash gate.
+
+    Why tar shards at all: a 100 TB multimodal corpus as loose objects
+    is one metadata op per sample (listing kills the dataloader); as
+    size-bounded tar shards it is sequential reads at disk bandwidth
+    with shard-level shuffling (the WebDataset argument). binaryFile +
+    pathGlobFilter is the pruned distributed ingest; each task parses
+    whole shards in memory — peak memory one shard, not one partition.
+
+    Staging is setup, not the measured operator (the scan_binaryfile
+    stance), but unlike that key's driver-side loop the shard WRITE here
+    is itself distributed (groupBy(lang, shard).applyInPandas → one tar
+    per task) — the write path you would actually run at 100 TB."""
+    import tarfile
+
+    out = _wds_staging(spark, sf_dir)
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(out)
+        .select("path", "content")
+    )
+
+    def parse_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io as _io
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                fname = path.rsplit("/", 1)[-1]
+                with tarfile.open(fileobj=_io.BytesIO(content)) as tf:
+                    for m in tf.getmembers():
+                        data = tf.extractfile(m).read()
+                        rows.append(
+                            (
+                                int(m.name.split(".")[0]),
+                                fname,
+                                m.size,
+                                hashlib.sha256(data).hexdigest(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "shard_file", "member_bytes", "sha"]
+            )
+
+    return scanned.mapInPandas(
+        parse_shards,
+        "doc_id bigint, shard_file string, member_bytes bigint, sha string",
+    )
+
+
+def _wds_staging(spark: SparkSession, sf_dir: str) -> str:
+    """Write the corpus as real tar shards (restage from zero — fixtures
+    regenerate between rounds) and return the staging dir."""
+    import io as _io
+    import os
+    import shutil
+    import tarfile
+
+    from ..sources.connectors import scratch_dir
+
+    out = scratch_dir(sf_dir, "webdataset_shards")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    frame = attach_payload(load(spark, sf_dir, "documents"), keep=("lang",))
+    sized = frame.select(
+        "doc_id",
+        "lang",
+        "payload",
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+    entry = (
+        F.lit(_WDS_BLOCK)
+        + F.expr(f"(payload_bytes + {_WDS_BLOCK - 1}) div {_WDS_BLOCK}")
+        * _WDS_BLOCK
+    ).cast("long")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("doc_id")
+    assigned = (
+        sized.withColumn("entry_bytes", entry)
+        .withColumn(
+            "prev_cum", F.sum("entry_bytes").over(w) - F.col("entry_bytes")
+        )
+        .withColumn("shard_id", F.expr(f"prev_cum div {_WDS_BYTES}"))
+        .select("doc_id", "lang", "payload", "shard_id")
+    )
+
+    def write_shard(key, pdf):
+        lang, sid = key
+        pdf = pdf.sort_values("doc_id")
+        path = os.path.join(out, f"{lang}-{int(sid):05d}.tar")
+        with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for _, r in pdf.iterrows():
+                data = bytes(r["payload"])
+                info = tarfile.TarInfo(name=f"{int(r['doc_id'])}.bin")
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+        return pd.DataFrame({"shard_file": [path], "n": [len(pdf)]})
+
+    written = assigned.groupBy("lang", "shard_id").applyInPandas(
+        write_shard, "shard_file string, n long"
+    )
+    written.count()  # force the distributed write
+    return out

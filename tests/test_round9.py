@@ -366,6 +366,31 @@ class TestWebdatasetShards:
         # coverage: every doc lands in exactly one shard
         assert sum(r["n_samples"] for r in out) == docs.count()
 
+    def test_roundtrip_scan_agrees_with_manifest(self, spark):
+        """scan_webdataset parses REAL tar files; per shard its members
+        must reproduce the manifest exactly (count, payload byte sum, id
+        range) — a mis-written shard, lost member, or wrong assignment
+        breaks this equality."""
+        from collections import defaultdict
+
+        manifest = {
+            r["shard_file"]: r
+            for r in catalog()["ext_webdataset_shards"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        parsed = catalog()["scan_webdataset"].fn(spark, SF_DIR).collect()
+        by_shard = defaultdict(list)
+        for r in parsed:
+            by_shard[r["shard_file"]].append(r)
+        assert sorted(by_shard) == sorted(manifest)
+        for sf_name, rows in by_shard.items():
+            m = manifest[sf_name]
+            assert len(rows) == m["n_samples"]
+            assert sum(r["member_bytes"] for r in rows) == m["payload_bytes"]
+            ids = sorted(r["doc_id"] for r in rows)
+            assert ids[0] == m["first_doc_id"] and ids[-1] == m["last_doc_id"]
+
     def test_shard_ids_contiguous_and_ranges_disjoint(self, spark):
         out = catalog()["ext_webdataset_shards"].fn(spark, SF_DIR).collect()
         by_lang = {}
