@@ -317,6 +317,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "cross join of the two 1-row sketch aggregates (union "
             "sketch stats x benchmark sketch stats)"
         ),
+        "ext_epoch_shuffle": (
+            "broadcast cross join with the 2-row epoch frame (one row "
+            "per declared epoch — the per-epoch replication IS the op)"
+        ),
     },
     # CartesianProduct without broadcast: never acceptable.
     "cartesian": {},
