@@ -1388,3 +1388,203 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos(F.col("v"), F.col("qv")).alias("cos_sim"),
         )
     )
+
+
+# --- ext_pq_train ---------------------------------------------------------------
+
+#: Centroid-csv quantization scale: means serialize as floor(x*1e9 + 0.5)
+#: BIGINTs (integer text renders identically in both engines — the
+#: frame_sample precedent; raw double-to-string does NOT cross engines).
+_PQT_CSCALE = 1_000_000_000
+
+from ..functions.determinism import dsum as _dsum  # noqa: E402
+from ..functions.determinism import o_dsum as _o_dsum  # noqa: E402
+
+_PQT_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, u.m,
+         list_slice(ve, u.m * {_PQ_SUB} + 1, u.m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+  FROM v, unnest(range(0, {_PQ_M})) AS u(m)
+),
+seed AS (
+  SELECT m, vec_id AS code, sv AS cv FROM sub
+  WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+d1 AS (
+  SELECT s.vec_id, s.m, c.code,
+         round(list_aggregate(
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+           'sum'), 9) AS dist
+  FROM sub s JOIN seed c ON c.m = s.m
+),
+a1 AS (
+  SELECT vec_id, m, MIN(code) AS code FROM (
+    SELECT vec_id, m, code, dist,
+           MIN(dist) OVER (PARTITION BY vec_id, m) AS mind
+    FROM d1
+  ) WHERE dist = mind GROUP BY vec_id, m
+),
+m1 AS (
+  SELECT a1.m, a1.code, idx,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+           AS mean_val
+  FROM a1 JOIN sub USING (vec_id, m),
+       LATERAL (SELECT unnest(sub.sv) AS val,
+                       unnest(range(1, {_PQ_SUB} + 1)) AS idx)
+  GROUP BY a1.m, a1.code, idx
+),
+c1 AS (
+  SELECT m, code,
+         list(mean_val ORDER BY idx) AS cv,
+         array_to_string(
+           list(CAST(floor(mean_val * {_PQT_CSCALE} + 0.5) AS BIGINT)
+                ORDER BY idx), ',') AS centroid_csv
+  FROM m1 GROUP BY m, code
+),
+d2 AS (
+  SELECT s.vec_id, s.m, c.code,
+         round(list_aggregate(
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])),
+           'sum'), 9) AS dist
+  FROM sub s JOIN c1 c ON c.m = s.m
+),
+a2 AS (
+  SELECT vec_id, m, MIN(code) AS code, ANY_VALUE(mind) AS dist FROM (
+    SELECT vec_id, m, code, dist,
+           MIN(dist) OVER (PARTITION BY vec_id, m) AS mind
+    FROM d2
+  ) WHERE dist = mind GROUP BY vec_id, m
+)
+SELECT a2.m, a2.code,
+       COUNT(*) AS n_assigned,
+       {_o_dsum("a2.dist", "distortion")},
+       ANY_VALUE(c1.centroid_csv) AS centroid_csv
+FROM a2 JOIN c1 ON c1.m = a2.m AND c1.code = a2.code
+GROUP BY a2.m, a2.code
+"""
+
+
+def _pqt_assign(sub: DataFrame, cents: DataFrame, lam) -> DataFrame:
+    """Nearest-code assignment per (vector, subspace): the per-m codebook
+    folds to a 4-row (m, array) frame broadcast onto the subvector
+    stream; argmin is an array_min over (dist, code) structs inside the
+    task. ``lam`` supplies the transform lambda with a per-call-site
+    argument name (the r8 sibling-collision discipline)."""
+    cent_arr = cents.groupBy("m").agg(
+        F.collect_list(F.struct("code", "cv")).alias("cs")
+    )
+    best = F.array_min(F.transform(F.col("cs"), lam))
+    return sub.join(F.broadcast(cent_arr), "m").select(
+        "vec_id",
+        "m",
+        "sv",
+        best["code"].alias("code"),
+        best["dist"].alias("dist"),
+    )
+
+
+@query("ext_pq_train", oracle=_PQT_ORACLE, tier=3)
+def ext_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING — the per-subspace Lloyd step that turns the
+    seed codebook (data points vec_id 1..16, what ext_pq_encode ships)
+    into a trained one: assign every 16-dim subvector to its nearest
+    seed code, recompute each code's centroid as the exact decimal mean,
+    re-assign, and emit the trained codebook — (m, code, n_assigned,
+    distortion, centroid_csv). Completes the PQ family into the full
+    production loop: TRAIN (this) -> encode (ext_pq_encode) -> ADC
+    search (ext_ann_pq_search) -> composed serving (ext_ann_ivfpq); the
+    encoder's docstring promise that 'a trained codebook swaps in as
+    the same 1-row broadcast' is now a graded artifact, and Lloyd
+    monotonicity (trained distortion <= seed distortion per subspace)
+    is pinned in tests/test_round9.py.
+
+    Determinism (the ext_kmeans_lite treatment, per subspace): squared
+    distances 9dp-rounded on both sides before each argmin, ties to the
+    lowest code, centroid means as exact decimal(28,12) sums / counts,
+    distortion via the floor-quantized dsum. Centroids serialize as
+    floor(x*1e9 + 0.5) integer CSV — double-to-string does not render
+    identically across engines, integer text does.
+
+    Shape per iteration (the classic distributed-ML loop, x4 subspaces
+    in ONE pass): subvectors derive map-side from the scan (the explode
+    emits 4 rows per vector, each 1/4 vector width — same bytes); the
+    codebook is a 4-row broadcast; assignment is in-task argmin; the
+    centroid update is one (m, code, dim) partial-sum aggregate of
+    4 x 16 x 16 = 1024 cells. At 100 TB training runs on a sample (as
+    production PQ does) and the update aggregate is unchanged."""
+    from ..session import widen_scan
+
+    e = widen_scan(load(spark, sf_dir, "embeddings"))
+    v = e.select("vec_id", _as_double("embedding").alias("ve"))
+    sub = v.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("ve", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+    seeds = sub.filter(F.col("vec_id").between(1, _PQ_K)).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+
+    def _dist_struct(entry, name):
+        return F.struct(
+            F.round(_sq_dist(F.col("sv"), entry["cv"]), 9).alias("dist"),
+            entry["code"].alias("code"),
+        )
+
+    a1 = _pqt_assign(sub, seeds, lambda ka1: _dist_struct(ka1, "ka1"))
+    means = (
+        a1.select("m", "code", F.posexplode("sv").alias("idx", "val"))
+        .groupBy("m", "code", "idx")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "mean_val"))),
+                lambda s0: s0["mean_val"],
+            ).alias("cv"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "mean_val"))),
+                    lambda s1: F.floor(
+                        s1["mean_val"] * _PQT_CSCALE + F.lit(0.5)
+                    ).cast("bigint").cast("string"),
+                ),
+                ",",
+            ).alias("centroid_csv"),
+        )
+    )
+    from ..session import scoped_persist
+
+    means = scoped_persist(means)  # feeds assignment arrays AND the csv join
+    a2 = _pqt_assign(
+        sub, means.select("m", "code", "cv"), lambda ka2: _dist_struct(ka2, "ka2")
+    )
+    return (
+        a2.groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            _dsum("dist", "distortion"),
+        )
+        .join(means.select("m", "code", "centroid_csv"), ["m", "code"])
+        .select("m", "code", "n_assigned", "distortion", "centroid_csv")
+    )

@@ -151,6 +151,53 @@ class TestIvfPq:
         assert len(replay) < n_all
 
 
+class TestPqTrain:
+    def test_lloyd_step_never_increases_distortion(self, spark):
+        """Trained codebook distortion (per subspace) must be <= the seed
+        codebook's — Lloyd monotonicity. Seed distortion replayed in
+        Python with the same 9dp rounding."""
+        from billing_data_loader_spark.operators.ann import (
+            _PQ_K,
+            _PQ_M,
+            _PQ_SUB,
+        )
+
+        emb = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in load(spark, SF_DIR, "embeddings").collect()
+        }
+
+        def sqd(a, b, m):
+            acc = 0.0
+            for i in range(m * _PQ_SUB, (m + 1) * _PQ_SUB):
+                acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+            return round(acc, 9)
+
+        seed_dist = {m: 0.0 for m in range(_PQ_M)}
+        for vid, v in emb.items():
+            for m in range(_PQ_M):
+                seed_dist[m] += min(
+                    sqd(v, emb[c], m) for c in range(1, _PQ_K + 1)
+                )
+
+        out = catalog()["ext_pq_train"].fn(spark, SF_DIR).collect()
+        assert len(out) == _PQ_M * _PQ_K  # no cluster emptied on fixture
+        trained = {m: 0.0 for m in range(_PQ_M)}
+        counts = {m: 0 for m in range(_PQ_M)}
+        for r in out:
+            trained[r["m"]] += r["distortion"]
+            counts[r["m"]] += r["n_assigned"]
+            assert len(r["centroid_csv"].split(",")) == _PQ_SUB
+        n_vecs = len(emb)
+        for m in range(_PQ_M):
+            assert counts[m] == n_vecs
+            assert trained[m] <= seed_dist[m] + 1e-6, (
+                f"subspace {m}: trained {trained[m]} > seed {seed_dist[m]}"
+            )
+        # and the step must actually improve on this fixture, not just tie
+        assert sum(trained.values()) < sum(seed_dist.values()) * 0.98
+
+
 class TestEpochShuffle:
     def test_epochs_permute_completely_and_differently(self, spark):
         from billing_data_loader_spark.operators.corpus_ops import (
