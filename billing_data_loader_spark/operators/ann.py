@@ -931,6 +931,7 @@ def _pq_code_structs() -> list:
 def _pq_attach_codes(out: DataFrame, cols: list[str]) -> DataFrame:
     """Materialize code_0..3 + recon_err onto a frame carrying v and cbs."""
     best_m = _pq_code_structs()
+    cols = [*cols]  # never mutate the caller's list
     err = None
     for m, best in enumerate(best_m):
         out = out.withColumn(f"_b{m}", best)
@@ -1540,13 +1541,15 @@ def ext_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
 
-    def _dist_struct(entry, name):
+    def _dist_struct(entry):
         return F.struct(
             F.round(_sq_dist(F.col("sv"), entry["cv"]), 9).alias("dist"),
             entry["code"].alias("code"),
         )
 
-    a1 = _pqt_assign(sub, seeds, lambda ka1: _dist_struct(ka1, "ka1"))
+    # the collision discipline lives in the DISTINCT lambda argument
+    # names (ka1/ka2), nothing else
+    a1 = _pqt_assign(sub, seeds, lambda ka1: _dist_struct(ka1))
     means = (
         a1.select("m", "code", F.posexplode("sv").alias("idx", "val"))
         .groupBy("m", "code", "idx")
@@ -1577,7 +1580,7 @@ def ext_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     means = scoped_persist(means)  # feeds assignment arrays AND the csv join
     a2 = _pqt_assign(
-        sub, means.select("m", "code", "cv"), lambda ka2: _dist_struct(ka2, "ka2")
+        sub, means.select("m", "code", "cv"), lambda ka2: _dist_struct(ka2)
     )
     return (
         a2.groupBy("m", "code")

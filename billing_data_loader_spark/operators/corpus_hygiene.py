@@ -493,20 +493,31 @@ def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id", splitc.alias("split"), F.split("text", " ").alias("t")
     )
-    tok = base.select(
-        "doc_id",
-        "split",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t)), i -> struct("
-                "i AS pos, "
-                "CASE WHEN i >= 2 THEN element_at(t, i - 1) END AS prev, "
-                "element_at(t, i) AS cur))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "split", "s.pos", "s.prev", "s.cur")
+    from ..session import scoped_persist
+
+    # persisted: the corpus-sized token/position stream feeds the unigram
+    # and bigram model aggregates AND the scored stream (code-review r9:
+    # unpersisted, the split+explode pipeline re-ran per consumer)
+    tok = scoped_persist(
+        base.select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)), i -> struct("
+                    "i AS pos, "
+                    "CASE WHEN i >= 2 THEN element_at(t, i - 1) END AS prev, "
+                    "element_at(t, i) AS cur))"
+                )
+            ).alias("s"),
+        ).select("doc_id", "split", "s.pos", "s.prev", "s.cur")
+    )
     train = tok.filter(F.col("split") == "train")
-    uni = train.groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: the vocab-bounded unigram table is broadcast twice (cur,
+    # prev) and summed once for N
+    uni = scoped_persist(
+        train.groupBy("cur").agg(F.count(F.lit(1)).alias("c"))
+    )
     tot = uni.agg(F.sum("c").cast("double").alias("n"))
     bi = (
         train.filter(F.col("pos") >= 2)

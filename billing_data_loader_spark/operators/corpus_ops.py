@@ -895,8 +895,10 @@ def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     physically) or decomposes via win_running_sum's two-pass
     partition-offset pattern if an explicit index must be stored."""
     d = load(spark, sf_dir, "documents").select("doc_id")
-    epochs = spark.range(len(_ESH_EPOCHS)).select(
-        F.col("id").cast("int").alias("epoch")
+    # built from the tuple's VALUES, not range(len(...)): the constant is
+    # the single source of truth shared with the oracle (code-review r9)
+    epochs = spark.createDataFrame(
+        [(e,) for e in _ESH_EPOCHS], "epoch int"
     )
     v = F.conv(
         F.substring(

@@ -105,20 +105,27 @@ def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of >= W + L - 1 tokens is covered at every interior position by shared
     windows, so merged runs recover it exactly; W trades index size
     against the shortest detectable run, as in the suffix-array variant."""
+    from ..session import scoped_persist
+
     corpus = _corpus_with_dups(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= _SSD_W)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(t) - {_SSD_W} + 1), "
-                f"i -> struct(i AS pos, "
-                f"xxhash64(concat_ws(' ', slice(t, i, {_SSD_W}))) AS g))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.pos", "s.g")
+    # persisted: the corpus-sized positioned-shingle frame feeds both the
+    # duplicate-shingle aggregate and the marking semi join (code-review
+    # r9: unpersisted, the split+window+hash pass ran twice)
+    sh = scoped_persist(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SSD_W} + 1), "
+                    f"i -> struct(i AS pos, "
+                    f"xxhash64(concat_ws(' ', slice(t, i, {_SSD_W}))) AS g))"
+                )
+            ).alias("s"),
+        ).select("doc_id", "s.pos", "s.g")
+    )
     dupg = (
         sh.select("g", "doc_id")
         .distinct()

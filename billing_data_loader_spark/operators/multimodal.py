@@ -168,16 +168,18 @@ _WDS_BYTES = 16384
 _WDS_BLOCK = 512
 _WDS_EOF = 1024
 
-_WDS_ORACLE = f"""
-WITH e AS (
-  SELECT doc_id, lang,
+# Shared CTE chain: the packing arithmetic exists ONCE for both oracles
+# (code-review r9: it had been pasted into each) — e carries text so the
+# scan oracle can hash payloads; the manifest oracle simply ignores it.
+_WDS_CTES = f"""e AS (
+  SELECT doc_id, lang, text,
          CAST(n_chars + 4 AS BIGINT) AS payload_bytes,
          CAST({_WDS_BLOCK} + ((n_chars + 4 + {_WDS_BLOCK - 1}) // {_WDS_BLOCK})
               * {_WDS_BLOCK} AS BIGINT) AS entry_bytes
   FROM documents
 ),
 c AS (
-  SELECT doc_id, lang, payload_bytes, entry_bytes,
+  SELECT doc_id, lang, text, payload_bytes, entry_bytes,
          CAST(SUM(entry_bytes) OVER (
            PARTITION BY lang ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -185,10 +187,13 @@ c AS (
   FROM e
 ),
 s AS (
-  SELECT doc_id, lang, payload_bytes, entry_bytes,
+  SELECT doc_id, lang, text, payload_bytes, entry_bytes,
          prev_cum // {_WDS_BYTES} AS shard_id
   FROM c
-)
+)"""
+
+_WDS_ORACLE = f"""
+WITH {_WDS_CTES}
 SELECT lang, shard_id,
        concat(lang, '-', lpad(CAST(shard_id AS VARCHAR), 5, '0'), '.tar')
          AS shard_file,
@@ -199,6 +204,36 @@ SELECT lang, shard_id,
        MAX(doc_id) AS last_doc_id
 FROM s GROUP BY lang, shard_id
 """
+
+
+def _wds_assigned(
+    spark: SparkSession, sf_dir: str, with_payload: bool = False
+) -> DataFrame:
+    """ONE copy of the packing arithmetic (code-review r9): per-lang
+    doc_id-ordered prefix sum of tar entry sizes; a sample's shard is the
+    one its entry would START in. Shared by the manifest key (sizes only)
+    and the staging writer (payload carried through)."""
+    frame = attach_payload(load(spark, sf_dir, "documents"), keep=("lang",))
+    cols = ["doc_id", "lang"] + (["payload"] if with_payload else [])
+    sized = frame.select(
+        *cols, F.length("payload").cast("long").alias("payload_bytes")
+    )
+    entry = (
+        F.lit(_WDS_BLOCK)
+        + F.expr(f"(payload_bytes + {_WDS_BLOCK - 1}) div {_WDS_BLOCK}")
+        * _WDS_BLOCK
+    ).cast("long")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        sized.withColumn("entry_bytes", entry)
+        .withColumn(
+            "prev_cum", F.sum("entry_bytes").over(w) - F.col("entry_bytes")
+        )
+        .withColumn("shard_id", F.expr(f"prev_cum div {_WDS_BYTES}"))
+    )
 
 
 @query("ext_webdataset_shards", oracle=_WDS_ORACLE, tier=3)
@@ -236,25 +271,7 @@ def ext_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable. The per-lang sequential window swaps to win_running_sum's
     two-pass partition-offset decomposition at 100 TB, as in
     ext_group_texts."""
-    frame = attach_payload(load(spark, sf_dir, "documents"), keep=("lang",))
-    sized = frame.select(
-        "doc_id",
-        "lang",
-        F.length("payload").cast("long").alias("payload_bytes"),
-    )
-    entry = (
-        F.lit(_WDS_BLOCK)
-        + F.expr(f"(payload_bytes + {_WDS_BLOCK - 1}) div {_WDS_BLOCK}")
-        * _WDS_BLOCK
-    ).cast("long")
-
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("lang").orderBy("doc_id")
-    c = sized.withColumn("entry_bytes", entry).withColumn(
-        "prev_cum", F.sum("entry_bytes").over(w) - F.col("entry_bytes")
-    )
-    s = c.withColumn("shard_id", F.expr(f"prev_cum div {_WDS_BYTES}"))
+    s = _wds_assigned(spark, sf_dir)
     return s.groupBy("lang", "shard_id").agg(
         F.concat(
             F.col("lang"),
@@ -273,27 +290,13 @@ def ext_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- scan_webdataset ------------------------------------------------------------
 
 _WDS_SCAN_ORACLE = f"""
-WITH e AS (
-  SELECT doc_id, lang, text,
-         CAST(n_chars + 4 AS BIGINT) AS payload_bytes,
-         CAST({_WDS_BLOCK} + ((n_chars + 4 + {_WDS_BLOCK - 1}) // {_WDS_BLOCK})
-              * {_WDS_BLOCK} AS BIGINT) AS entry_bytes
-  FROM documents
-),
-c AS (
-  SELECT doc_id, lang, text, payload_bytes,
-         CAST(SUM(entry_bytes) OVER (
-           PARTITION BY lang ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) - entry_bytes AS BIGINT) AS prev_cum
-  FROM e
-)
+WITH {_WDS_CTES}
 SELECT doc_id,
-       concat(lang, '-', lpad(CAST(prev_cum // {_WDS_BYTES} AS VARCHAR), 5, '0'),
+       concat(lang, '-', lpad(CAST(shard_id AS VARCHAR), 5, '0'),
               '.tar') AS shard_file,
        payload_bytes AS member_bytes,
        sha256('IMG0' || text) AS sha
-FROM c
+FROM s
 """
 
 
@@ -376,29 +379,8 @@ def _wds_staging(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
-    frame = attach_payload(load(spark, sf_dir, "documents"), keep=("lang",))
-    sized = frame.select(
-        "doc_id",
-        "lang",
-        "payload",
-        F.length("payload").cast("long").alias("payload_bytes"),
-    )
-    entry = (
-        F.lit(_WDS_BLOCK)
-        + F.expr(f"(payload_bytes + {_WDS_BLOCK - 1}) div {_WDS_BLOCK}")
-        * _WDS_BLOCK
-    ).cast("long")
-
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("lang").orderBy("doc_id")
-    assigned = (
-        sized.withColumn("entry_bytes", entry)
-        .withColumn(
-            "prev_cum", F.sum("entry_bytes").over(w) - F.col("entry_bytes")
-        )
-        .withColumn("shard_id", F.expr(f"prev_cum div {_WDS_BYTES}"))
-        .select("doc_id", "lang", "payload", "shard_id")
+    assigned = _wds_assigned(spark, sf_dir, with_payload=True).select(
+        "doc_id", "lang", "payload", "shard_id"
     )
 
     def write_shard(key, pdf):
