@@ -352,3 +352,61 @@ def test_quantize_long_matches_duckdb_floor(spark, xs):
     )
     con.close()
     assert got == want
+
+
+# --- substring-dedup recovery guarantee (round 9) ---------------------------
+
+_SSD_CASES = st.tuples(
+    st.integers(min_value=23, max_value=40),  # run length >= W + L - 1
+    st.integers(min_value=8, max_value=30),  # doc1 prefix filler
+    st.integers(min_value=0, max_value=30),  # doc1 suffix filler
+    st.integers(min_value=8, max_value=30),  # doc2 prefix filler
+    st.integers(min_value=0, max_value=30),  # doc2 suffix filler
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(case=_SSD_CASES)
+def test_substring_dedup_recovers_any_long_planted_run(spark, tmp_path, case):
+    """The documented guarantee (operators/dedup_span.py): ANY cross-doc
+    duplicated run of >= W + L - 1 tokens is recovered EXACTLY — marked
+    windows cover every interior position, merge into one maximal run,
+    and unique filler never extends the span. Asserted on adversarial
+    planted geometries, not just the fixture."""
+    run_len, p1, s1, p2, s2 = case
+    shared = [f"s{i}" for i in range(run_len)]
+    doc1 = (
+        [f"a{i}" for i in range(p1)]
+        + shared
+        + [f"b{i}" for i in range(s1)]
+    )
+    doc2 = (
+        [f"c{i}" for i in range(p2)]
+        + shared
+        + [f"d{i}" for i in range(s2)]
+    )
+    doc3 = [f"e{i}" for i in range(35)]
+    rows = [
+        (1, " ".join(doc1), "en", "plant", len(" ".join(doc1))),
+        (2, " ".join(doc2), "en", "plant", len(" ".join(doc2))),
+        (3, " ".join(doc3), "en", "plant", len(" ".join(doc3))),
+    ]
+    out_dir = tmp_path / f"ssd_{run_len}_{p1}_{s1}_{p2}_{s2}"
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(out_dir / "documents.parquet")
+    )
+    spans = catalog()["ext_substring_dedup"].fn(spark, str(out_dir)).collect()
+    got = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in spans}
+    assert len(spans) == 2 and sorted(got) == [1, 2]
+    assert got[1] == (p1 + 1, p1 + run_len)
+    assert got[2] == (p2 + 1, p2 + run_len)
