@@ -796,8 +796,13 @@ def ext_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps, k rows to the driver
     stage, never a full sort); the estimator is one aggregate over 256
     rows. The corpus is touched once; nothing about the plan changes at
-    any corpus size — THE defining property of sketch-based estimation."""
-    d = load(spark, sf_dir, "documents").select(
+    any corpus size — THE defining property of sketch-based estimation.
+    widen_scan: the gram explode otherwise runs at the single-row-group
+    scan's task count (one core — measured 4.9 s -> ~1 s at sf0.1; the
+    ext_decontaminate precedent)."""
+    from ..session import widen_scan
+
+    d = widen_scan(load(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 23 == 1,
@@ -833,11 +838,12 @@ def ext_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
+    # md5 once per distinct gram; v derives from the already-computed hex
     hashed = unified.select(
-        F.md5("g").alias("h"),
-        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
-        .cast("bigint")
-        .alias("v"),
+        F.md5("g").alias("h"), "in_a", "in_b"
+    ).select(
+        "h",
+        F.conv(F.substring("h", 1, 12), 16, 10).cast("bigint").alias("v"),
         "in_a",
         "in_b",
     )
