@@ -169,6 +169,15 @@ _WIDTH_KEYS = [
     "ts_interpolate_linear",
     "ext_pagerank_lite",
     "ext_dedup_cluster",
+    # round 9: partitioning-sensitive shapes — per-doc islands windows,
+    # global bottom-k sketches, broadcast-fold argmins, per-(epoch, shard)
+    # rank windows, adaptive path pick off a key-sampled statistic
+    "ext_substring_dedup",
+    "ext_overlap_kmv",
+    "ext_ann_ivfpq",
+    "ext_epoch_shuffle",
+    "ext_pq_train",
+    "ext_dup_ngram_bloom",
 ]
 
 
