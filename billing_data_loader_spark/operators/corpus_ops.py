@@ -425,9 +425,11 @@ def ext_dup_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle shares its hash, so the sampled stratum sees each of its
     shingles' doc-frequencies EXACTLY — no df underestimation, unlike
     row sampling — and the ratio estimator is unbiased across strata.
-    The decision is then memoized per corpus directory for the life of
-    the process: the regime is a property of the CORPUS (index-build
-    metadata in production — think table statistics), not of the query,
+    The decision is then memoized per (corpus directory, parquet
+    mtime+size fingerprint) for the life of the process — a corpus
+    regenerated at the same path re-probes (ADVICE r9), matching the
+    staleness rule of table statistics: the regime is a property of the
+    CORPUS (index-build metadata in production), not of the query,
     so repeat invocations plan directly (one ~1/16-cost action per
     corpus, amortized to zero across a session; the bench's min-of-N
     warm runs therefore measure the chosen plan itself).
@@ -438,9 +440,33 @@ def ext_dup_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dup_ngram_rollup(spark, sf_dir, force=None)
 
 
-#: Memoized regime pick per corpus dir (see docstring: corpus statistic,
-#: not query state). Tests clear/seed it via _dup_ngram_rollup(force=...).
-_DNB_REGIME_CACHE: dict[str, str] = {}
+#: Memoized regime pick per corpus (see docstring: corpus statistic, not
+#: query state). Keyed on (sf_dir, documents-parquet fingerprint) so a
+#: corpus regenerated at the same path invalidates the pick (ADVICE r9)
+#: — same staleness rule table statistics follow. Tests clear/seed it via
+#: _dup_ngram_rollup(force=...).
+_DNB_REGIME_CACHE: dict[tuple[str, tuple[int, int]], str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple[int, int]:
+    """(mtime_ns, size) of the documents fixture — file or directory of
+    part files — folded to a pair; cheap enough to stat per invocation."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        if not os.path.isdir(p):
+            return (st.st_mtime_ns, st.st_size)
+        mt = sz = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                s = os.stat(os.path.join(root, f))
+                mt = max(mt, s.st_mtime_ns)
+                sz += s.st_size
+        return (mt, sz)
+    except OSError:
+        return (0, 0)
 
 
 def _dup_ngram_rollup(
@@ -471,7 +497,8 @@ def _dup_ngram_rollup(
         .distinct()
     )
 
-    path = force or _DNB_REGIME_CACHE.get(sf_dir)
+    memo_key = (sf_dir, _corpus_fingerprint(sf_dir))
+    path = force or _DNB_REGIME_CACHE.get(memo_key)
     if path is None:
         # 1/16 key-space sample: filter on the grouping column pushes
         # below the distinct, so this action shuffles ~1/16 of the rows
@@ -489,7 +516,7 @@ def _dup_ngram_rollup(
         rows = m["rows"] or 0
         frac = (m["dup_rows"] or 0) / rows if rows else 0.0
         path = "exact" if frac >= _DNB_REGIME_CUT else "bloom"
-        _DNB_REGIME_CACHE[sf_dir] = path
+        _DNB_REGIME_CACHE[memo_key] = path
 
     if path == "exact":
         # the exact sibling's plan verbatim: one join back to the df

@@ -741,8 +741,10 @@ WITH synth AS (
   SELECT * FROM hashed ORDER BY h ASC LIMIT {_KMV_K}
 ), uagg AS (
   SELECT CAST(SUM(in_a * in_b) AS BIGINT) AS sketch_shared,
-         CAST(SUM(in_a * in_b) AS DOUBLE) / {_KMV_K} AS est_jaccard,
-         ({_KMV_K} - 1) * {_KMV_SPACE} / MAX(v) AS est_union_size
+         CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*) AS est_jaccard,
+         CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE ({_KMV_K} - 1) * {_KMV_SPACE} / MAX(v) END
+           AS est_union_size
   FROM usk
 ), bsk AS (
   SELECT * FROM hashed WHERE in_b = 1 ORDER BY h ASC LIMIT {_KMV_K}
@@ -851,8 +853,16 @@ def ext_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashed = scoped_persist(hashed)  # feeds both sketches
     shared = F.sum(F.col("in_a") * F.col("in_b"))
-    est_j = shared.cast("double") / _KMV_K
-    est_u = (_KMV_K - 1) * F.lit(_KMV_SPACE) / F.max("v")
+    # NOT-FULL-SKETCH GUARD (ADVICE r9): when the corpus has fewer than k
+    # distinct grams the bottom-k IS the whole set — divide by the actual
+    # sketch row count (always <= k via the LIMIT) and report the exact
+    # count as the union size, mirroring the containment branch, instead
+    # of silently misreporting through the constant-k formulas.
+    n_sk = F.count(F.lit(1))
+    est_j = shared.cast("double") / n_sk
+    est_u = F.when(n_sk < _KMV_K, n_sk.cast("double")).otherwise(
+        (_KMV_K - 1) * F.lit(_KMV_SPACE) / F.max("v")
+    )
     uagg = (
         hashed.orderBy(F.col("h").asc())
         .limit(_KMV_K)

@@ -93,10 +93,15 @@ def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on planted cross-doc substrings.
 
     Shape: W-token shingles explode map-side with their position; the
-    duplicate-shingle set is ONE groupBy over (g, doc_id)-distinct pairs
-    with g an xxhash64 LONG (the ext_dup_ngram_coverage stance — the
-    oracle keeps raw strings; counts agree by 64-bit injectivity on any
-    real corpus slice); marking is a semi join back on g; run assembly is
+    duplicate-shingle set is ONE groupBy over (g, g2, doc_id)-distinct
+    tuples where g and g2 are xxhash64 LONGs under two different seeds
+    (the oracle keeps raw strings). Because this key's downstream apply
+    DELETES text, a single 64-bit collision would excise non-duplicated
+    content (ADVICE r9) — so a shingle is marked only when BOTH hashes
+    agree across documents, pushing the destructive-collision probability
+    to the 128-bit regime (~n^2/2^128) for 8 extra bytes per shingle row
+    and an unchanged plan shape; marking is a semi join back on (g, g2);
+    run assembly is
     a per-document gaps-and-islands window (lag + running sum), bounded by
     document length, never corpus-wide. At 100 TB: shuffles carry only
     (8-byte hash, doc_id, int pos) — the text itself never crosses an
@@ -121,20 +126,21 @@ def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"transform(sequence(1, size(t) - {_SSD_W} + 1), "
                     f"i -> struct(i AS pos, "
-                    f"xxhash64(concat_ws(' ', slice(t, i, {_SSD_W}))) AS g))"
+                    f"xxhash64(concat_ws(' ', slice(t, i, {_SSD_W}))) AS g, "
+                    f"xxhash64(7, concat_ws(' ', slice(t, i, {_SSD_W}))) AS g2))"
                 )
             ).alias("s"),
-        ).select("doc_id", "s.pos", "s.g")
+        ).select("doc_id", "s.pos", "s.g", "s.g2")
     )
     dupg = (
-        sh.select("g", "doc_id")
+        sh.select("g", "g2", "doc_id")
         .distinct()
-        .groupBy("g")
+        .groupBy("g", "g2")
         .agg(F.count(F.lit(1)).alias("docs"))
         .filter(F.col("docs") >= 2)
-        .select("g")
+        .select("g", "g2")
     )
-    marked = sh.join(dupg, "g", "left_semi").select("doc_id", "pos")
+    marked = sh.join(dupg, ["g", "g2"], "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = marked.withColumn(
         "brk",
@@ -207,6 +213,14 @@ def ext_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the copy and its source clean to ''). Consumes the declared
     ext_substring_dedup manifest the way ext_dedup_apply consumes
     ext_dedup_cluster.
+
+    DESTRUCTIVE-ON-COLLISION (ADVICE r9): unlike the counting keys, a
+    hash collision here removes real text. The manifest therefore marks a
+    shingle only when TWO independently-seeded xxhash64 values both agree
+    across documents (see ext_substring_dedup); the residual failure
+    needs a simultaneous 128-bit collision, below any practical corpus's
+    birthday bound, and is documented here as the accepted risk rather
+    than hidden.
 
     Shape — the corpus is NEVER exploded to (doc, pos) rows: the spans
     manifest (tiny — a few rows per affected doc) aggregates to ONE
