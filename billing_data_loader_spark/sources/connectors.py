@@ -260,6 +260,20 @@ GROUP BY order_month
 """
 
 
+def _stage_orders_by_year(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders partitioned by order_year (shared by the static- and
+    dynamic-pruning scan keys; restaged per call — staging is setup, the
+    measured operator is the pruned read)."""
+    out = scratch_dir(sf_dir, "orders_by_year")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    o.repartition("order_year").write.mode("overwrite").partitionBy(
+        "order_year"
+    ).parquet(out)
+    return out
+
+
 @query("scan_partition_pruned", oracle=_PRUNED_ORACLE, tier=2)
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition pruning on a partitioned layout: write orders partitioned
@@ -268,19 +282,68 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the difference between reading one partition and
     listing the whole table). The readback aggregate must equal the
     unpartitioned oracle."""
-    out = scratch_dir(sf_dir, "orders_by_year")
-    o = load(spark, sf_dir, "orders").withColumn(
-        "order_year", F.year("o_orderdate").cast("long")
-    )
-    o.repartition("order_year").write.mode("overwrite").partitionBy(
-        "order_year"
-    ).parquet(out)
+    out = _stage_orders_by_year(spark, sf_dir)
     back = spark.read.parquet(out).filter(F.col("order_year") == 1997)
     return back.groupBy(
         F.month("o_orderdate").cast("long").alias("order_month")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "sum_price"),
+    )
+
+
+# --- scan_dpp ---------------------------------------------------------------
+
+_DPP_ORACLE = f"""
+WITH dim AS (
+  SELECT 1995 + r_regionkey AS dim_year, r_name
+  FROM region
+  WHERE r_name IN ('ASIA', 'EUROPE')
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       {o_dsum("o_totalprice", "sum_price")}
+FROM orders JOIN dim ON CAST(year(o_orderdate) AS BIGINT) = dim_year
+GROUP BY order_year
+"""
+
+
+@query("scan_dpp", oracle=_DPP_ORACLE, tier=2)
+def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (VERDICT r9 gap #3): the fact scan is
+    pruned by a filter that exists only on the DIMENSION side of a join —
+    the Spark-native mechanism a 100 TB star schema leans on hardest.
+    scan_partition_pruned covers the static case (literal predicate on
+    the partition column); here the pruning years are known only after
+    the dim filter runs, so Catalyst plants a DynamicPruningExpression
+    (an IN-subquery over the broadcast dim) into the fact scan's
+    PartitionFilters and only the surviving year directories are read.
+    tests/test_plan_gate.py pins `dynamicpruningexpression` in the
+    physical plan — the same pushdown-evidence discipline PLANS.md uses
+    for static filters.
+
+    The dim is derived from the region fixture (5 rows → year 1995 +
+    r_regionkey; ASIA/EUROPE keep 1997-1998) rather than synthesized, so
+    the oracle replays it verbatim. The join is a broadcast hash join;
+    DPP's default reuseBroadcastOnly=true regime reuses that SAME
+    broadcast exchange for the pruning subquery — zero extra fact-side
+    work, which is exactly why the feature is free at 100 TB."""
+    out = _stage_orders_by_year(spark, sf_dir)
+    dim = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select(
+            (F.lit(1995) + F.col("r_regionkey")).cast("long").alias("dim_year")
+        )
+    )
+    fact = spark.read.parquet(out)
+    return (
+        fact.join(F.broadcast(dim), fact.order_year == dim.dim_year)
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
     )
 
 
