@@ -287,6 +287,82 @@ def ext_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ext_webdataset_index -------------------------------------------------------
+
+_WDS_IDX_ORACLE = f"""
+WITH {_WDS_CTES},
+idx AS (
+  SELECT doc_id, lang, payload_bytes, entry_bytes,
+         prev_cum // {_WDS_BYTES} AS shard_id,
+         prev_cum - MIN(prev_cum) OVER (
+           PARTITION BY lang, prev_cum // {_WDS_BYTES}
+         ) AS header_offset
+  FROM c
+)
+SELECT doc_id,
+       concat(lang, '-', lpad(CAST(shard_id AS VARCHAR), 5, '0'), '.tar')
+         AS shard_file,
+       CAST(header_offset AS BIGINT) AS header_offset,
+       CAST(header_offset + {_WDS_BLOCK} AS BIGINT) AS data_offset,
+       payload_bytes,
+       entry_bytes
+FROM idx
+"""
+
+
+@query("ext_webdataset_index", oracle=_WDS_IDX_ORACLE, tier=3)
+def ext_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-member byte-offset index into the WebDataset shards (VERDICT
+    r9 gap #2) — the wids-style .idx: for every sample, its shard file,
+    the byte offset of its tar HEADER within that shard, the offset of
+    its payload bytes (header + 512), and the raw/padded sizes. This is
+    what turns sequential-only tar shards into a random-access dataset:
+    a dataloader resuming mid-shard (or fetching one sample) seeks to
+    data_offset and reads payload_bytes — one ranged GET against an
+    object store instead of streaming the shard from byte 0.
+
+    Offsets derive from the SAME packing arithmetic the writer uses
+    (_wds_assigned): a member's header offset inside its shard is its
+    global per-lang prefix sum minus the prefix sum of the shard's first
+    member. That subtraction stays in the writer's own (lang, doc_id)
+    window — the first-of-shard row is marked by a lag() comparison and
+    carried forward with last(ignorenulls) — so the index costs ZERO
+    exchanges beyond the one per-lang sort the manifest already does;
+    the oracle computes the same number as MIN(prev_cum) OVER
+    (lang, shard_id). tests/test_round10.py pins the offsets against
+    Python tarfile's actual member.offset / offset_data on the staged
+    shards, the same ground truth the r9 tar-writer pin uses. At 100 TB
+    the swap is the same as the manifest's: two-pass partition-offset
+    prefix sums replace the per-lang window; the index stays one row per
+    sample and writes alongside each shard."""
+    from pyspark.sql import Window as W
+
+    s = _wds_assigned(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy("doc_id")
+    first_cum = F.when(
+        F.coalesce(F.lag("shard_id").over(w), F.lit(-1))
+        != F.col("shard_id"),
+        F.col("prev_cum"),
+    )
+    shard_start = F.last(first_cum, ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    header_off = (F.col("prev_cum") - shard_start).cast("long")
+    return s.select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.lit("-"),
+            F.lpad(F.col("shard_id").cast("string"), 5, "0"),
+            F.lit(".tar"),
+        ).alias("shard_file"),
+        header_off.alias("header_offset"),
+        (header_off + _WDS_BLOCK).cast("long").alias("data_offset"),
+        "payload_bytes",
+        "entry_bytes",
+    )
+
+
 # --- scan_webdataset ------------------------------------------------------------
 
 _WDS_SCAN_ORACLE = f"""
