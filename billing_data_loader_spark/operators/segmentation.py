@@ -166,6 +166,183 @@ def ext_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ext_bpe_merge_train ------------------------------------------------------
+
+#: Number of BPE merge rounds the trainer runs (Sennrich et al. 2016 run
+#: tens of thousands on web corpora; 6 keeps the unrolled oracle finite
+#: while exercising multi-round symbol growth — by round 6 the fixture's
+#: merges chain 3- and 4-char symbols, so later rounds genuinely consume
+#: earlier rounds' output).
+_BPE_ROUNDS = 6
+
+#: Symbol framing for the encoded word: every symbol is wrapped
+#: chr(1)+sym+chr(2), so a merge of (l, r) is EXACTLY the left-to-right
+#: non-overlapping string replace of chr(1)+l+chr(2)+chr(1)+r+chr(2) with
+#: chr(1)+l+r+chr(2) — the same greedy scan Sennrich's merge loop does
+#: (adjacent occurrences share no characters, and the wrappers anchor
+#: whole-symbol boundaries, so "al|r" never matches "l|r").
+_BPE_S1 = chr(1)
+_BPE_S2 = chr(2)
+_BPE_SEP = _BPE_S2 + _BPE_S1
+
+
+def _bpe_round_ctes(k: int) -> str:
+    """One unrolled merge round of the oracle: symbols from the round-k
+    encoding, weighted adjacent-pair counts, argmax by (count desc, pair
+    asc), and the round-k+1 encoding via the anchored replace."""
+    return f""",
+sym{k} AS MATERIALIZED (
+  SELECT n_word, enc,
+         string_split(substr(enc, 2, len(enc) - 2), chr(2) || chr(1)) AS s
+  FROM enc{k}
+),
+pr{k} AS (
+  SELECT n_word, s[i] AS l, s[i + 1] AS r
+  FROM sym{k}, unnest(range(1, len(s))) AS u(i)
+),
+best{k} AS MATERIALIZED (
+  SELECT l, r, CAST(SUM(n_word) AS BIGINT) AS c
+  FROM pr{k} GROUP BY l, r
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1
+),
+enc{k + 1} AS MATERIALIZED (
+  SELECT word, n_word,
+         replace(enc,
+                 chr(1) || (SELECT l FROM best{k}) || chr(2) ||
+                 chr(1) || (SELECT r FROM best{k}) || chr(2),
+                 chr(1) || (SELECT l FROM best{k}) ||
+                 (SELECT r FROM best{k}) || chr(2)) AS enc
+  FROM enc{k}
+)"""
+
+
+_BPE_TRAIN_ORACLE = (
+    """
+WITH wc AS (
+  SELECT word, COUNT(*) AS n_word
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+enc0 AS MATERIALIZED (
+  SELECT word, n_word,
+         chr(1) || array_to_string(string_split(word, ''),
+                                   chr(2) || chr(1)) || chr(2) AS enc
+  FROM wc
+)"""
+    + "".join(_bpe_round_ctes(k) for k in range(_BPE_ROUNDS))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,"
+        f" l || r AS merged, c AS pair_count FROM best{k}"
+        for k in range(_BPE_ROUNDS)
+    )
+)
+
+
+def _bpe_train(vocab, n_rounds: int):
+    """Core trainer over a (word, n_word) frame: per round, weighted
+    adjacent-symbol-pair counts -> argmax by (count desc, pair asc) ->
+    map-side merge apply via the anchored replace. Returns the merge
+    list [(rank, lhs, rhs, merged, pair_count)]. Factored out so tests
+    can replay it on a planted vocabulary against a from-scratch Python
+    BPE (tests/test_round10.py)."""
+    enc0 = F.concat(
+        F.lit(_BPE_S1),
+        F.array_join(F.split("word", ""), _BPE_SEP),
+        F.lit(_BPE_S2),
+    )
+    cur = vocab.select("word", "n_word", enc0.alias("enc"))
+    merges = []
+    for k in range(n_rounds):
+        syms = F.split(
+            F.expr("substring(enc, 2, length(enc) - 2)"), _BPE_SEP
+        )
+        pairs = (
+            cur.select("n_word", syms.alias("s"))
+            .filter(F.size("s") >= 2)
+            .select(
+                "n_word",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("s") - 1)
+                ).alias("i"),
+                "s",
+            )
+            .select(
+                "n_word",
+                F.element_at("s", F.col("i")).alias("l"),
+                F.element_at("s", F.col("i") + 1).alias("r"),
+            )
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("n_word").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .first()
+        )
+        if best is None:  # vocabulary fully merged — nothing adjacent left
+            break
+        l, r, c = best["l"], best["r"], int(best["c"])
+        merges.append((k + 1, l, r, l + r, c))
+        cur = cur.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(_BPE_S1 + l + _BPE_S2 + _BPE_S1 + r + _BPE_S2),
+                F.lit(_BPE_S1 + l + r + _BPE_S2),
+            ),
+        )
+    return merges
+
+
+@query("ext_bpe_merge_train", oracle=_BPE_TRAIN_ORACLE, tier=3)
+def ext_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge TRAINING (VERDICT r9 gap #1): N full merge
+    rounds of Sennrich et al. 2016 — count weighted adjacent-symbol
+    pairs over the vocabulary, take the argmax pair (count desc, pair
+    asc on ties), apply the merge everywhere, recount — emitting the
+    learned merge table (merge_rank, lhs, rhs, merged, pair_count), i.e.
+    the tokenizer model itself. ext_bpe_pair_counts is exactly round 1's
+    candidate table; this key closes the loop the way ext_pq_train
+    closes ext_pq_encode's.
+
+    Deterministic-loop shape (the ext_kmeans_lite / ext_pq_train
+    precedent): the driver holds only the argmax row per round (one
+    .first() on a |vocab|-row aggregate — the model state, like
+    centroids); all counting and merging is distributed. The merge apply
+    never explodes anything: each symbol is framed chr(1)+sym+chr(2), so
+    applying (l, r) is one non-overlapping left-to-right string replace
+    — provably identical to Sennrich's greedy scan because merged
+    symbols share no characters with neighbors and the framing anchors
+    whole-symbol boundaries; the oracle unrolls the same N rounds as
+    chained CTEs around the same replace. Pair counts count OVERLAPPING
+    adjacencies (a a a -> two (a,a)), matching get_stats in the
+    reference implementation.
+
+    Scale: the loop runs over the REDUCED word-frequency table (the
+    ext_bpe_pair_counts stance — a 100 TB corpus explodes |vocab| rows,
+    not corpus tokens), persisted once; each round adds one map-side
+    replace to the lineage plus one tiny pair aggregate. At web-scale
+    vocab (~10M words) every round is one shuffle of short (l, r) keys;
+    the fixture's 31-word vocabulary makes the N-round loop essentially
+    free, and the fixture genuinely chains merges (round 6 consumes
+    round 1-5 symbols). Python BPE replay pin: tests/test_round10.py."""
+    from ..session import scoped_persist
+
+    d = load(spark, sf_dir, "documents")
+    vocab = scoped_persist(
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    merges = _bpe_train(vocab, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, merged string,"
+        " pair_count bigint",
+    )
+
+
 # --- ext_group_texts ----------------------------------------------------------
 
 #: Fixed block size in tokens (the training context length in the HF

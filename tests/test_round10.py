@@ -76,3 +76,75 @@ class TestWebdatasetIndex:
             m = man[r["shard_file"]]
             assert r["n"] == m["n_samples"]
             assert r["content_bytes"] + _WDS_EOF == m["tar_bytes"]
+
+
+class TestBpeMergeTrain:
+    def test_merge_sequence_equals_python_bpe_replay(self, spark):
+        """The distributed trainer's merge sequence must equal a
+        from-scratch single-machine Sennrich-style BPE (overlapping pair
+        counts, greedy left-to-right merge apply, (count desc, pair asc)
+        tie-break) on a planted vocabulary that exercises ties,
+        overlapping pairs (aaa), and merges consuming earlier merges."""
+        from billing_data_loader_spark.operators.segmentation import (
+            _bpe_train,
+        )
+
+        planted = [
+            ("banana", 10),
+            ("bandana", 6),
+            ("aaa", 7),
+            ("naan", 5),
+            ("tie1", 3),
+            ("tie2", 3),
+        ]
+        vocab = spark.createDataFrame(planted, "word string, n_word long")
+
+        def python_bpe(words, rounds):
+            vocab = {tuple(w): n for w, n in words}
+            merges = []
+            for rank in range(1, rounds + 1):
+                counts = {}
+                for syms, n in vocab.items():
+                    for i in range(len(syms) - 1):
+                        p = (syms[i], syms[i + 1])
+                        counts[p] = counts.get(p, 0) + n
+                if not counts:
+                    break
+                (l, r), c = min(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+                merges.append((rank, l, r, l + r, c))
+                new = {}
+                for syms, n in vocab.items():
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == l
+                            and syms[i + 1] == r
+                        ):
+                            out.append(l + r)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    new[tuple(out)] = new.get(tuple(out), 0) + n
+                vocab = new
+            return merges
+
+        want = python_bpe(planted, 8)
+        got = _bpe_train(vocab, 8)
+        assert got == want, (got, want)
+
+    def test_declared_rounds_chain_earlier_merges(self, spark):
+        """On the fixture corpus at least one declared merge must have a
+        multi-char side — the trainer genuinely consumes its own earlier
+        output, not six independent char-pair argmaxes."""
+        rows = (
+            catalog()["ext_bpe_merge_train"].fn(spark, SF_DIR).collect()
+        )
+        assert len(rows) == 6
+        assert [r["merge_rank"] for r in rows] == [1, 2, 3, 4, 5, 6]
+        assert any(
+            len(r["lhs"]) > 1 or len(r["rhs"]) > 1 for r in rows
+        ), rows
