@@ -449,60 +449,38 @@ def scan_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _wds_staging(spark: SparkSession, sf_dir: str) -> str:
     """Write the corpus as real tar shards and return the staging dir.
 
-    Concurrency-safe restaging (ADVICE r9): the final directory is
-    CONTENT-ADDRESSED by the documents fixture's (mtime, size)
-    fingerprint — a regenerated corpus stages fresh, an unchanged one
-    reuses the existing shards with zero work. Writers stage into a
-    unique temp directory and promote it with one atomic os.rename;
-    concurrent invocations race only on the rename, the loser discards
-    its temp copy, and no reader can ever observe a half-staged or
-    mid-rmtree directory (the old scheme rmtree'd the shared path on
-    every call). Stale-fingerprint dirs are pruned best-effort."""
+    Concurrency-safe restaging (ADVICE r9): content-addressed final dir,
+    unique temp dir, one atomic rename promote — the shared
+    ``content_addressed_stage`` discipline (sources/connectors.py), so a
+    regenerated corpus stages fresh, an unchanged one reuses the shards
+    with zero work, and concurrent invocations race only on the rename
+    (the old scheme rmtree'd a shared path on every call)."""
     import io as _io
     import os
-    import shutil
     import tarfile
-    import uuid
 
-    from ..sources.connectors import scratch_dir
-    from .corpus_ops import _corpus_fingerprint
+    from ..sources.connectors import content_addressed_stage
 
-    mt, sz = _corpus_fingerprint(sf_dir)
-    final = scratch_dir(sf_dir, f"webdataset_shards-{mt}-{sz}")
-    if os.path.isdir(final):
-        return final
-    parent = os.path.dirname(final)
-    os.makedirs(parent, exist_ok=True)
-    for old in os.listdir(parent):
-        if old.startswith("webdataset_shards-") and old != os.path.basename(
-            final
-        ):
-            shutil.rmtree(os.path.join(parent, old), ignore_errors=True)
-    out = os.path.join(parent, f".tmp-wds-{uuid.uuid4().hex}")
-    os.makedirs(out, exist_ok=True)
+    def _stage(out: str):
+        assigned = _wds_assigned(spark, sf_dir, with_payload=True).select(
+            "doc_id", "lang", "payload", "shard_id"
+        )
 
-    assigned = _wds_assigned(spark, sf_dir, with_payload=True).select(
-        "doc_id", "lang", "payload", "shard_id"
-    )
+        def write_shard(key, pdf):
+            lang, sid = key
+            pdf = pdf.sort_values("doc_id")
+            path = os.path.join(out, f"{lang}-{int(sid):05d}.tar")
+            with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
+                for _, r in pdf.iterrows():
+                    data = bytes(r["payload"])
+                    info = tarfile.TarInfo(name=f"{int(r['doc_id'])}.bin")
+                    info.size = len(data)
+                    tf.addfile(info, _io.BytesIO(data))
+            return pd.DataFrame({"shard_file": [path], "n": [len(pdf)]})
 
-    def write_shard(key, pdf):
-        lang, sid = key
-        pdf = pdf.sort_values("doc_id")
-        path = os.path.join(out, f"{lang}-{int(sid):05d}.tar")
-        with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
-            for _, r in pdf.iterrows():
-                data = bytes(r["payload"])
-                info = tarfile.TarInfo(name=f"{int(r['doc_id'])}.bin")
-                info.size = len(data)
-                tf.addfile(info, _io.BytesIO(data))
-        return pd.DataFrame({"shard_file": [path], "n": [len(pdf)]})
+        written = assigned.groupBy("lang", "shard_id").applyInPandas(
+            write_shard, "shard_file string, n long"
+        )
+        written.count()  # force the distributed write
 
-    written = assigned.groupBy("lang", "shard_id").applyInPandas(
-        write_shard, "shard_file string, n long"
-    )
-    written.count()  # force the distributed write
-    try:
-        os.rename(out, final)  # atomic promote; loser of a race discards
-    except OSError:
-        shutil.rmtree(out, ignore_errors=True)
-    return final
+    return content_addressed_stage(sf_dir, "webdataset_shards", _stage)
