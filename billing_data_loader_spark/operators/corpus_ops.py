@@ -448,12 +448,12 @@ def ext_dup_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DNB_REGIME_CACHE: dict[tuple[str, tuple[int, int]], str] = {}
 
 
-def _corpus_fingerprint(sf_dir: str) -> tuple[int, int]:
-    """(mtime_ns, size) of the documents fixture — file or directory of
-    part files — folded to a pair; cheap enough to stat per invocation."""
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> tuple[int, int]:
+    """(mtime_ns, size) of a fixture table — file or directory of part
+    files — folded to a pair; cheap enough to stat per invocation."""
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(p)
         if not os.path.isdir(p):

@@ -39,10 +39,12 @@ def scratch_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_SCRATCH_ROOT, tag, name)
 
 
-def content_addressed_stage(sf_dir: str, name: str, stage_fn) -> str:
+def content_addressed_stage(
+    sf_dir: str, name: str, stage_fn, table: str = "documents"
+) -> str:
     """Concurrency-safe scratch staging (the ADVICE-r9 pattern, shared by
     scan_webdataset and scan_binaryfile): the final directory is keyed by
-    the documents fixture's (mtime, size) fingerprint, so an unchanged
+    the source fixture table's (mtime, size) fingerprint, so an unchanged
     corpus reuses the staged bytes with zero work and a regenerated one
     restages. ``stage_fn(tmp_dir)`` writes into a unique temp directory
     (its tasks may run on executors — shared-FS assumption, see the
@@ -55,7 +57,7 @@ def content_addressed_stage(sf_dir: str, name: str, stage_fn) -> str:
 
     from ..operators.corpus_ops import _corpus_fingerprint
 
-    mt, sz = _corpus_fingerprint(sf_dir)
+    mt, sz = _corpus_fingerprint(sf_dir, table=table)
     final = scratch_dir(sf_dir, f"{name}-{mt}-{sz}")
     if os.path.isdir(final):
         return final
@@ -307,16 +309,22 @@ GROUP BY order_month
 
 def _stage_orders_by_year(spark: SparkSession, sf_dir: str) -> str:
     """Stage orders partitioned by order_year (shared by the static- and
-    dynamic-pruning scan keys; restaged per call — staging is setup, the
-    measured operator is the pruned read)."""
-    out = scratch_dir(sf_dir, "orders_by_year")
-    o = load(spark, sf_dir, "orders").withColumn(
-        "order_year", F.year("o_orderdate").cast("long")
+    dynamic-pruning scan keys), through the race-safe content-addressed
+    scratch keyed on the ORDERS fixture — an unchanged fixture reuses the
+    partitioned layout with zero work; staging is setup, the measured
+    operator is the pruned read."""
+
+    def _stage(tmp: str):
+        o = load(spark, sf_dir, "orders").withColumn(
+            "order_year", F.year("o_orderdate").cast("long")
+        )
+        o.repartition("order_year").write.mode("overwrite").partitionBy(
+            "order_year"
+        ).parquet(tmp)
+
+    return content_addressed_stage(
+        sf_dir, "orders_by_year", _stage, table="orders"
     )
-    o.repartition("order_year").write.mode("overwrite").partitionBy(
-        "order_year"
-    ).parquet(out)
-    return out
 
 
 @query("scan_partition_pruned", oracle=_PRUNED_ORACLE, tier=2)
