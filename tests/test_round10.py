@@ -148,3 +148,125 @@ class TestBpeMergeTrain:
         assert any(
             len(r["lhs"]) > 1 or len(r["rhs"]) > 1 for r in rows
         ), rows
+
+
+class TestKmvNotFullGuard:
+    def test_small_corpus_estimators_turn_exact(self, spark, tmp_path):
+        """ADVICE r9: with fewer than k distinct 8-grams the bottom-k IS
+        the whole gram set, so est_union_size must equal the exact
+        distinct-gram count and est_jaccard must divide by the actual
+        sketch row count — and the oracle must agree (full check_query
+        parity on the tiny corpus, exercising the not-full branch the
+        sf0.01 gate never reaches)."""
+        import shutil
+
+        import pandas as pd
+
+        from billing_data_loader_spark.oracle import check_query
+        from billing_data_loader_spark.plans.catalog import catalog as cat
+        from billing_data_loader_spark.tables import TABLE_NAMES
+
+        src = "/root/testdata/sf0.001"
+        sf = str(tmp_path / "tiny")
+        (tmp_path / "tiny").mkdir()
+        for t in TABLE_NAMES:
+            shutil.copy(f"{src}/{t}.parquet", f"{sf}/{t}.parquet")
+        words = [f"w{i}" for i in range(12)]
+        docs = pd.DataFrame(
+            {
+                # 0 is the benchmark side (%97==0); 1 gets the snippet
+                # appended (%23==1); 2 is plain corpus
+                "doc_id": [0, 1, 2],
+                "text": [
+                    " ".join(words[:10]),
+                    " ".join(words[1:11]),
+                    " ".join(words[2:12]),
+                ],
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [len(" ".join(words[:10]))] * 3,
+            }
+        )
+        docs.to_parquet(f"{sf}/documents.parquet")
+
+        spec = cat()["ext_overlap_kmv"]
+        out = spec.fn(spark, sf).collect()[0]
+        # far fewer than k=256 grams: 3 from doc rows + snippet + 1 extra
+        assert out["b_sketch_n"] < 256
+        # exact replay: distinct grams with side flags
+        grams = {}
+        from billing_data_loader_spark.operators.curation import _SNIPPET
+
+        texts = {
+            0: docs.text[0],
+            1: docs.text[1] + " " + _SNIPPET,
+            2: docs.text[2],
+        }
+        for did, text in texts.items():
+            t = text.split(" ")
+            for i in range(len(t) - 7):
+                g = " ".join(t[i : i + 8])
+                a, b = grams.get(g, (0, 0))
+                if did % 97 == 0:
+                    b = 1
+                else:
+                    a = 1
+                grams[g] = (max(a, grams.get(g, (0, 0))[0]),
+                            max(b, grams.get(g, (0, 0))[1]))
+        a, b = grams.get(_SNIPPET, (0, 0))
+        grams[_SNIPPET] = (a, 1)
+        n_union = len(grams)
+        shared = sum(1 for (x, y) in grams.values() if x and y)
+        assert n_union < 256
+        assert out["est_union_size"] == float(n_union)
+        assert out["sketch_shared"] == shared
+        assert out["est_jaccard"] == shared / n_union
+        ok, msg = check_query(spec.fn(spark, sf), spec.oracle, sf)
+        assert ok, msg
+
+
+class TestStagingAndMemoFingerprints:
+    def test_content_addressed_stage_reuses_and_restages(self, tmp_path):
+        """ADVICE r9: unchanged fixture -> staged dir reused with zero
+        work; regenerated fixture -> fresh staging; stale dirs pruned."""
+        import os
+
+        from billing_data_loader_spark.sources.connectors import (
+            content_addressed_stage,
+        )
+
+        sf = str(tmp_path)
+        (tmp_path / "documents.parquet").write_bytes(b"v1-bytes")
+        calls = []
+
+        def stage(tmp):
+            calls.append(tmp)
+            with open(os.path.join(tmp, "data.bin"), "wb") as fh:
+                fh.write(b"staged")
+
+        d1 = content_addressed_stage(sf, "t_stage", stage)
+        d2 = content_addressed_stage(sf, "t_stage", stage)
+        assert d1 == d2 and len(calls) == 1
+        assert os.path.exists(os.path.join(d1, "data.bin"))
+        # regenerate the fixture (different size => different fingerprint)
+        (tmp_path / "documents.parquet").write_bytes(b"v2-bytes-longer")
+        d3 = content_addressed_stage(sf, "t_stage", stage)
+        assert d3 != d1 and len(calls) == 2
+        assert not os.path.exists(d1), "stale-fingerprint dir not pruned"
+
+    def test_dup_ngram_regime_memo_invalidates_on_fixture_change(
+        self, tmp_path
+    ):
+        """ADVICE r9: the bloom/exact regime memo is keyed on the corpus
+        fingerprint, so a regenerated corpus at the same path gets a
+        fresh probe instead of a stale plan pick."""
+        from billing_data_loader_spark.operators.corpus_ops import (
+            _corpus_fingerprint,
+        )
+
+        sf = str(tmp_path)
+        (tmp_path / "documents.parquet").write_bytes(b"gen-one")
+        fp1 = _corpus_fingerprint(sf)
+        (tmp_path / "documents.parquet").write_bytes(b"gen-two--")
+        fp2 = _corpus_fingerprint(sf)
+        assert fp1 != fp2, "fingerprint blind to fixture regeneration"
