@@ -484,3 +484,74 @@ def _wds_staging(spark: SparkSession, sf_dir: str) -> str:
         written.count()  # force the distributed write
 
     return content_addressed_stage(sf_dir, "webdataset_shards", _stage)
+
+
+# --- scan_webdataset_ranged -----------------------------------------------------
+
+#: Deterministic ranged-fetch target slice (every 83rd doc) — a sparse
+#: sample-fetch workload, the shape a resuming/shuffling dataloader issues.
+_WDS_RANGED_MOD = 83
+
+_WDS_RANGED_ORACLE = f"""
+WITH {_WDS_CTES}
+SELECT doc_id,
+       concat(lang, '-', lpad(CAST(shard_id AS VARCHAR), 5, '0'),
+              '.tar') AS shard_file,
+       payload_bytes AS n_bytes,
+       sha256('IMG0' || text) AS sha
+FROM s WHERE doc_id % {_WDS_RANGED_MOD} = 0
+"""
+
+
+@query("scan_webdataset_ranged", oracle=_WDS_RANGED_ORACLE, tier=3)
+def scan_webdataset_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-ACCESS WebDataset read: fetch a sparse slice of samples by
+    seek + bounded read at the byte offsets ext_webdataset_index
+    declares — the ranged-GET path a resuming or index-shuffling
+    dataloader runs, and the operator that makes the .idx key load-
+    bearing rather than descriptive. Each task opens its shard, seeks to
+    data_offset, reads EXACTLY payload_bytes (never the tar header, never
+    the rest of the shard — a whole-shard stream here would be the bug
+    this key exists to rule out), and emits the payload's size + sha256;
+    the oracle recomputes both from the source table, so a wrong offset,
+    an off-by-512 header slip, or padding bleed all fail the hash gate.
+
+    Composition: index rows come from the declared ext_webdataset_index
+    plan (filtered to the every-83rd-doc slice BEFORE any file I/O —
+    only targeted members are ever touched); shards come from the same
+    content-addressed staging scan_webdataset reads. At 100 TB each
+    fetch is one object-store ranged GET (offset, length); the
+    mapInPandas batches fetches per task, which is exactly how a
+    dataloader worker coalesces its assigned sample list. Local staging
+    substitutes seek/read for the ranged GET — same arithmetic, same
+    failure modes."""
+    import hashlib
+    import os
+
+    idx = ext_webdataset_index(spark, sf_dir).filter(
+        F.col("doc_id") % _WDS_RANGED_MOD == 0
+    )
+    staged = _wds_staging(spark, sf_dir)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                with open(os.path.join(staged, r.shard_file), "rb") as fh:
+                    fh.seek(r.data_offset)
+                    data = fh.read(int(r.payload_bytes))
+                rows.append(
+                    (
+                        int(r.doc_id),
+                        r.shard_file,
+                        len(data),
+                        hashlib.sha256(data).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "shard_file", "n_bytes", "sha"]
+            )
+
+    return idx.mapInPandas(
+        fetch, "doc_id bigint, shard_file string, n_bytes bigint, sha string"
+    )
