@@ -445,3 +445,93 @@ def ext_group_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def _bpe_apply(vocab, merges):
+    """Apply a trained merge list (rank order) to a (word, n_word) frame:
+    the chained anchored replaces, then split back to symbols. Factored
+    for the planted-vocab Python replay pin (tests/test_round10.py)."""
+    enc = F.concat(
+        F.lit(_BPE_S1),
+        F.array_join(F.split("word", ""), _BPE_SEP),
+        F.lit(_BPE_S2),
+    )
+    for _rank, l, r, _merged, _c in merges:
+        enc = F.replace(
+            enc,
+            F.lit(_BPE_S1 + l + _BPE_S2 + _BPE_S1 + r + _BPE_S2),
+            F.lit(_BPE_S1 + l + r + _BPE_S2),
+        )
+    out = vocab.withColumn("enc", enc)
+    symcol = F.split(
+        F.expr("substring(enc, 2, length(enc) - 2)"), _BPE_SEP
+    )
+    return out.select(
+        "word",
+        "n_word",
+        F.array_join(symcol, " ").alias("segmented"),
+        F.size(symcol).cast("long").alias("n_symbols"),
+    )
+
+
+# --- ext_bpe_segment ----------------------------------------------------------
+
+_BPE_SEG_ORACLE = (
+    """
+WITH wc AS (
+  SELECT word, COUNT(*) AS n_word
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+enc0 AS MATERIALIZED (
+  SELECT word, n_word,
+         chr(1) || array_to_string(string_split(word, ''),
+                                   chr(2) || chr(1)) || chr(2) AS enc
+  FROM wc
+)"""
+    + "".join(_bpe_round_ctes(k) for k in range(_BPE_ROUNDS))
+    + f"""
+SELECT word, n_word,
+       array_to_string(string_split(substr(enc, 2, len(enc) - 2),
+                                    chr(2) || chr(1)), ' ') AS segmented,
+       CAST(len(string_split(substr(enc, 2, len(enc) - 2),
+                             chr(2) || chr(1))) AS BIGINT) AS n_symbols
+FROM enc{_BPE_ROUNDS}
+"""
+)
+
+
+@query("ext_bpe_segment", oracle=_BPE_SEG_ORACLE, tier=3)
+def ext_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE side: segment every vocabulary word with the merge
+    table ext_bpe_merge_train learns — (word, n_word, space-joined
+    symbol sequence, n_symbols), i.e. the tokenizer's output on its own
+    training corpus. Train -> apply closes the BPE loop the way
+    ext_pq_train -> ext_pq_encode closes PQ's: a downstream
+    ext_tokenize_to_ids-style id mapper consumes `segmented` directly.
+
+    Apply semantics are the trainer's own: merges replay IN RANK ORDER,
+    each as the anchored non-overlapping left-to-right replace on the
+    chr(1)/chr(2)-framed encoding — identical to tokenizing with a
+    trained merges.txt in the reference implementation (apply merges
+    sequentially by rank). The oracle reuses the trainer oracle's
+    unrolled round CTEs verbatim and reads the final encoding, so the
+    two declared keys are checked against the SAME replayed state.
+
+    Shape: training cost is the trainer's (6 tiny aggregates over the
+    persisted reduced vocab); the apply itself is 6 chained map-side
+    string replaces + one split — zero additional exchanges, and the
+    segmentation happens on the |vocab| frame, never the corpus (a
+    corpus-sized tokenization joins words to this table broadcast, the
+    ext_tokenize_to_ids vocabulary pattern)."""
+    from ..session import scoped_persist
+
+    d = load(spark, sf_dir, "documents")
+    vocab = scoped_persist(
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    merges = _bpe_train(vocab, _BPE_ROUNDS)
+    return _bpe_apply(vocab, merges)

@@ -270,3 +270,75 @@ class TestStagingAndMemoFingerprints:
         (tmp_path / "documents.parquet").write_bytes(b"gen-two--")
         fp2 = _corpus_fingerprint(sf)
         assert fp1 != fp2, "fingerprint blind to fixture regeneration"
+
+
+class TestBpeSegment:
+    def test_segmentation_matches_python_replay_and_reassembles(
+        self, spark
+    ):
+        """Apply-side pin: on the planted vocabulary, the segmented
+        symbol sequences must equal a Python replay that applies the
+        SAME learned merges greedily in rank order — and every word must
+        reassemble exactly from its symbols (no byte lost or invented by
+        the anchored-replace chain)."""
+        from billing_data_loader_spark.operators.segmentation import (
+            _bpe_apply,
+            _bpe_train,
+        )
+
+        planted = [
+            ("banana", 10),
+            ("bandana", 6),
+            ("aaa", 7),
+            ("naan", 5),
+            ("tie1", 3),
+            ("tie2", 3),
+        ]
+        vocab = spark.createDataFrame(planted, "word string, n_word long")
+        merges = _bpe_train(vocab, 8)
+
+        def segment(word):
+            syms = list(word)
+            for _rank, l, r, _m, _c in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        got = {
+            r["word"]: (r["segmented"], r["n_symbols"])
+            for r in _bpe_apply(vocab, merges).collect()
+        }
+        for word, _n in planted:
+            want = segment(word)
+            assert got[word] == (" ".join(want), len(want)), (word, got[word])
+            assert "".join(got[word][0].split(" ")) == word
+
+    def test_fixture_segmentation_compresses(self, spark):
+        """On the fixture corpus the learned merges must strictly shrink
+        the weighted symbol count vs character-level segmentation — the
+        whole point of training the merges on this corpus."""
+        from pyspark.sql import functions as F
+
+        seg = catalog()["ext_bpe_segment"].fn(spark, SF_DIR)
+        row = seg.agg(
+            F.sum(F.col("n_word") * F.col("n_symbols")).alias("merged"),
+            F.sum(F.col("n_word") * F.length("word")).alias("chars"),
+        ).first()
+        assert row["merged"] < row["chars"], row
+        # reassembly holds corpus-wide too
+        bad = seg.filter(
+            F.replace(F.col("segmented"), F.lit(" "), F.lit(""))
+            != F.col("word")
+        ).count()
+        assert bad == 0
