@@ -531,12 +531,15 @@ def ext_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled round CTEs verbatim and reads the final encoding, so the
     two declared keys are checked against the SAME replayed state.
 
-    Shape: training cost is the trainer's (6 tiny aggregates over the
-    persisted reduced vocab); the apply itself is 6 chained map-side
-    string replaces + one split — zero additional exchanges, and the
-    segmentation happens on the |vocab| frame, never the corpus (a
-    corpus-sized tokenization joins words to this table broadcast, the
-    ext_tokenize_to_ids vocabulary pattern)."""
+    Shape: the merge table reads through a corpus-fingerprint-keyed
+    memo (the _DNB_REGIME_CACHE discipline — a trained tokenizer is
+    corpus metadata, merges.txt in production; the trainer key always
+    recomputes and refreshes the entry, and a regenerated corpus
+    re-trains); the apply itself is 6 chained map-side string replaces +
+    one split — zero additional exchanges, and the segmentation happens
+    on the |vocab| frame, never the corpus (a corpus-sized tokenization
+    joins words to this table broadcast, the ext_tokenize_to_ids
+    vocabulary pattern)."""
     from ..session import scoped_persist
 
     d = load(spark, sf_dir, "documents")
