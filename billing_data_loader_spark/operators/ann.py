@@ -1687,43 +1687,12 @@ FROM pivoted p JOIN assign a USING (vec_id)
 """
 
 
-@query("ext_pq_encode_residual", oracle=_PQR_ORACLE, tier=3)
-def ext_pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RESIDUAL product quantization (VERDICT r9 gap #4 — the FAISS
-    IVFPQ form): each vector is assigned to its IVF cell, the cell's
-    CENTROID (per-dimension mean — one Lloyd-style centroid step, as in
-    FAISS's coarse quantizer training) is computed, and PQ codes
-    quantize the residual v - centroid(cell) rather than the raw
-    vector. Because the centroids are means, the residual field carries
-    strictly less variance than the raw vectors (Var(r) = Var(v) -
-    Var(c)), so the same 4x16 code budget spends its resolution where
-    the data actually is — the property that makes composed IVFPQ
-    accurate in production. The pin in tests/test_ann.py asserts mean
-    residual recon_err < mean raw-PQ recon_err on this fixture; an
-    earlier pivot-vector-as-centroid variant measured 1.42x WORSE
-    (|v - pivot|^2 = 2 - 2cos > 1 for unit vectors), which is exactly
-    why FAISS subtracts trained means, not member vectors.
-
-    Output: (vec_id, cell_id, code_0..3, recon_err); decode adds the
-    centroid back, so the residual-space error IS the full
-    reconstruction error of centroid + decoded code.
-
-    Determinism: centroids go through the order-insensitive davg/o_davg
-    pair at scale 9 (per-row floor-quantize, exact integer sum, one
-    double division — bit-identical on both engines), the residual is
-    one IEEE subtraction, and the encoder inherits ext_pq_encode's
-    9dp-rounded argmin discipline; codebook = residuals of vectors
-    1..16 (shared across cells, FAISS's default PQ-by-residual layout).
-
-    Shape: assignment is the fused map-side pivot argmax
-    (ext_ann_ivfpq's pass) over the persisted corpus frame; the
-    centroid step is ONE (cell, dim)-key aggregate of 16x64 cells —
-    map-side combinable, O(cells x dim) result rows; centroids and the
-    residual codebook re-enter as broadcasts (16-row join + 1-row
-    fold); encode is map-side argmin inside the scan task. The corpus
-    is touched twice (centroid pass + encode pass) and shuffled never —
-    at 100 TB both passes are scan-local, exactly how a FAISS
-    train+add pipeline streams."""
+def _pqr_frames(spark: SparkSession, sf_dir: str):
+    """Shared residual-space machinery (ext_pq_encode_residual and
+    ext_ann_ivfpq_residual): raw vectors, pivot rows, per-cell mean
+    centroid lists, and the residual frame. The corpus frame with cell
+    assignments is scoped-persisted — it feeds both the centroid
+    aggregate and the residual projection."""
     from ..session import scoped_persist, widen_scan
 
     e = widen_scan(load(spark, sf_dir, "embeddings"))
@@ -1766,6 +1735,47 @@ def ext_pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v"), F.col("cl"), lambda rva, rvb: rva - rvb
         ).alias("v"),
     )
+    return v, pivots, centl, res
+
+
+@query("ext_pq_encode_residual", oracle=_PQR_ORACLE, tier=3)
+def ext_pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL product quantization (VERDICT r9 gap #4 — the FAISS
+    IVFPQ form): each vector is assigned to its IVF cell, the cell's
+    CENTROID (per-dimension mean — one Lloyd-style centroid step, as in
+    FAISS's coarse quantizer training) is computed, and PQ codes
+    quantize the residual v - centroid(cell) rather than the raw
+    vector. Because the centroids are means, the residual field carries
+    strictly less variance than the raw vectors (Var(r) = Var(v) -
+    Var(c)), so the same 4x16 code budget spends its resolution where
+    the data actually is — the property that makes composed IVFPQ
+    accurate in production. The pin in tests/test_ann.py asserts mean
+    residual recon_err < mean raw-PQ recon_err on this fixture; an
+    earlier pivot-vector-as-centroid variant measured 1.42x WORSE
+    (|v - pivot|^2 = 2 - 2cos > 1 for unit vectors), which is exactly
+    why FAISS subtracts trained means, not member vectors.
+
+    Output: (vec_id, cell_id, code_0..3, recon_err); decode adds the
+    centroid back, so the residual-space error IS the full
+    reconstruction error of centroid + decoded code.
+
+    Determinism: centroids go through the order-insensitive davg/o_davg
+    pair at scale 9 (per-row floor-quantize, exact integer sum, one
+    double division — bit-identical on both engines), the residual is
+    one IEEE subtraction, and the encoder inherits ext_pq_encode's
+    9dp-rounded argmin discipline; codebook = residuals of vectors
+    1..16 (shared across cells, FAISS's default PQ-by-residual layout).
+
+    Shape: assignment is the fused map-side pivot argmax
+    (ext_ann_ivfpq's pass) over the persisted corpus frame; the
+    centroid step is ONE (cell, dim)-key aggregate of 16x64 cells —
+    map-side combinable, O(cells x dim) result rows; centroids and the
+    residual codebook re-enter as broadcasts (16-row join + 1-row
+    fold); encode is map-side argmin inside the scan task. The corpus
+    is touched twice (centroid pass + encode pass) and shuffled never —
+    at 100 TB both passes are scan-local, exactly how a FAISS
+    train+add pipeline streams."""
+    v, pivots, centl, res = _pqr_frames(spark, sf_dir)
     rcb = (
         res.filter(F.col("vec_id").between(1, _PQ_K))
         .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
@@ -1773,4 +1783,231 @@ def ext_pq_encode_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _pq_attach_codes(
         res.crossJoin(F.broadcast(rcb)), ["vec_id", "cell_id"]
+    )
+
+
+# --- ext_ann_ivfpq_residual -----------------------------------------------------
+
+# Full algorithm mirror: the _PQR_ORACLE residual-encode chain (assign ->
+# mean centroids -> residuals -> shared residual codebook -> codes), the
+# _IVFPQ_ORACLE probe, PER-CELL query distance tables over the query's
+# per-cell residual qv - centroid(cell), candidate scoring by 4 lookups in
+# the candidate's OWN cell table, top-10, exact-cosine refine.
+_IVFPQR_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+piv AS (
+  SELECT vec_id AS pivot_id, ve AS pv FROM v
+  WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}
+),
+pc AS (
+  SELECT v.vec_id, p.pivot_id,
+         {_COS_SQL.format(a="v.ve", b="p.pv")} AS pcos
+  FROM v CROSS JOIN piv p
+),
+assign AS (
+  SELECT vec_id, min(pivot_id) AS cell_id FROM (
+    SELECT vec_id, pivot_id, pcos,
+           max(pcos) OVER (PARTITION BY vec_id) AS mx
+    FROM pc
+  ) WHERE pcos = mx GROUP BY vec_id
+),
+dims AS (
+  SELECT a.cell_id, u.i AS dim, v.ve[u.i] AS x
+  FROM v JOIN assign a USING (vec_id),
+       unnest(range(1, {_PQ_M * _PQ_SUB} + 1)) AS u(i)
+),
+cent AS (
+  SELECT cell_id, dim, {_o_davg("x", "c", scale=_PQR_CSCALE)}
+  FROM dims GROUP BY cell_id, dim
+),
+centl AS (
+  SELECT cell_id, list(c ORDER BY dim) AS cl FROM cent GROUP BY cell_id
+),
+res AS (
+  SELECT v.vec_id, a.cell_id,
+         list_transform(range(1, {_PQ_M * _PQ_SUB} + 1),
+                        i -> v.ve[i] - cl[i]) AS rv
+  FROM v
+  JOIN assign a USING (vec_id)
+  JOIN centl ON a.cell_id = centl.cell_id
+),
+cb AS (
+  SELECT vec_id AS code, rv AS cv FROM res
+  WHERE vec_id BETWEEN 1 AND {_PQ_K}
+),
+d AS (
+  SELECT r.vec_id, m, cb.code,
+         round(list_aggregate(
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (r.rv[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])
+                  * (r.rv[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])),
+           'sum'), 9) AS dist
+  FROM res r CROSS JOIN cb CROSS JOIN unnest(range(0, {_PQ_M})) AS u(m)
+),
+best AS (
+  SELECT vec_id, m, MIN(code) AS code FROM (
+    SELECT vec_id, m, code, dist,
+           MIN(dist) OVER (PARTITION BY vec_id, m) AS mind
+    FROM d
+  ) WHERE dist = mind GROUP BY vec_id, m
+),
+codes AS (
+  SELECT vec_id,
+         MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+         MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+         MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+         MAX(CASE WHEN m = 3 THEN code END) AS code_3
+  FROM best GROUP BY vec_id
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+probe AS (
+  SELECT p.pivot_id AS cell_id
+  FROM piv p CROSS JOIN q
+  ORDER BY {_COS_SQL.format(a="p.pv", b="qv")} DESC, p.pivot_id ASC
+  LIMIT {_N_PROBE}
+),
+qres AS (
+  SELECT pr.cell_id,
+         list_transform(range(1, {_PQ_M * _PQ_SUB} + 1),
+                        i -> q.qv[i] - centl.cl[i]) AS qrv
+  FROM probe pr
+  JOIN centl ON pr.cell_id = centl.cell_id
+  CROSS JOIN q
+),
+dt AS (
+  SELECT qr.cell_id, m, cb.code,
+         round(list_aggregate(
+           list_transform(range(1, {_PQ_SUB} + 1),
+             i -> (qr.qrv[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])
+                  * (qr.qrv[m * {_PQ_SUB} + i] - cb.cv[m * {_PQ_SUB} + i])),
+           'sum'), 9) AS dist
+  FROM qres qr CROSS JOIN cb CROSS JOIN unnest(range(0, {_PQ_M})) AS u(m)
+),
+cand AS (
+  SELECT c.vec_id, c.code_0, c.code_1, c.code_2, c.code_3, a.cell_id
+  FROM codes c
+  JOIN assign a USING (vec_id)
+  JOIN probe pr ON a.cell_id = pr.cell_id
+  WHERE c.vec_id <> 0
+),
+scored AS (
+  SELECT c.vec_id, c.cell_id,
+         t0.dist + t1.dist + t2.dist + t3.dist AS approx_dist
+  FROM cand c
+  JOIN dt t0 ON t0.cell_id = c.cell_id AND t0.m = 0 AND t0.code = c.code_0
+  JOIN dt t1 ON t1.cell_id = c.cell_id AND t1.m = 1 AND t1.code = c.code_1
+  JOIN dt t2 ON t2.cell_id = c.cell_id AND t2.m = 2 AND t2.code = c.code_2
+  JOIN dt t3 ON t3.cell_id = c.cell_id AND t3.m = 3 AND t3.code = c.code_3
+),
+topk AS (
+  SELECT vec_id, cell_id, approx_dist FROM scored
+  ORDER BY approx_dist ASC, vec_id ASC LIMIT {_IVFPQ_TOP_K}
+)
+SELECT t.vec_id, t.cell_id, t.approx_dist,
+       list_dot_product(v.ve, q.qv)
+       / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(q.qv, q.qv)))
+         AS cos_sim
+FROM topk t
+JOIN v ON v.vec_id = t.vec_id
+CROSS JOIN q
+"""
+
+
+@query("ext_ann_ivfpq_residual", oracle=_IVFPQR_ORACLE, tier=3)
+def ext_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ serving over RESIDUAL codes — the complete FAISS IVFPQ
+    query path (upgrading ext_ann_ivfpq per VERDICT r9 gap #4's 'encode
+    residuals' mandate): the index stores each vector's cell and its
+    residual-space PQ codes (ext_pq_encode_residual's build), and the
+    query computes a SEPARATE asymmetric-distance table per probed cell
+    — qres_c = qv - centroid(c) against the shared residual codebook —
+    because a candidate's codes quantize ITS cell's residual, so they
+    must be scored against the query's residual in THAT cell. This
+    per-cell table is the detail that distinguishes real IVFPQ serving
+    from flat PQ scan with cell pruning (ext_ann_ivfpq), and it is why
+    FAISS precomputes nprobe tables per query.
+
+    Determinism: inherits every discipline of the composed family —
+    unrounded bit-identical cosine for assign/probe, scale-9 davg
+    centroids, 9dp-rounded subspace distances, fixed-order 4-term ADC
+    sum, ties to lowest id everywhere.
+
+    Shape: index build is _pqr_frames' two scan-local passes (zero
+    corpus shuffles) + the map-side code argmin; the query side is all
+    O(1)-row work — probe = 16-row sort, per-cell tables = nprobe x k x
+    M = 512 subspace distances folded into an nprobe-row frame of 4
+    maps, broadcast-joined to candidates on cell_id so scoring stays
+    map-side element_at; top-10 is TakeOrderedAndProject; only the 10
+    winners fetch vectors for the exact-cosine refine. At 100 TB:
+    corpus bucketed by cell_id once at build, per-query I/O = nprobe
+    cells' codes, per-query compute = 512 subspace distances + 4
+    lookups per candidate — the FAISS cost model, distributed."""
+    v, pivots, centl, res = _pqr_frames(spark, sf_dir)
+    rcb = (
+        res.filter(F.col("vec_id").between(1, _PQ_K))
+        .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
+        .agg(F.collect_list(F.struct("code", "cv")).alias("cbs"))
+    )
+    codes = _pq_attach_codes(
+        res.crossJoin(F.broadcast(rcb)), ["vec_id", "cell_id"]
+    ).select("vec_id", "cell_id", "code_0", "code_1", "code_2", "code_3")
+
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe_cells = (
+        pivots.crossJoin(F.broadcast(q))
+        .select("pivot_id", _cos(F.col("pv"), F.col("qv")).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col("pivot_id").asc())
+        .limit(_N_PROBE)
+        .select(F.col("pivot_id").alias("cell_id"))
+    )
+    qres = (
+        probe_cells.join(F.broadcast(centl), "cell_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cell_id",
+            F.zip_with(
+                F.col("qv"), F.col("cl"), lambda qra, qrb: qra - qrb
+            ).alias("qv"),
+        )
+    )
+    cbr = res.filter(F.col("vec_id").between(1, _PQ_K)).select(
+        F.col("vec_id").alias("code"), F.col("v").alias("cv")
+    )
+    qdist = qres.crossJoin(F.broadcast(cbr)).select(
+        "cell_id",
+        "code",
+        _pq_sqd_cols(F.col("qv"), F.col("cv"), 0).alias("d0"),
+        _pq_sqd_cols(F.col("qv"), F.col("cv"), 1).alias("d1"),
+        _pq_sqd_cols(F.col("qv"), F.col("cv"), 2).alias("d2"),
+        _pq_sqd_cols(F.col("qv"), F.col("cv"), 3).alias("d3"),
+    )
+    dtc = qdist.groupBy("cell_id").agg(
+        *[
+            F.map_from_entries(
+                F.collect_list(F.struct("code", f"d{m}"))
+            ).alias(f"dt{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    cand = codes.join(F.broadcast(probe_cells), "cell_id").filter(
+        F.col("vec_id") != 0
+    )
+    topk = (
+        cand.join(F.broadcast(dtc), "cell_id")
+        .select("vec_id", "cell_id", _pq_adc_score().alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(_IVFPQ_TOP_K)
+    )
+    return (
+        topk.join(v, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell_id",
+            "approx_dist",
+            _cos(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
     )

@@ -342,3 +342,39 @@ class TestBpeSegment:
             != F.col("word")
         ).count()
         assert bad == 0
+
+
+class TestIvfpqResidual:
+    def test_results_come_from_probed_cells_with_true_cosines(self, spark):
+        """Structural pins (the ext_ann_ivfpq discipline): every result
+        row's cell must be one of the query's nprobe nearest cells, and
+        cos_sim must be the TRUE cosine for that vec_id (approximation
+        lives in candidate selection + ranking, never in the reported
+        similarity)."""
+        from billing_data_loader_spark.operators.ann import (
+            _N_PIVOTS,
+            _N_PROBE,
+            ext_ann_ivfpq_residual,
+        )
+        from billing_data_loader_spark.tables import load
+
+        emb = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in load(spark, SF_DIR, "embeddings").collect()
+        }
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (
+                sum(x * x for x in a) ** 0.5 * sum(x * x for x in b) ** 0.5
+            )
+
+        q = emb[0]
+        probed = sorted(
+            range(1, _N_PIVOTS + 1), key=lambda p: (-cos(q, emb[p]), p)
+        )[:_N_PROBE]
+        out = ext_ann_ivfpq_residual(spark, SF_DIR).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r["cell_id"] in probed, r
+            assert abs(r["cos_sim"] - cos(emb[r["vec_id"]], q)) < 1e-12

@@ -194,6 +194,13 @@ AUDITED = {
         "broadcast join; encode is ext_pq_encode's map-side argmin. Two "
         "scan-local corpus passes, zero corpus shuffles."
     ),
+    "scan_dpp": (
+        "Dynamic partition pruning (round 10): the fact scan's "
+        "PartitionFilters carry a DynamicPruningExpression IN-subquery "
+        "fed by the dim join's own reused broadcast exchange — only the "
+        "surviving year directories are listed/read; the dim filter "
+        "never appears as a static literal on the fact side."
+    ),
 }
 
 
@@ -281,6 +288,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "array (pq encode), and the 16-row centroid-list aggregate "
             "(O(cells) rows, never the corpus)"
         ),
+        "ext_ann_ivfpq_residual": (
+            "inherits ext_pq_encode_residual's 1-row/16-row folds plus "
+            "the nprobe-row (8) per-cell distance-table aggregate"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -339,6 +350,11 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_pq_encode_residual": (
             "1-row broadcasts (pivot array, residual codebook) plus the "
             "16-row centroid-list broadcast join on cell_id"
+        ),
+        "ext_ann_ivfpq_residual": (
+            "1-row broadcasts (pivot array, query vector, residual "
+            "codebook) + 8-row per-cell distance-table and 16-row "
+            "centroid/probe broadcast joins"
         ),
     },
     # CartesianProduct without broadcast: never acceptable.
