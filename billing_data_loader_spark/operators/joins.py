@@ -23,6 +23,7 @@ from ..functions.determinism import (
     o_dsum_expr,
 )
 from ..plans.registry import query
+from ..session import conf_override
 from ..tables import load
 
 # --- join_inner_hash --------------------------------------------------------
@@ -1228,4 +1229,90 @@ def join_asof_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         _merge_asof_group,
         "event_id bigint, user_id bigint, view_event_id bigint, "
         "micros_since_view bigint",
+    )
+
+
+# --- join_skew_aqe ----------------------------------------------------------
+
+# Same skewed shape and oracle as join_skew_salted: AQE's runtime skew
+# split must not change results either.
+_SKEW_AQE_ORACLE = f"""
+SELECT CASE WHEN user_id % 10 < 8 THEN 1 ELSE user_id END AS k,
+       c_mktsegment,
+       COUNT(*) AS n_events,
+       {o_dsum("value", "sum_value")}
+FROM events JOIN customer
+  ON c_custkey = (CASE WHEN user_id % 10 < 8 THEN 1 ELSE user_id END)
+GROUP BY k, c_mktsegment
+"""
+
+
+def _skew_aqe_confs() -> dict[str, str]:
+    """AQE skew-split regime for the demonstration: thresholds lowered to
+    fixture scale (production keeps the 256 MB default — the MECHANISM is
+    what scales, these numbers are the fixture's), broadcast off so the
+    small dim cannot hide the skewed sort-merge path."""
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+
+def _skew_aqe_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed sort-merge join frame (un-aggregated). Factored so the
+    plan-pin test can execute it under the same confs and assert the
+    runtime plan carries ``skew=true`` on the join."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    hot = F.when(F.col("user_id") % 10 < 8, F.lit(1)).otherwise(
+        F.col("user_id")
+    ).cast("long")
+    # widen first: AQE splits a skewed reduce partition by MAPPER ranges,
+    # and the single-row-group fixture scan is ONE map task — unsplittable
+    # by construction. Production fact scans have thousands of mappers;
+    # the repartition stands in for that (and is itself the map stage the
+    # join shuffle reads from).
+    from ..session import widen_scan
+
+    fact = widen_scan(ev).select(hot.alias("k"), "value")
+    dim = c.select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    return fact.join(dim.hint("merge"), "k")
+
+
+@query("join_skew_aqe", oracle=_SKEW_AQE_ORACLE, tier=3)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime skew handling, AQE edition (the automatic complement to
+    join_skew_salted's manual salt): the same 80%-hot-key join runs as a
+    plain sort-merge join and Adaptive Query Execution SPLITS the skewed
+    partition at runtime from measured map-output sizes — the fact rows
+    of the hot key fan out over multiple reducer tasks, each matched
+    against a replicated copy of the dim's hot rows. Same cure as
+    salting, zero query rewrite, decided from real statistics instead of
+    a hand-chosen salt width; tests/test_round10.py pins ``skew=true``
+    on the executed join. The manual salt remains the portable form (and
+    the only option when the skew is in an aggregation key) — the two
+    keys document the trade explicitly, and both must equal the plain
+    oracle join.
+
+    Execution-scoped config: AQE settings are read at EXECUTION time,
+    so the join materializes to scratch INSIDE the conf_override (the
+    sink keys' write-then-readback discipline — a lazily returned frame
+    would execute after the override restored) with fixture-scale
+    thresholds; the declared result aggregates the readback. At 100 TB
+    the defaults (256 MB threshold) do this untouched — hot keys in a
+    petabyte join are exactly what this machinery exists for."""
+    from ..sources.connectors import scratch_dir
+
+    out = scratch_dir(sf_dir, "skew_aqe_joined")
+    with conf_override(spark, _skew_aqe_confs()):
+        _skew_aqe_joined(spark, sf_dir).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("k", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
     )

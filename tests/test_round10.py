@@ -378,3 +378,21 @@ class TestIvfpqResidual:
         for r in out:
             assert r["cell_id"] in probed, r
             assert abs(r["cos_sim"] - cos(emb[r["vec_id"]], q)) < 1e-12
+
+
+class TestSkewAqe:
+    def test_runtime_plan_splits_the_skewed_partition(self, spark):
+        """Execute the skewed sort-merge join under the key's AQE regime
+        and assert the FINAL adaptive plan marks the join skew=true —
+        the runtime split actually engaged, it isn't just configured."""
+        from billing_data_loader_spark.operators.joins import (
+            _skew_aqe_confs,
+            _skew_aqe_joined,
+        )
+        from billing_data_loader_spark.session import conf_override
+
+        with conf_override(spark, _skew_aqe_confs()):
+            df = _skew_aqe_joined(spark, SF_DIR)
+            df.collect()  # materialize THIS frame so AQE finalizes its plan
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
