@@ -572,3 +572,66 @@ def agg_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+# --- agg_bitmap_distinct ------------------------------------------------------
+
+# The oracle is the SEMANTIC truth (plain COUNT(DISTINCT)), not a mirror of
+# the bitmap arithmetic — the gate proves the bitmap path IS exact distinct.
+_BITMAP_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CASE WHEN year(ts) = 1997 THEN user_id END) AS n_users_1997
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tier=2)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via packed bitmap words — the
+    ClickHouse/Doris bitmap-index pattern re-expressed in Spark SQL: each
+    user lands in word ``user_id >> 5`` at bit ``user_id % 32``; per
+    (event_type, year, word) partial bitmaps merge with BIT_OR and the
+    final count is a popcount sum. Unlike COUNT(DISTINCT), the partial
+    bitmaps are MERGEABLE STATE: at 100 TB you persist per-(day, group,
+    word) segments once and answer any date-range distinct by re-OR-ing
+    words — no raw-key re-shuffle, and the exchange carries at most
+    |key_space|/32 rows per group instead of every raw observation. The
+    year=1997 column is computed here BY MERGING the per-year partials
+    (bit_or over the year axis for the total), proving re-aggregation;
+    both columns must equal the semantic COUNT(DISTINCT) oracle exactly —
+    bitmaps are exact, not a sketch (contrast agg_approx_distinct's HLL,
+    which trades exactness for fixed-size state when the key space is
+    unbounded). 32-bit words in a BIGINT slot keep the shift portable
+    (DuckDB raises on 1<<63; Spark wraps negative — both stop at 62).
+
+    Shape: one shuffle to (event_type, year, word) with map-side partial
+    BIT_OR, then a word-count-bounded second aggregate that reuses the
+    hash partitioning prefix. The first aggregate's map-side combine is
+    what makes this scan-dominant at scale."""
+    ev = load(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.year("ts").alias("yr"),
+            F.expr("user_id >> 5").alias("word"),
+            F.expr("shiftleft(1L, int(user_id % 32))").alias("bit"),
+        )
+        .groupBy("event_type", "yr", "word")
+        .agg(F.bit_or("bit").alias("bm"))
+    )
+    return (
+        words.groupBy("event_type", "word")
+        .agg(
+            F.bit_or("bm").alias("bm_all"),
+            F.bit_or(F.when(F.col("yr") == 1997, F.col("bm"))).alias("bm_1997"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("bm_all")).alias("n_users"),
+            F.sum(F.bit_count(F.coalesce("bm_1997", F.lit(0)))).alias(
+                "n_users_1997"
+            ),
+        )
+    )

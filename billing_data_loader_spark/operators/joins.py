@@ -1316,3 +1316,81 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+# --- join_runtime_bloom -------------------------------------------------------
+
+# Plain join semantics: the runtime bloom filter is a pure pruning
+# optimization and must not change results.
+_RUNTIME_BLOOM_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       {o_dsum("l_extendedprice", "sum_price")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
+def _runtime_bloom_confs() -> dict[str, str]:
+    """Runtime-filter regime for the demonstration: thresholds lowered to
+    fixture scale so InjectRuntimeFilter fires on a KB-sized join
+    (production keeps the 10 MB / 10 GB defaults — a petabyte fact joined
+    to a filtered multi-GB dim is exactly the default regime); broadcast
+    off because a broadcast join prunes via DPP/locality already and the
+    bloom path exists for the SHUFFLE join that big-dim joins actually
+    plan. Semi-join reduction stays off so the pin isolates the bloom
+    mechanism rather than the InSubquery variant."""
+    return {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+
+def _runtime_bloom_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-aggregated filtered join frame. Factored so the plan-pin test
+    can execute it under the same confs and assert ``might_contain`` /
+    ``bloom_filter_agg`` appear in the executed plan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag", "l_extendedprice"
+    )
+
+
+@query("join_runtime_bloom", oracle=_RUNTIME_BLOOM_ORACLE, tier=3)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter) — the
+    row-level complement to scan_dpp's partition-level pruning: the dim
+    side's filtered join keys are folded into a bloom filter
+    (``bloom_filter_agg``) BEFORE the shuffle, and Catalyst plants a
+    ``might_contain`` probe on the fact side's scan stage, so fact rows
+    that cannot match never enter the exchange. scan_dpp needs the
+    pruning column to BE the partition column; this works on any join
+    key, which is what saves the shuffle when a 100 TB fact joins a
+    selective non-partition dim filter (the filtered orders here keep
+    ~20% of keys, so ~80% of fact bytes drop pre-shuffle). The probe is
+    a false-positive-only filter, so results are identical to the plain
+    join — the oracle is the unoptimized join verbatim.
+
+    Execution-scoped config, same discipline as join_skew_aqe: the
+    optimizer rule runs at action time, so the join materializes to
+    scratch INSIDE the conf_override and the declared result aggregates
+    the readback. tests/test_round10.py pins both plan markers."""
+    from ..sources.connectors import scratch_dir
+
+    out = scratch_dir(sf_dir, "runtime_bloom_joined")
+    with conf_override(spark, _runtime_bloom_confs()):
+        _runtime_bloom_joined(spark, sf_dir).write.mode("overwrite").parquet(
+            out
+        )
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_extendedprice", "sum_price"),
+    )

@@ -600,3 +600,87 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("slope_c_per_s"),
     )
+
+
+# --- win_concurrent_usage -----------------------------------------------------
+
+# End-exclusive sessions: a session ending at instant t does NOT overlap one
+# starting at t, so ties order (t, delta) with the -1 first. The max of the
+# running sum is order-independent WITHIN a (t, delta) tie group: all deltas
+# in the group are equal, so the prefix values form the same multiset under
+# any intra-group order and the extremes sit at the group boundary.
+_CONCURRENT_ORACLE = """
+WITH sess AS (
+  SELECT event_type, ts AS t_start,
+         ts + to_minutes(CAST((event_id % 240) + 1 AS BIGINT)) AS t_end
+  FROM events
+),
+bounds AS (
+  SELECT event_type, t_start AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT event_type, t_end AS t, -1 AS delta FROM sess
+),
+running AS (
+  SELECT event_type,
+         SUM(delta) OVER (
+           PARTITION BY event_type ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS conc
+  FROM bounds
+)
+SELECT event_type,
+       (SELECT COUNT(*) FROM sess s WHERE s.event_type = running.event_type)
+         AS n_sessions,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent
+FROM running
+GROUP BY event_type
+"""
+
+
+@query("win_concurrent_usage", oracle=_CONCURRENT_ORACLE, tier=2)
+def win_concurrent_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type — the sweep-line interval-overlap
+    counter every usage-billing engine needs (concurrent licenses, active
+    sessions, simultaneous streams): each event opens a session of
+    ``(event_id % 240) + 1`` minutes (deterministic fixture-derived
+    duration), sessions explode to +1/-1 boundary rows, and a running sum
+    in boundary order IS the concurrency curve; the per-type max is the
+    peak. End-exclusive semantics pin the tie order (-1 sorts before +1
+    at the same instant, so back-to-back sessions never double-count) —
+    see the oracle comment for why the max is deterministic under ties.
+
+    Shape: one union (no join — both legs are projections of the same
+    scan), one shuffle to the per-type window, and a same-key aggregate
+    that reuses the window's hash partitioning. The window partitions by
+    event_type (bounded fan-in per type on this fixture); at 100 TB with
+    few types the swap is the win_running_sum two-pass decomposition —
+    time-range buckets with broadcast per-bucket offsets — which applies
+    verbatim because a prefix SUM decomposes; peak-finding then maxes the
+    per-bucket maxima."""
+    ev = load(spark, sf_dir, "events")
+    sess = ev.select(
+        "event_type",
+        F.col("ts").alias("t_start"),
+        F.expr("timestampadd(MINUTE, int(event_id % 240) + 1, ts)").alias(
+            "t_end"
+        ),
+    )
+    bounds = sess.select(
+        "event_type", F.col("t_start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            "event_type", F.col("t_end").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = bounds.select(
+        "event_type", F.sum("delta").over(w).alias("conc")
+    )
+    return running.groupBy("event_type").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+        F.max("conc").alias("max_concurrent"),
+    )

@@ -396,3 +396,148 @@ class TestSkewAqe:
             df.collect()  # materialize THIS frame so AQE finalizes its plan
             plan = df._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan[:2000]
+
+
+class TestRuntimeBloom:
+    def test_plan_plants_bloom_probe(self, spark):
+        """Execute the filtered fact join under the key's runtime-filter
+        regime and assert the executed plan carries BOTH halves of the
+        mechanism: the dim-side bloom build (bloom_filter_agg) and the
+        fact-side probe (might_contain) — the filter actually injected,
+        it isn't just configured."""
+        from billing_data_loader_spark.operators.joins import (
+            _runtime_bloom_confs,
+            _runtime_bloom_joined,
+        )
+        from billing_data_loader_spark.session import conf_override
+
+        with conf_override(spark, _runtime_bloom_confs()):
+            df = _runtime_bloom_joined(spark, SF_DIR)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        low = plan.lower()
+        assert "might_contain" in low, plan[:2000]
+        assert "bloom_filter_agg" in low, plan[:2000]
+
+    def test_bloom_probe_is_result_neutral(self, spark):
+        """The bloom probe is false-positive-only pruning: the key's
+        declared aggregate must equal the plain (no-runtime-filter) join
+        aggregated the same way."""
+        from billing_data_loader_spark.operators.joins import (
+            join_runtime_bloom,
+        )
+        from billing_data_loader_spark.functions.determinism import dsum
+
+        got = {
+            r["l_returnflag"]: (r["n_lines"], r["sum_price"])
+            for r in join_runtime_bloom(spark, SF_DIR).collect()
+        }
+        li = load(spark, SF_DIR, "lineitem")
+        o = load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plain = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum("l_extendedprice", "sum_price"),
+            )
+        )
+        want = {
+            r["l_returnflag"]: (r["n_lines"], r["sum_price"])
+            for r in plain.collect()
+        }
+        assert got == want
+
+
+class TestBitmapDistinct:
+    def test_bitmap_equals_count_distinct(self, spark):
+        """The packed-word path is EXACT: both columns must equal plain
+        countDistinct computed Spark-side (independent of the DuckDB
+        oracle, which proves the same thing cross-engine)."""
+        from billing_data_loader_spark.operators.aggregations import (
+            agg_bitmap_distinct,
+        )
+
+        got = {
+            r["event_type"]: (r["n_users"], r["n_users_1997"])
+            for r in agg_bitmap_distinct(spark, SF_DIR).collect()
+        }
+        ev = load(spark, SF_DIR, "events")
+        want = {
+            r["event_type"]: (r["n_all"], r["n_97"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("n_all"),
+                F.countDistinct(
+                    F.when(F.year("ts") == 1997, F.col("user_id"))
+                ).alias("n_97"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_partial_bitmaps_merge(self, spark):
+        """Mergeability pin: per-year partial bitmaps OR-merged across the
+        year axis give the same distinct count as building the bitmap over
+        the union directly — the property that makes persisted bitmap
+        segments re-aggregatable without raw-key re-scans."""
+        ev = load(spark, SF_DIR, "events")
+        words = ev.select(
+            F.year("ts").alias("yr"),
+            F.expr("user_id >> 5").alias("word"),
+            F.expr("shiftleft(1L, int(user_id % 32))").alias("bit"),
+        )
+        merged = (
+            words.groupBy("yr", "word")
+            .agg(F.bit_or("bit").alias("bm"))
+            .groupBy("word")
+            .agg(F.bit_or("bm").alias("bm"))
+            .select(F.sum(F.bit_count("bm")).alias("n"))
+            .collect()[0]["n"]
+        )
+        direct = (
+            words.groupBy("word")
+            .agg(F.bit_or("bit").alias("bm"))
+            .select(F.sum(F.bit_count("bm")).alias("n"))
+            .collect()[0]["n"]
+        )
+        exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+        assert merged == direct == exact
+
+
+class TestConcurrentUsage:
+    def test_matches_brute_force_overlap(self, spark):
+        """Sweep-line max equals a brute-force per-boundary overlap count
+        (end-exclusive: intervals [s, e) with e == t do not cover t) on a
+        bounded fixture slice."""
+        from billing_data_loader_spark.operators.windows import (
+            win_concurrent_usage,
+        )
+
+        got = {
+            r["event_type"]: r["max_concurrent"]
+            for r in win_concurrent_usage(spark, SF_DIR).collect()
+        }
+        rows = (
+            load(spark, SF_DIR, "events")
+            .select("event_type", "ts", "event_id")
+            .collect()
+        )
+        sess: dict[str, list] = {}
+        from datetime import timedelta
+
+        for r in rows:
+            dur = int(r["event_id"] % 240) + 1
+            sess.setdefault(r["event_type"], []).append(
+                (r["ts"], r["ts"] + timedelta(minutes=dur))
+            )
+        for et, ivals in sess.items():
+            # concurrency can only change at a start boundary, so the max
+            # is attained at some session start (end-exclusive semantics)
+            best = 0
+            starts = [s for s, _ in ivals]
+            for t in starts:
+                best = max(best, sum(1 for s, e in ivals if s <= t < e))
+            assert got[et] == best, et
