@@ -1,0 +1,245 @@
+"""Data-layout and snapshot operations (SURVEY.md §2 extensions, round 10).
+
+The two keys here are the lakehouse-maintenance surface a 100 TB deployment
+runs BETWEEN queries — how bytes are arranged and how corpus versions are
+reconciled — rather than a query over the data itself:
+
+- ``ext_zorder_layout`` — Morton (Z-order) multi-dimensional clustering +
+  the min/max skipping index it produces (the Delta ``OPTIMIZE ZORDER BY``
+  / ClickHouse order-by-tuple pattern).
+- ``ext_dataset_diff`` — digest-level snapshot diff between two corpus
+  versions (added / removed / changed / unchanged), the audit step of any
+  incremental-ingest or data-versioning flow (lakeFS/DVC-style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import dsum, o_dsum
+from ..plans.registry import query
+from ..tables import load
+
+# --- ext_zorder_layout --------------------------------------------------------
+
+#: Bits per dimension: 8+8 interleave to a 16-bit z-value; files are the
+#: z-value's top byte (the interleaved HIGH nibbles of both dims), so the
+#: layout is pure row arithmetic — no global sort, no window.
+_Z_BITS = 8
+_Z_FILES_SHIFT = 8
+
+#: The date-only box the pruning pin scans for (fixture keeps 1995-1998):
+#: one quarter of 1997. A custkey-linear layout cannot prune it at all.
+_Z_BOX_LO = "1997-01-01"
+_Z_BOX_HI = "1997-03-31"
+
+_Z_EPOCH = "1992-01-01"
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """Morton interleave as portable shift/mask SQL: bit i of x lands at
+    2i, bit i of y at 2i+1 — identical integer ops in Spark and DuckDB."""
+    terms = [f"((({xcol} >> {i}) & 1) << {2 * i})" for i in range(_Z_BITS)]
+    terms += [
+        f"((({ycol} >> {i}) & 1) << {2 * i + 1})" for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey AS ck, o_totalprice,
+         datediff('day', DATE '{_Z_EPOCH}', o_orderdate) AS day
+  FROM orders
+),
+ext AS (
+  SELECT MIN(ck) AS mn_ck, MAX(ck) AS mx_ck,
+         MIN(day) AS mn_d, MAX(day) AS mx_d
+  FROM base
+),
+binned AS (
+  SELECT o_orderkey, ck, day, o_totalprice,
+         ((ck - mn_ck) * 256) // (mx_ck - mn_ck + 1) AS xbin,
+         ((day - mn_d) * 256) // (mx_d - mn_d + 1) AS ybin
+  FROM base, ext
+),
+zed AS (
+  SELECT ck, day, o_totalprice,
+         ({_z_interleave_sql("xbin", "ybin")}) >> {_Z_FILES_SHIFT} AS file_id
+  FROM binned
+)
+SELECT file_id,
+       COUNT(*) AS n_rows,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       MIN(day) AS min_day, MAX(day) AS max_day,
+       {o_dsum("o_totalprice", "sum_price")},
+       (MIN(day) <= datediff('day', DATE '{_Z_EPOCH}', DATE '{_Z_BOX_HI}')
+        AND MAX(day) >= datediff('day', DATE '{_Z_EPOCH}', DATE '{_Z_BOX_LO}'))
+         AS hits_date_box
+FROM zed
+GROUP BY file_id
+"""
+
+
+def _zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(row -> file_id) assignment frame, factored for the pruning pin."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff("o_orderdate", F.lit(_Z_EPOCH)).alias("day"),
+        "o_totalprice",
+    )
+    ext = base.agg(
+        F.min("ck").alias("mn_ck"),
+        F.max("ck").alias("mx_ck"),
+        F.min("day").alias("mn_d"),
+        F.max("day").alias("mx_d"),
+    )
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        "ck",
+        "day",
+        "o_totalprice",
+        F.expr("((ck - mn_ck) * 256) DIV (mx_ck - mn_ck + 1)").alias("xbin"),
+        F.expr("((day - mn_d) * 256) DIV (mx_d - mn_d + 1)").alias("ybin"),
+    )
+    return binned.select(
+        "ck",
+        "day",
+        "o_totalprice",
+        F.expr(
+            f"({_z_interleave_sql('xbin', 'ybin')}) >> {_Z_FILES_SHIFT}"
+        ).alias("file_id"),
+    )
+
+
+@query("ext_zorder_layout", oracle=_ZORDER_ORACLE, tier=3)
+def ext_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional clustering + the min/max
+    skipping index it yields — the ``OPTIMIZE ZORDER BY (custkey, date)``
+    layout step: each dim is range-binned to 8 bits (exact integer
+    arithmetic off a 1-row min/max fold), the bits interleave to a 16-bit
+    Morton code, and the code's top byte is the target file. Because the
+    z-curve is space-filling, every file's (custkey, day) bounding box is
+    TIGHT ON BOTH DIMS — a linear custkey sort gives each file the full
+    date span, so date predicates prune nothing; the pin in
+    tests/test_round10.py shows the 1997-Q1 date box touches strictly
+    fewer z-files than custkey-linear files. The declared output IS the
+    skipping index (per-file row count, both min/max ranges, money sum,
+    and the date-box hit flag a scan planner would evaluate).
+
+    Shape: scan -> 1-row global min/max fold (broadcast back; the
+    O(tasks) SinglePartition exchange justified in EXPECTED_FLAGS) ->
+    pure map-side bit arithmetic -> one groupBy(file_id) with map-side
+    combine. No global sort and no window: at 100 TB the physical
+    rewrite is ``repartitionByRange(z).sortWithinPartitions(z)`` on the
+    same z column before the parquet write — the index math here is the
+    part that decides what the layout buys, and it is identical."""
+    zed = _zorder_files(spark, sf_dir)
+    lo = F.datediff(F.lit(_Z_BOX_LO), F.lit(_Z_EPOCH))
+    hi = F.datediff(F.lit(_Z_BOX_HI), F.lit(_Z_EPOCH))
+    return zed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ck").alias("min_ck"),
+        F.max("ck").alias("max_ck"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        dsum("o_totalprice", "sum_price"),
+        ((F.min("day") <= hi) & (F.max("day") >= lo)).alias("hits_date_box"),
+    )
+
+
+# --- ext_dataset_diff ---------------------------------------------------------
+
+# Snapshot B is a deterministic perturbation of the documents fixture:
+#   removed:   doc_id % 17 == 0 dropped
+#   changed:   doc_id % 13 == 0 (of the survivors) re-edited (upper-cased)
+#   added:     doc_id % 19 == 0 spawn a NEW doc at doc_id + 1e9 (suffixed)
+# so every diff class is populated and the oracle replays the same algebra.
+_DIFF_ADD_OFFSET = 1_000_000_000
+
+_DIFF_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, text, md5(text) AS dig FROM documents
+),
+b_kept AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+),
+b AS (
+  SELECT doc_id, text, md5(text) AS dig FROM b_kept
+  UNION ALL
+  SELECT doc_id + {_DIFF_ADD_OFFSET}, text || ' v2',
+         md5(text || ' v2')
+  FROM documents WHERE doc_id % 19 = 0
+),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.doc_id IS NULL THEN 'added'
+              WHEN a.dig <> b.dig THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(b.text, a.text) AS text
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT status, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM j GROUP BY status
+"""
+
+
+@query("ext_dataset_diff", oracle=_DIFF_ORACLE, tier=2)
+def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-level snapshot diff between two corpus versions — the audit
+    an incremental-ingest pipeline runs before promoting a new snapshot
+    (and the only honest answer to "what changed?" between training-data
+    versions): full outer join on the stable doc key, compare content
+    DIGESTS (never the text itself — at 100 TB the join exchanges
+    16-byte digests, not documents), classify added / removed / changed /
+    unchanged, and book counts + character volume per class. Snapshot B
+    is a deterministic fixture perturbation populating all four classes;
+    the oracle replays it verbatim.
+
+    Shape: both snapshots project (doc_id, digest) before the join, so
+    the full-outer shuffle is key+digest wide only; text length rides as
+    an int. One shuffle for the join (both sides co-partition on
+    doc_id), one bounded 4-row aggregate. In production the B side is
+    yesterday's persisted digest manifest — the diff never re-reads
+    yesterday's corpus bytes."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id", F.md5("text").alias("dig"), F.length("text").alias("len")
+    )
+    b_kept = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.upper("text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    b_added = d.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + _DIFF_ADD_OFFSET).alias("doc_id"),
+        F.concat("text", F.lit(" v2")).alias("text"),
+    )
+    b = b_kept.unionAll(b_added).select(
+        "doc_id", F.md5("text").alias("dig"), F.length("text").alias("len")
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("a.dig") != F.col("b.dig"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("b.len"), F.col("a.len")).alias("len"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("n_chars"),
+        )
+    )

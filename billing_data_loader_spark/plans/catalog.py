@@ -39,6 +39,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.corpus_ops",
     "billing_data_loader_spark.operators.segmentation",
     "billing_data_loader_spark.operators.dedup_span",
+    "billing_data_loader_spark.operators.lakeops",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",

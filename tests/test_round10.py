@@ -541,3 +541,99 @@ class TestConcurrentUsage:
             for t in starts:
                 best = max(best, sum(1 for s, e in ivals if s <= t < e))
             assert got[et] == best, et
+
+
+class TestZorderLayout:
+    def test_zorder_prunes_date_box_better_than_linear(self, spark):
+        """The reason to z-order at all: for the date-only box query, the
+        z-layout's per-file date ranges must let the planner skip files,
+        while a custkey-linear layout of the SAME file count gives every
+        file the full date span (zero skipping). Strictly fewer files hit
+        under z-order."""
+        from billing_data_loader_spark.operators.lakeops import (
+            _Z_BOX_HI,
+            _Z_BOX_LO,
+            _Z_EPOCH,
+            _zorder_files,
+            ext_zorder_layout,
+        )
+
+        idx = ext_zorder_layout(spark, SF_DIR).collect()
+        z_total = len(idx)
+        z_hit = sum(1 for r in idx if r["hits_date_box"])
+        assert 0 < z_hit < z_total  # the box genuinely prunes
+
+        # custkey-linear control: same row->file math with the bits
+        # NOT interleaved (file = custkey bin), same file-count budget
+        zed = _zorder_files(spark, SF_DIR)
+        lo = F.datediff(F.lit(_Z_BOX_LO), F.lit(_Z_EPOCH))
+        hi = F.datediff(F.lit(_Z_BOX_HI), F.lit(_Z_EPOCH))
+        lin = (
+            zed.groupBy(F.expr("ck % 64").alias("file_id"))
+            .agg(
+                F.min("day").alias("min_day"),
+                F.max("day").alias("max_day"),
+            )
+            .select(
+                ((F.col("min_day") <= hi) & (F.col("max_day") >= lo)).alias(
+                    "hit"
+                )
+            )
+            .collect()
+        )
+        lin_hit_frac = sum(1 for r in lin if r["hit"]) / len(lin)
+        z_hit_frac = z_hit / z_total
+        assert z_hit_frac < lin_hit_frac, (z_hit_frac, lin_hit_frac)
+
+    def test_zorder_files_partition_the_table(self, spark):
+        """The layout is a partition of the rows: per-file counts sum to
+        the table count and every file_id is in the top-byte range."""
+        from billing_data_loader_spark.operators.lakeops import (
+            ext_zorder_layout,
+        )
+
+        idx = ext_zorder_layout(spark, SF_DIR).collect()
+        total = sum(r["n_rows"] for r in idx)
+        n_orders = load(spark, SF_DIR, "orders").count()
+        assert total == n_orders
+        assert all(0 <= r["file_id"] <= 255 for r in idx)
+
+
+class TestDatasetDiff:
+    def test_diff_classes_reconcile(self, spark):
+        """Conservation: |A| = removed + changed + unchanged and
+        |B| = added + changed + unchanged; every class is populated."""
+        from billing_data_loader_spark.operators.lakeops import (
+            ext_dataset_diff,
+        )
+
+        got = {
+            r["status"]: r["n_docs"]
+            for r in ext_dataset_diff(spark, SF_DIR).collect()
+        }
+        assert set(got) == {"added", "removed", "changed", "unchanged"}
+        d = load(spark, SF_DIR, "documents")
+        n_a = d.count()
+        n_removed = d.filter(F.col("doc_id") % 17 == 0).count()
+        n_added = d.filter(F.col("doc_id") % 19 == 0).count()
+        assert got["removed"] == n_removed
+        assert got["added"] == n_added
+        assert (
+            got["removed"] + got["changed"] + got["unchanged"] == n_a
+        )
+
+    def test_identical_snapshots_diff_empty(self, spark):
+        """Self-diff sanity: A vs A classifies everything unchanged (the
+        digest algebra, independent of the fixture perturbation)."""
+        d = load(spark, SF_DIR, "documents").select(
+            "doc_id", F.md5("text").alias("dig")
+        )
+        j = d.alias("a").join(
+            d.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+        )
+        n_diff = j.filter(
+            F.col("a.doc_id").isNull()
+            | F.col("b.doc_id").isNull()
+            | (F.col("a.dig") != F.col("b.dig"))
+        ).count()
+        assert n_diff == 0

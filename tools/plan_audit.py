@@ -223,6 +223,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_tfidf": "1-row global n_docs aggregate for the IDF term",
         "ext_lm_unigram_score": "1-row global token-total aggregate",
         "ext_ann_ivf": "1-row pivot-array fold (16 pivots -> one array row)",
+        "ext_zorder_layout": (
+            "1-row global min/max extents aggregate (bin scaling constants)"
+        ),
         "ext_domain_mix_sample": "1-row global min-source-count aggregate",
         "ts_gapfill": "1-row global end-day aggregate (O(tasks) partials)",
         "win_ntile_pctrank": "1-row global row-count aggregate for n",
@@ -304,6 +307,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_neardup_embedding": "broadcast block-pair task table",
         "agg_approx_distinct": "self-check scalar join",
         "ext_tfidf": "1-row broadcast n_docs frame (IDF denominator)",
+        "ext_zorder_layout": (
+            "1-row broadcast global min/max extents fold (the bin scale)"
+        ),
         "ext_lm_unigram_score": "1-row broadcast token-total frame",
         "ext_domain_mix_sample": "1-row broadcast min-count frame (rate denom)",
         "ts_gapfill": "1-row broadcast global-end-day bound for the grid",
