@@ -419,3 +419,68 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             / MICRO
         ).alias("sum_value"),
     )
+
+
+# --- bill_dunning_aging -------------------------------------------------------
+
+#: Aging bands in days outstanding, the AR-standard 30/60/90 split. The
+#: band expression is shared verbatim by both engines (integer datediff
+#: against the corpus as-of date — no float anywhere).
+_AGING_CASE = """CASE WHEN age_days <= 30 THEN '00-30'
+                      WHEN age_days <= 60 THEN '31-60'
+                      WHEN age_days <= 90 THEN '61-90'
+                      ELSE '90+' END"""
+
+_AGING_ORACLE = f"""
+WITH as_of_d AS (SELECT MAX(o_orderdate) AS as_of FROM orders
+              WHERE o_orderstatus = 'O'),
+aged AS (
+  SELECT o_orderpriority,
+         datediff('day', o_orderdate, as_of) AS age_days,
+         o_totalprice
+  FROM orders, as_of_d
+  WHERE o_orderstatus = 'O'
+)
+SELECT ({_AGING_CASE}) AS age_band,
+       o_orderpriority,
+       COUNT(*) AS n_open,
+       {o_dsum("o_totalprice", "open_amount")}
+FROM aged
+GROUP BY age_band, o_orderpriority
+"""
+
+
+@query("bill_dunning_aging", oracle=_AGING_ORACLE, tier=2)
+def bill_dunning_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging — the dunning report every billing
+    system ships: open (status 'O') orders bucketed by days outstanding
+    against the corpus as-of date (30/60/90 bands), with open count and
+    exposure amount per (band, priority). The as-of date is MAX(order
+    date) rather than a wall-clock now() so the report is deterministic
+    and replayable (the determinism rule every key here follows: no
+    Date.now anywhere in a graded plan).
+
+    Shape: the status filter pushes to the parquet scan; one 1-row
+    as-of fold broadcasts back (O(tasks) exchange, EXPECTED_FLAGS);
+    banding is integer datediff + a shared CASE; one groupBy with
+    map-side combine to a bands x priorities bounded result. At 100 TB
+    the open-invoice subset is the only data that moves."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    asof = o.agg(F.max("o_orderdate").alias("as_of"))
+    aged = o.crossJoin(F.broadcast(asof)).select(
+        "o_orderpriority",
+        F.datediff(F.col("as_of"), F.col("o_orderdate")).alias("age_days"),
+        "o_totalprice",
+    )
+    return (
+        aged.select(
+            F.expr(_AGING_CASE).alias("age_band"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .groupBy("age_band", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            dsum("o_totalprice", "open_amount"),
+        )
+    )

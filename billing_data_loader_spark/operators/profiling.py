@@ -221,3 +221,107 @@ def prof_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("key").asc())
         .limit(10)
     )
+
+
+# --- prof_psi_drift -----------------------------------------------------------
+
+#: Bucket count for the PSI histogram and the floor clamp for empty-bucket
+#: proportions (the standard PSI epsilon so ln() stays finite).
+_PSI_BUCKETS = 10
+_PSI_EPS = 1e-6
+
+#: Final per-bucket PSI term is floor-quantized to 6dp: the two engines'
+#: ln() can differ by 1 ulp (the ext_char_entropy/_ENT_SCALE story), and
+#: the proportions themselves are exact IEEE divisions of exact integer
+#: counts, so 6dp absorbs the ulp without hiding real drift.
+_PSI_ORACLE = f"""
+WITH q AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE year(o_orderdate) IN (1997, 1998)
+),
+ext AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM q),
+b AS (
+  SELECT yr,
+         CAST(((cents - mn) * {_PSI_BUCKETS}) // (mx - mn + 1) AS BIGINT)
+           AS bucket
+  FROM q, ext
+),
+c AS (
+  SELECT bucket,
+         COUNT(CASE WHEN yr = 1997 THEN 1 END) AS n_ref,
+         COUNT(CASE WHEN yr = 1998 THEN 1 END) AS n_cur
+  FROM b GROUP BY bucket
+),
+t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c)
+SELECT bucket, n_ref, n_cur,
+       floor(
+         ((CAST(n_ref AS DOUBLE) / t_ref) - (CAST(n_cur AS DOUBLE) / t_cur))
+         * ln(greatest(CAST(n_ref AS DOUBLE) / t_ref, {_PSI_EPS!r})
+              / greatest(CAST(n_cur AS DOUBLE) / t_cur, {_PSI_EPS!r}))
+         * 1000000.0 + 0.5
+       ) / 1000000.0 AS psi_term
+FROM c, t
+"""
+
+
+@query("prof_psi_drift", oracle=_PSI_ORACLE, tier=2)
+def prof_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    standard data-drift monitor a production pipeline runs on every new
+    ingest batch (credit-risk lineage; the same math monitors feature
+    and label drift in training-data refreshes): bucket the metric into
+    a fixed histogram over the COMBINED range, compare the reference and
+    current proportion per bucket, and book the per-bucket PSI term
+    (p_ref - p_cur) * ln(p_ref / p_cur). Σterms < 0.1 is the customary
+    "stable" band; the per-bucket grain keeps the drifting buckets
+    attributable instead of one opaque scalar.
+
+    Determinism: prices quantize to exact integer cents BEFORE binning,
+    and the bin is integer multiply/DIV off a 1-row min/max fold — a
+    float-binned histogram can flip a boundary row per engine ulp and
+    desync the COUNTS, which no output rounding could repair. Counts
+    then divide exactly, and only the final transcendental term is
+    quantized (6dp, the 1-ulp-ln story in the constant's comment).
+
+    Shape: scan -> 1-row extents fold (broadcast) -> map-side bucket
+    arithmetic -> one {_PSI_BUCKETS}-row conditional aggregate -> 1-row
+    totals fold joined back. Everything after the first aggregate is
+    O(buckets); at 100 TB both snapshot scans are column-pruned and the
+    exchange carries bucket partials only."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1997, 1998)
+    )
+    q = o.select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.floor(F.col("o_totalprice").cast("double") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    ext = q.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+    b = q.crossJoin(F.broadcast(ext)).select(
+        "yr",
+        F.expr(f"CAST(((cents - mn) * {_PSI_BUCKETS}) DIV (mx - mn + 1) AS BIGINT)").alias(
+            "bucket"
+        ),
+    )
+    c = b.groupBy("bucket").agg(
+        F.count(F.when(F.col("yr") == 1997, 1)).alias("n_ref"),
+        F.count(F.when(F.col("yr") == 1998, 1)).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    term = (p_ref - p_cur) * F.log(
+        F.greatest(p_ref, F.lit(_PSI_EPS)) / F.greatest(p_cur, F.lit(_PSI_EPS))
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        (F.floor(term * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("psi_term"),
+    )

@@ -927,3 +927,126 @@ def ext_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused
+
+
+# --- ext_cooccurrence_pmi -----------------------------------------------------
+
+#: Skip-gram window (offsets +1, +2 — symmetric pairs are normalized to
+#: (least, greatest)) and the min pair count that bounds the output to
+#: statistically meaningful collocations.
+_PMI_OFFSETS = (1, 2)
+_PMI_MIN_PAIR = 25
+
+#: ln() differs by 1 ulp across engines (the ext_char_entropy story); the
+#: PMI itself is quantized to 6dp. Its inputs are exact integer counts
+#: divided in IEEE doubles — identical on both sides.
+_PMI_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pairs AS (
+  SELECT least(t[i], t[i + o]) AS w1, greatest(t[i], t[i + o]) AS w2
+  FROM d,
+       unnest(range(1, len(t) + 1)) AS u(i),
+       (VALUES (1), (2)) AS off(o)
+  WHERE i + o <= len(t)
+),
+pc AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+  HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+),
+uni AS (
+  SELECT u.w, COUNT(*) AS n_w
+  FROM d, unnest(t) AS u(w)
+  GROUP BY u.w
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM pairs) AS n_pairs_total,
+         (SELECT CAST(SUM(len(t)) AS BIGINT) FROM d) AS n_tokens_total
+)
+SELECT w1, w2, n_pair,
+       floor(
+         ln((CAST(n_pair AS DOUBLE) / n_pairs_total)
+            / ((CAST(ua.n_w AS DOUBLE) / n_tokens_total)
+               * (CAST(ub.n_w AS DOUBLE) / n_tokens_total)))
+         * 1000000.0 + 0.5
+       ) / 1000000.0 AS pmi
+FROM pc
+JOIN uni ua ON ua.w = pc.w1
+JOIN uni ub ON ub.w = pc.w2
+CROSS JOIN tot
+"""
+
+
+@query("ext_cooccurrence_pmi", oracle=_PMI_ORACLE, tier=3)
+def ext_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over a ±2 skip-gram window — the
+    collocation statistic (word2vec-era PPMI matrices, phrase-mining
+    "new_york" detection, tokenizer-merge candidates beyond raw
+    frequency): pairs whose corpus count clears a support threshold are
+    scored ln(P(a,b) / (P(a)P(b))) against the unigram background, so
+    high-PMI pairs co-occur far above chance even when both words are
+    rare. Complements ext_bpe_pair_counts (adjacent-only, frequency-
+    ranked) and ext_ngram_freq (contiguous n-grams): PMI normalizes by
+    the marginals, which frequency alone cannot.
+
+    Shape: pairs generate MAP-SIDE from each doc's token array (an
+    indexed lambda over offsets +1/+2 — no self-join on position, the
+    ext_lm_bigram_score adjacency discipline); one shuffle counts pairs,
+    one counts unigrams (vocab-bounded), and the support threshold cuts
+    the pair table BEFORE the two marginal joins, so the joins carry
+    only surviving collocations against the bounded vocab. Totals ride
+    as a 1-row broadcast fold. At 100 TB the pair-count exchange is the
+    only corpus-sized shuffle, with map-side combine doing most of the
+    reduction (Zipf: the hot pairs dominate)."""
+    d = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("t")
+    )
+    toks = scoped_persist(d)
+    pair_arr = F.expr(
+        """flatten(transform(t, (w, i) ->
+             filter(array(
+               IF(i + 1 < size(t), struct(least(w, t[i + 1]) AS w1,
+                                          greatest(w, t[i + 1]) AS w2), NULL),
+               IF(i + 2 < size(t), struct(least(w, t[i + 2]) AS w1,
+                                          greatest(w, t[i + 2]) AS w2), NULL)
+             ), x -> x IS NOT NULL)))"""
+    )
+    pairs = toks.select(F.explode(pair_arr).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    pairs = scoped_persist(pairs)
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = pairs.agg(F.count(F.lit(1)).alias("n_pairs_total")).crossJoin(
+        toks.select(F.size("t").alias("n")).agg(
+            F.sum("n").alias("n_tokens_total")
+        )
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    j = (
+        pc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_pair = F.col("n_pair").cast("double") / F.col("n_pairs_total")
+    p_a = F.col("n_a").cast("double") / F.col("n_tokens_total")
+    p_b = F.col("n_b").cast("double") / F.col("n_tokens_total")
+    return j.select(
+        "w1",
+        "w2",
+        "n_pair",
+        (
+            F.floor(F.log(p_pair / (p_a * p_b)) * 1000000.0 + F.lit(0.5))
+            / 1000000.0
+        ).alias("pmi"),
+    )

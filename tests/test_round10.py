@@ -637,3 +637,176 @@ class TestDatasetDiff:
             | (F.col("a.dig") != F.col("b.dig"))
         ).count()
         assert n_diff == 0
+
+
+class TestPsiDrift:
+    def test_identical_snapshots_psi_zero(self, spark):
+        """PSI of a distribution against itself is exactly 0 in every
+        bucket (p_ref == p_cur -> term = 0 before any quantization)."""
+        from billing_data_loader_spark.functions.determinism import (
+            DEFAULT_SCALE,
+        )
+
+        o = load(spark, SF_DIR, "orders").filter(
+            F.year("o_orderdate") == 1997
+        )
+        q = o.select(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+        ext = q.agg(F.min("cents").alias("mn"), F.max("cents").alias("mx"))
+        b = q.crossJoin(F.broadcast(ext)).select(
+            F.expr("CAST(((cents - mn) * 10) DIV (mx - mn + 1) AS BIGINT)").alias(
+                "bucket"
+            )
+        )
+        c = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        rows = c.collect()
+        tot = sum(r["n"] for r in rows)
+        import math
+
+        psi = sum(
+            (r["n"] / tot - r["n"] / tot)
+            * math.log((r["n"] / tot) / (r["n"] / tot))
+            for r in rows
+        )
+        assert psi == 0.0
+        assert DEFAULT_SCALE == 6  # the psi_term quantization contract
+
+    def test_psi_detects_planted_shift(self, spark):
+        """Sanity on the declared key: 1997 vs 1998 order prices are
+        near-identically distributed in the fixture, so every psi_term is
+        tiny; a deliberately shifted replica must score much larger."""
+        from billing_data_loader_spark.operators.profiling import (
+            prof_psi_drift,
+        )
+
+        terms = [
+            r["psi_term"] for r in prof_psi_drift(spark, SF_DIR).collect()
+        ]
+        assert sum(abs(t) for t in terms) < 0.05  # stable corpus
+
+        import math
+
+        # planted shift computed locally from the same bucket counts
+        rows = prof_psi_drift(spark, SF_DIR).collect()
+        t_ref = sum(r["n_ref"] for r in rows)
+        # shift: move 30% of bucket-0 mass to the top bucket
+        cur = {r["bucket"]: r["n_ref"] for r in rows}
+        lo_b = min(cur)
+        hi_b = max(cur)
+        moved = int(cur[lo_b] * 0.3)
+        cur[lo_b] -= moved
+        cur[hi_b] += moved
+        psi = sum(
+            (r["n_ref"] / t_ref - cur[r["bucket"]] / t_ref)
+            * math.log(
+                max(r["n_ref"] / t_ref, 1e-6)
+                / max(cur[r["bucket"]] / t_ref, 1e-6)
+            )
+            for r in rows
+        )
+        assert psi > sum(abs(t) for t in terms)
+
+
+class TestDunningAging:
+    def test_bands_partition_open_orders(self, spark):
+        """Band counts sum to the open-order count; band boundaries are
+        end-inclusive at 30/60/90 and every band label is canonical."""
+        from billing_data_loader_spark.operators.billing_analytics import (
+            bill_dunning_aging,
+        )
+
+        rows = bill_dunning_aging(spark, SF_DIR).collect()
+        n_open = (
+            load(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderstatus") == "O")
+            .count()
+        )
+        assert sum(r["n_open"] for r in rows) == n_open
+        assert {r["age_band"] for r in rows} <= {
+            "00-30",
+            "31-60",
+            "61-90",
+            "90+",
+        }
+
+    def test_asof_is_max_open_order_date(self, spark):
+        """The newest open order ages 0 days -> lands in 00-30; replaying
+        the banding locally from the raw dates reproduces every count."""
+        o = (
+            load(spark, SF_DIR, "orders")
+            .filter(F.col("o_orderstatus") == "O")
+            .select("o_orderdate", "o_orderpriority")
+            .collect()
+        )
+        as_of = max(r["o_orderdate"] for r in o)
+        want: dict[tuple, int] = {}
+        for r in o:
+            age = (as_of.date() - r["o_orderdate"].date()).days
+            band = (
+                "00-30"
+                if age <= 30
+                else "31-60"
+                if age <= 60
+                else "61-90"
+                if age <= 90
+                else "90+"
+            )
+            want[(band, r["o_orderpriority"])] = (
+                want.get((band, r["o_orderpriority"]), 0) + 1
+            )
+        from billing_data_loader_spark.operators.billing_analytics import (
+            bill_dunning_aging,
+        )
+
+        got = {
+            (r["age_band"], r["o_orderpriority"]): r["n_open"]
+            for r in bill_dunning_aging(spark, SF_DIR).collect()
+        }
+        assert got == want
+
+
+class TestCooccurrencePmi:
+    def test_pmi_against_local_replay(self, spark):
+        """Replay the full pipeline in plain Python on the corpus and
+        compare every (pair, count, pmi) row."""
+        import math
+
+        from billing_data_loader_spark.operators.text_analysis import (
+            _PMI_MIN_PAIR,
+            ext_cooccurrence_pmi,
+        )
+
+        docs = load(spark, SF_DIR, "documents").select("text").collect()
+        from collections import Counter
+
+        pair_c: Counter = Counter()
+        uni: Counter = Counter()
+        n_pairs = 0
+        n_toks = 0
+        for r in docs:
+            t = r["text"].split(" ")
+            n_toks += len(t)
+            uni.update(t)
+            for i in range(len(t)):
+                for o in (1, 2):
+                    if i + o < len(t):
+                        a, b = sorted((t[i], t[i + o]))
+                        pair_c[(a, b)] += 1
+                        n_pairs += 1
+        want = {}
+        for (a, b), c in pair_c.items():
+            if c < _PMI_MIN_PAIR:
+                continue
+            pmi = math.log(
+                (c / n_pairs) / ((uni[a] / n_toks) * (uni[b] / n_toks))
+            )
+            want[(a, b)] = (c, math.floor(pmi * 1e6 + 0.5) / 1e6)
+        got = {
+            (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+            for r in ext_cooccurrence_pmi(spark, SF_DIR).collect()
+        }
+        assert got == want
+        assert len(got) > 0

@@ -226,6 +226,14 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_zorder_layout": (
             "1-row global min/max extents aggregate (bin scaling constants)"
         ),
+        "prof_psi_drift": (
+            "1-row extents + 1-row totals aggregates (bin scale and "
+            "proportion denominators)"
+        ),
+        "bill_dunning_aging": "1-row as-of-date aggregate (report anchor)",
+        "ext_cooccurrence_pmi": (
+            "1-row pair-total and token-total aggregates (PMI denominators)"
+        ),
         "ext_domain_mix_sample": "1-row global min-source-count aggregate",
         "ts_gapfill": "1-row global end-day aggregate (O(tasks) partials)",
         "win_ntile_pctrank": "1-row global row-count aggregate for n",
@@ -309,6 +317,16 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_tfidf": "1-row broadcast n_docs frame (IDF denominator)",
         "ext_zorder_layout": (
             "1-row broadcast global min/max extents fold (the bin scale)"
+        ),
+        "prof_psi_drift": (
+            "1-row broadcast folds: combined-range extents + the two "
+            "snapshot totals (PSI proportions' denominators)"
+        ),
+        "bill_dunning_aging": (
+            "1-row broadcast as-of-date fold (MAX open order date)"
+        ),
+        "ext_cooccurrence_pmi": (
+            "1-row broadcast totals fold (pair + token denominators)"
         ),
         "ext_lm_unigram_score": "1-row broadcast token-total frame",
         "ext_domain_mix_sample": "1-row broadcast min-count frame (rate denom)",
