@@ -810,3 +810,101 @@ class TestCooccurrencePmi:
         }
         assert got == want
         assert len(got) > 0
+
+
+class TestEditDistanceNearDup:
+    def test_planted_typo_found_cross_block_missed(self, spark):
+        """The mechanism and its declared recall trade, both exercised:
+        replay the blocked pipeline on a planted frame where one pair
+        differs INSIDE the comparison prefix but OUTSIDE the blocking key
+        (found) and another differs inside the blocking key (missed)."""
+        from billing_data_loader_spark.operators.llm_pipeline import (
+            _EDIT_BLOCK_CHARS,
+            _EDIT_MAX_DIST,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again"
+        typo = base[: _EDIT_BLOCK_CHARS] + "X" + base[_EDIT_BLOCK_CHARS + 1 :]
+        blocked = "X" + base[1:]
+        df = spark.createDataFrame(
+            [(1, base, "en"), (2, typo, "en"), (3, blocked, "en")],
+            ["doc_id", "text", "lang"],
+        )
+        d = df.select(
+            "doc_id",
+            "lang",
+            F.substring("text", 1, _EDIT_BLOCK_CHARS).alias("blk"),
+            F.substring("text", 1, 64).alias("pre"),
+        )
+        a, c = d.alias("a"), d.alias("c")
+        got = (
+            a.join(
+                c,
+                (F.col("a.lang") == F.col("c.lang"))
+                & (F.col("a.blk") == F.col("c.blk"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            )
+            .filter(
+                F.levenshtein(F.col("a.pre"), F.col("c.pre"))
+                <= _EDIT_MAX_DIST
+            )
+            .select("a.doc_id", "c.doc_id")
+            .collect()
+        )
+        assert {(r[0], r[1]) for r in got} == {(1, 2)}  # typo found
+        # (1,3) is a 1-edit pair but blocked apart — the documented miss
+
+    def test_fixture_has_no_capped_blocks(self, spark):
+        """The oversized-block exclusion never fires on this corpus (so
+        the declared output is the complete blocked candidate set)."""
+        from billing_data_loader_spark.operators.llm_pipeline import (
+            _EDIT_BLOCK_CHARS,
+            _EDIT_MAX_BLOCK,
+        )
+
+        mx = (
+            load(spark, SF_DIR, "documents")
+            .groupBy("lang", F.substring("text", 1, _EDIT_BLOCK_CHARS))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert mx <= _EDIT_MAX_BLOCK
+
+    def test_symmetric_and_thresholded(self, spark):
+        """Declared pairs are canonical (doc_a < doc_b) and within the
+        distance threshold; distances match Python's own Levenshtein."""
+        from billing_data_loader_spark.operators.llm_pipeline import (
+            _EDIT_MAX_DIST,
+            _EDIT_PREFIX_CHARS,
+            ext_neardup_edit_distance,
+        )
+
+        rows = ext_neardup_edit_distance(spark, SF_DIR).collect()
+        assert len(rows) > 0
+        assert all(r["doc_a"] < r["doc_b"] for r in rows)
+        assert all(r["edit_dist"] <= _EDIT_MAX_DIST for r in rows)
+
+        def lev(s: str, t: str) -> int:
+            prev = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                cur = [i]
+                for j, ct in enumerate(t, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (cs != ct),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        texts = {
+            r["doc_id"]: r["text"][:_EDIT_PREFIX_CHARS]
+            for r in load(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        for r in rows:
+            assert lev(texts[r["doc_a"]], texts[r["doc_b"]]) == r["edit_dist"]
