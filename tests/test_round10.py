@@ -908,3 +908,52 @@ class TestEditDistanceNearDup:
         }
         for r in rows:
             assert lev(texts[r["doc_a"]], texts[r["doc_b"]]) == r["edit_dist"]
+
+
+class TestStreamBitmapDistinct:
+    def test_stream_equals_batch_count_distinct(self, spark):
+        """The streamed bitmap rollup equals batch countDistinct per
+        (hour, type) — exactness through checkpointed streaming state."""
+        from billing_data_loader_spark.streaming.jobs import (
+            stream_bitmap_distinct,
+        )
+
+        got = {
+            (r["window_start"], r["event_type"]): r["n_users"]
+            for r in stream_bitmap_distinct(spark, SF_DIR).collect()
+        }
+        ev = load(spark, SF_DIR, "events")
+        want = {
+            (r["ws"], r["event_type"]): r["n"]
+            for r in ev.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.countDistinct("user_id").alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+            .collect()
+        }
+        assert got == want
+
+    def test_state_width_is_bounded_by_key_space(self, spark):
+        """The mergeable-state claim: the streaming aggregation's rows per
+        (window, type) never exceed ceil(|user space|/32) words — the
+        bound that makes the state store hold words, not user ids."""
+        from billing_data_loader_spark.streaming.jobs import (
+            stream_bitmap_distinct,
+        )
+
+        stream_bitmap_distinct(spark, SF_DIR)  # populates the memory sink
+        sink = spark.table("bdl_stream_bitmap")
+        mx_users = (
+            load(spark, SF_DIR, "events")
+            .agg(F.max("user_id"))
+            .collect()[0][0]
+        )
+        words_cap = mx_users // 32 + 1
+        worst = (
+            sink.groupBy("window_start", "event_type")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert worst <= words_cap
