@@ -2011,3 +2011,160 @@ def ext_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos(F.col("v"), F.col("qv")).alias("cos_sim"),
         )
     )
+
+
+# --- ext_mmr_diversify ------------------------------------------------------
+
+#: MMR trade-off: score = LAMBDA * relevance - (1-LAMBDA) * max-sim-to-
+#: selected (Carbonell & Goldstein 1998). Shared literal text.
+_MMR_LAMBDA = "CAST(0.7 AS DOUBLE)"
+_MMR_PENALTY = "CAST(0.3 AS DOUBLE)"
+_MMR_POOL = 10
+_MMR_SELECT = 5
+
+#: Quantized MMR score for the declared surface / tie-safe ordering.
+_MMR_QS = "floor(({s}) * 1e9 + CAST(0.5 AS DOUBLE)) / 1e9"
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id AS id, ve,
+         {_COS_SQL.format(a="ve", b="qv")} AS rel
+  FROM v, q WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id ASC
+  LIMIT {_MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT a.id AS a, b.id AS b,
+         {_COS_SQL.format(a="a.ve", b="b.ve")} AS sim
+  FROM cand a JOIN cand b ON a.id <> b.id
+),
+sel1 AS MATERIALIZED (
+  SELECT id, rel, 1 AS rank,
+         {_MMR_QS.format(s=f"{_MMR_LAMBDA} * rel")} AS mmr_score
+  FROM cand ORDER BY rel DESC, id ASC LIMIT 1
+)"""
+    parts = [head]
+    for r in range(2, _MMR_SELECT + 1):
+        score = (
+            f"{_MMR_LAMBDA} * c.rel - {_MMR_PENALTY} * p.mx"
+        )
+        parts.append(
+            f""",
+pen{r} AS MATERIALIZED (
+  SELECT s.a AS id, MAX(s.sim) AS mx
+  FROM sims s JOIN sel{r - 1} t ON s.b = t.id
+  GROUP BY s.a
+),
+pick{r} AS MATERIALIZED (
+  SELECT c.id, c.rel, {r} AS rank,
+         {_MMR_QS.format(s=score)} AS mmr_score
+  FROM cand c
+  JOIN pen{r} p ON c.id = p.id
+  WHERE c.id NOT IN (SELECT id FROM sel{r - 1})
+  ORDER BY mmr_score DESC, c.id ASC LIMIT 1
+),
+sel{r} AS MATERIALIZED (
+  SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
+)"""
+        )
+    parts.append(
+        f"\nSELECT rank, id AS vec_id, rel, mmr_score FROM sel{_MMR_SELECT}\n"
+    )
+    return "".join(parts)
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
+@query("ext_mmr_diversify", oracle=_MMR_ORACLE, tier=3)
+def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein) of the
+    exact-cosine top-10 for the vec_id=0 query: greedily select 5 results
+    maximizing lambda*relevance - (1-lambda)*max-similarity-to-already-
+    selected — the diversification pass a RAG/search stack runs between
+    retrieval (ext_knn_cosine / ext_rank_fusion) and the context window,
+    so near-duplicate hits don't crowd out coverage.
+
+    Scale split: the DATA-sized work is the candidate retrieval (broadcast
+    query vector, map-side cosine, TakeOrderedAndProject top-10 — the
+    ext_knn_cosine plan verbatim); the greedy loop then runs entirely on
+    MODEL-sized frames (10 candidates, 90 pairwise sims, 5 unrolled
+    rounds of argmax-join — each frame persisted and referenced by tiny
+    joins). MMR is inherently sequential in its selection order, which is
+    why the rounds unroll (the ext_bpe_merge_train precedent) instead of
+    pretending a window can express it. Determinism: cosines are the
+    bit-identical sequential fold both engines share, scores quantize at
+    1e9 with ties to the lowest vec_id; the oracle replays all 5 rounds
+    as MATERIALIZED CTEs. Greedy-replay + diversity-property pins in
+    tests/test_round10b.py."""
+    from ..session import scoped_persist
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("ve").alias("qv"))
+    cand = scoped_persist(
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("id"),
+            "ve",
+            _cos(F.col("ve"), F.col("qv")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("id"))
+        .limit(_MMR_POOL)
+    )
+    a = cand.select(F.col("id").alias("a"), F.col("ve").alias("va"))
+    b = cand.select(F.col("id").alias("b"), F.col("ve").alias("vb"))
+    sims = scoped_persist(
+        a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+            "a", "b", _cos(F.col("va"), F.col("vb")).alias("sim")
+        )
+    )
+    sel = scoped_persist(
+        cand.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(1)
+        .select(
+            "id",
+            "rel",
+            F.lit(1).alias("rank"),
+            F.expr(_MMR_QS.format(s=f"{_MMR_LAMBDA} * rel")).alias(
+                "mmr_score"
+            ),
+        )
+    )
+    for r in range(2, _MMR_SELECT + 1):
+        pen = (
+            sims.join(
+                F.broadcast(sel.select(F.col("id").alias("sid"))),
+                F.col("b") == F.col("sid"),
+            )
+            .groupBy("a")
+            .agg(F.max("sim").alias("mx"))
+        )
+        pick = (
+            cand.join(F.broadcast(pen), F.col("id") == F.col("a"))
+            .join(F.broadcast(sel.select("id")), "id", "left_anti")
+            .select(
+                "id",
+                "rel",
+                F.lit(r).alias("rank"),
+                F.expr(
+                    _MMR_QS.format(
+                        s=f"{_MMR_LAMBDA} * rel - {_MMR_PENALTY} * mx"
+                    )
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("id"))
+            .limit(1)
+        )
+        sel = scoped_persist(sel.unionAll(pick))
+    return sel.select("rank", F.col("id").alias("vec_id"), "rel", "mmr_score")

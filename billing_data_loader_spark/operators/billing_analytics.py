@@ -484,3 +484,241 @@ def bill_dunning_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "open_amount"),
         )
     )
+
+
+# --- bill_mrr_waterfall -----------------------------------------------------
+
+# Month index = year*12 + month - 1 (dense integer line, so "consecutive
+# months" is idx arithmetic, never date arithmetic); ym = the readable
+# yyyymm reconstruction. Revenue quantizes to exact cents (scale 2) so
+# every component sum is an exact long and only the final /100.0 is float.
+_MRR_ORACLE = """
+WITH base AS (
+  SELECT o_custkey AS cust,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS idx,
+         CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM orders
+),
+m AS MATERIALIZED (
+  SELECT cust, idx, CAST(SUM(cents) AS BIGINT) AS amt
+  FROM base GROUP BY cust, idx
+),
+h AS (SELECT MAX(idx) AS max_idx FROM m),
+w AS MATERIALIZED (
+  SELECT cust, idx, amt,
+         lag(idx)  OVER (PARTITION BY cust ORDER BY idx) AS pidx,
+         lag(amt)  OVER (PARTITION BY cust ORDER BY idx) AS pamt,
+         lead(idx) OVER (PARTITION BY cust ORDER BY idx) AS nidx
+  FROM m
+),
+contrib AS (
+  SELECT idx, 'total' AS kind, amt AS c FROM w
+  UNION ALL
+  SELECT idx, 'new', amt FROM w WHERE pidx IS NULL OR pidx < idx - 1
+  UNION ALL
+  SELECT idx, 'exp', amt - pamt FROM w WHERE pidx = idx - 1 AND amt > pamt
+  UNION ALL
+  SELECT idx, 'con', amt - pamt FROM w WHERE pidx = idx - 1 AND amt < pamt
+  UNION ALL
+  SELECT idx + 1, 'churn', -amt FROM w, h
+  WHERE (nidx IS NULL OR nidx > idx + 1) AND idx + 1 <= max_idx
+)
+SELECT (idx // 12) * 100 + (idx % 12) + 1 AS ym,
+       CAST(COALESCE(SUM(CASE WHEN kind = 'total' THEN c END), 0) AS DOUBLE)
+         / 1e2 AS total_mrr,
+       CAST(COALESCE(SUM(CASE WHEN kind = 'new' THEN c END), 0) AS DOUBLE)
+         / 1e2 AS new_mrr,
+       CAST(COALESCE(SUM(CASE WHEN kind = 'exp' THEN c END), 0) AS DOUBLE)
+         / 1e2 AS expansion_mrr,
+       CAST(COALESCE(SUM(CASE WHEN kind = 'con' THEN c END), 0) AS DOUBLE)
+         / 1e2 AS contraction_mrr,
+       CAST(COALESCE(SUM(CASE WHEN kind = 'churn' THEN c END), 0) AS DOUBLE)
+         / 1e2 AS churned_mrr
+FROM contrib GROUP BY idx
+"""
+
+
+@query("bill_mrr_waterfall", oracle=_MRR_ORACLE, tier=2)
+def bill_mrr_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-recurring-revenue waterfall (the SaaS-billing bridge): each
+    customer's month-over-month billed amount classifies into NEW (first
+    month, or return after a gap — reactivation books as new), EXPANSION /
+    CONTRACTION (delta between consecutive active months), and CHURN (the
+    full prior amount, booked the month AFTER the last active month —
+    right-censored at the fixture horizon, so customers active in the
+    final month never churn).  Conservation — total(m) - total(m-1) ==
+    new + expansion + contraction + churn for every consecutive month
+    pair — is pinned by Python replay in tests/test_round10b.py.
+
+    Shape: one (customer, month) aggregate collapses the fact table (the
+    only data-sized shuffle), a per-customer lag/lead window classifies
+    (second shuffle, on the REDUCED frame — one row per customer-month),
+    and every contribution row then generates MAP-SIDE as an
+    explode(filter(array(...))) — no 4-way self-union re-reading the
+    windowed frame.  The month horizon rides a 1-row fold
+    (EXPECTED_FLAGS).  At 100 TB: the reduced frame is O(customers x
+    active months), orders of magnitude under the fact table, and both
+    shuffles key on customer."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("idx"),
+        quantize_long("o_totalprice", 2).alias("cents"),
+    )
+    m = base.groupBy("cust", "idx").agg(F.sum("cents").alias("amt"))
+    h = m.agg(F.max("idx").alias("max_idx"))
+    ws = Window.partitionBy("cust").orderBy("idx")
+    w = m.select(
+        "cust",
+        "idx",
+        "amt",
+        F.lag("idx").over(ws).alias("pidx"),
+        F.lag("amt").over(ws).alias("pamt"),
+        F.lead("idx").over(ws).alias("nidx"),
+    ).crossJoin(F.broadcast(h))
+
+    def entry(cond, idx_col, kind, cents_col):
+        return F.when(
+            cond,
+            F.struct(
+                idx_col.alias("idx"),
+                F.lit(kind).alias("kind"),
+                cents_col.alias("c"),
+            ),
+        )
+
+    consec = F.col("pidx") == F.col("idx") - 1
+    contrib = w.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    entry(F.lit(True), F.col("idx"), "total", F.col("amt")),
+                    entry(
+                        F.col("pidx").isNull()
+                        | (F.col("pidx") < F.col("idx") - 1),
+                        F.col("idx"),
+                        "new",
+                        F.col("amt"),
+                    ),
+                    entry(
+                        consec & (F.col("amt") > F.col("pamt")),
+                        F.col("idx"),
+                        "exp",
+                        F.col("amt") - F.col("pamt"),
+                    ),
+                    entry(
+                        consec & (F.col("amt") < F.col("pamt")),
+                        F.col("idx"),
+                        "con",
+                        F.col("amt") - F.col("pamt"),
+                    ),
+                    entry(
+                        (
+                            F.col("nidx").isNull()
+                            | (F.col("nidx") > F.col("idx") + 1)
+                        )
+                        & (F.col("idx") + 1 <= F.col("max_idx")),
+                        F.col("idx") + 1,
+                        "churn",
+                        -F.col("amt"),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("e")
+    ).select("e.*")
+
+    def ksum(kind, alias):
+        return (
+            F.coalesce(F.sum(F.when(F.col("kind") == kind, F.col("c"))), F.lit(0))
+            .cast("double")
+            / 1e2
+        ).alias(alias)
+
+    return contrib.groupBy("idx").agg(
+        ksum("total", "total_mrr"),
+        ksum("new", "new_mrr"),
+        ksum("exp", "expansion_mrr"),
+        ksum("con", "contraction_mrr"),
+        ksum("churn", "churned_mrr"),
+    ).select(
+        F.expr("(idx DIV 12) * 100 + (idx % 12) + 1").alias("ym"),
+        "total_mrr",
+        "new_mrr",
+        "expansion_mrr",
+        "contraction_mrr",
+        "churned_mrr",
+    )
+
+
+# --- bill_tax_rounding_audit --------------------------------------------------
+
+# Line tax books in micro-units (scale 6, exact long), and BOTH rounding
+# policies derive from the same integer: per-line cents round each line's
+# micro amount, invoice cents round the SUMMED micro amount. diff is the
+# penny gap per invoice — pure integer arithmetic end to end.
+_TAXAUDIT_ORACLE = """
+WITH line AS (
+  SELECT l_orderkey AS ok,
+         CAST(floor(l_extendedprice * l_tax * 1e6 + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS micro
+  FROM lineitem
+),
+inv AS (
+  SELECT ok,
+         CAST(SUM((micro + 5000) // 10000) AS BIGINT) AS line_cents,
+         (CAST(SUM(micro) AS BIGINT) + 5000) // 10000 AS inv_cents
+  FROM line GROUP BY ok
+)
+SELECT line_cents - inv_cents AS diff_cents,
+       COUNT(*) AS n_invoices,
+       CAST(SUM(line_cents - inv_cents) AS BIGINT) AS leaked_cents
+FROM inv GROUP BY diff_cents
+"""
+
+
+@query("bill_tax_rounding_audit", oracle=_TAXAUDIT_ORACLE, tier=2)
+def bill_tax_rounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tax rounding-policy reconciliation — the classic billing-correctness
+    audit: per-LINE rounding (each line's tax rounded to cents, then
+    summed) vs per-INVOICE rounding (exact tax summed, rounded once)
+    systematically disagree by up to a few cents per invoice, and a
+    billing engine must know its leakage before a tax authority does.
+    Output is the distribution of the per-invoice penny gap (diff,
+    invoice count, total leaked cents per bucket).
+
+    Determinism: line tax books once in exact micro-units
+    (floor(price*rate*1e6 + 0.5) — price*rate is the identical IEEE
+    product in both engines), and both policies derive from that integer
+    by half-up integer division — no float survives past the first
+    projection. Shape: one map-side projection, one groupBy(order) with
+    map-side combine, one O(distinct diffs) rollup. At 100 TB this is a
+    single co-partitioned pass over lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    line = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.floor(
+            F.col("l_extendedprice").cast("double")
+            * F.col("l_tax").cast("double")
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long").alias("micro"),
+    )
+    inv = line.groupBy("ok").agg(
+        F.sum(F.expr("(micro + 5000) DIV 10000")).alias("line_cents"),
+        F.expr("(SUM(micro) + 5000) DIV 10000").alias("inv_cents"),
+    )
+    return (
+        inv.select((F.col("line_cents") - F.col("inv_cents")).alias("diff_cents"))
+        .groupBy("diff_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_invoices"),
+            F.sum("diff_cents").alias("leaked_cents"),
+        )
+    )

@@ -1,0 +1,274 @@
+"""Distributed PCA via exact-moment covariance + in-plan power iteration
+(SURVEY.md §2 extensions, round 10).
+
+``ext_pca_power_iteration`` computes the top principal component of the
+embedding corpus — the whitening/drift-monitoring primitive an embedding
+pipeline runs per snapshot (is one direction eating the variance? did the
+encoder change?). The 100 TB split is the same as ext_kmeans_lite's: the
+DATA-sized work is one scan-local moment pass (map-side pair generation,
+one (i, j) aggregate whose key space is dims², never rows), and the
+iteration runs over MODEL-sized frames (a 64x64 covariance matrix and a
+64-vector), each round one broadcast-fold join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..session import scoped_persist
+from ..tables import load
+
+_PCA_DIM = 64
+_PCA_ROUNDS = 5
+
+#: 5 rounds suffice BECAUSE of the planted gap below: alignment error is
+#: (lambda2/lambda1)^rounds ~ 0.003^5 ~ 2e-13 — 8 rounds measured ~1.5x
+#: slower for indistinguishable output (per-round broadcast+job latency
+#: dominates at model scale).
+#: Deterministic rank-1 anisotropy plant (the ext_dataset_diff fixture-
+#: perturbation precedent): the raw fixture vectors are ISOTROPIC
+#: (measured lambda2/lambda1 = 0.987 — power iteration would need ~550
+#: rounds to separate anything), while real contextual-embedding spaces
+#: are strongly anisotropic (Ethayarajh 2019) with a dominant common
+#: direction. The declared input adds coef(row) * p(dim) with
+#: coef = (vec_id % 17) - 8 (zero-mean across the id line) and
+#: p_d = 0.002 * (d + 1), planting a known dominant component
+#: (lambda1 ~ 8.6 vs lambda2 ~ 0.028) the iteration must RECOVER —
+#: which the test pins against both numpy eigh and the planted
+#: direction itself.
+_PCA_PLANT_COEF = "(CAST({vid} % 17 AS DOUBLE) - CAST(8.0 AS DOUBLE))"
+_PCA_PLANT_DIR = "(CAST(0.002 AS DOUBLE) * CAST({d} + 1 AS DOUBLE))"
+
+#: Input quantization: scale 6 on the raw embedding entries (|v| < 1 in
+#: the fixture, so q fits comfortably; products <= ~3.6e11 per row keep
+#: the (i, j) sums inside int64 at any fixture sf).
+_PCA_QSCALE = "1e6"
+
+#: Iteration quantization: matrix-vector products floor-quantize at
+#: scale 12, so each y_i is an exact long and the norm uses exact
+#: squared sums (DECIMAL(38,0)/HUGEINT — qy² reaches ~4e27).
+_PCA_ITSCALE = "1e12"
+
+#: Population covariance from the exact integer moments (s = Σ qi*qj,
+#: mi/mj = Σ qi, n = rows) — textually identical double SQL both engines.
+_PCA_COV_EXPR = (
+    "(CAST(s AS DOUBLE) / 1e12) / CAST(n AS DOUBLE)"
+    " - (CAST(mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))"
+    " * (CAST(mj AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))"
+)
+
+#: One quantized matrix-vector product term (c = covariance cell, x =
+#: current iterate component) — shared text.
+_PCA_TERM_EXPR = (
+    "CAST(floor({c} * {x} * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _pca_plant(vid: str, d: str) -> str:
+    """coef(row) * p(dim) — the planted rank-1 term, shared text."""
+    coef = _PCA_PLANT_COEF.format(vid=vid)
+    dirt = _PCA_PLANT_DIR.format(d=d)
+    return f"({coef} * {dirt})"
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""
+WITH pr AS (
+  SELECT t1.i AS i, t2.j AS j,
+         CAST(floor((embedding[t1.i + 1]
+                     + {_pca_plant("vec_id", "t1.i")}) * {_PCA_QSCALE}
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qi,
+         CAST(floor((embedding[t2.j + 1]
+                     + {_pca_plant("vec_id", "t2.j")}) * {_PCA_QSCALE}
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qj
+  FROM embeddings, range({_PCA_DIM}) t1(i), range({_PCA_DIM}) t2(j)
+  WHERE t1.i <= t2.j
+),
+mom AS MATERIALIZED (
+  SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS s
+  FROM pr GROUP BY i, j
+),
+mean AS MATERIALIZED (
+  SELECT i, CAST(SUM(q) AS BIGINT) AS m, COUNT(*) AS n FROM (
+    SELECT t.i AS i,
+           CAST(floor((embedding[t.i + 1]
+                       + {_pca_plant("vec_id", "t.i")}) * {_PCA_QSCALE}
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+    FROM embeddings, range({_PCA_DIM}) t(i)
+  ) GROUP BY i
+),
+cov AS MATERIALIZED (
+  SELECT mom.i AS i, mom.j AS j, {_PCA_COV_EXPR} AS c
+  FROM mom
+  JOIN (SELECT i, m AS mi, n FROM mean) a ON mom.i = a.i
+  JOIN (SELECT i, m AS mj FROM mean) b ON mom.j = b.i
+),
+cf AS MATERIALIZED (
+  SELECT i, j, c FROM cov
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM cov WHERE i < j
+),
+x0 AS (SELECT i AS j, CAST(0.125 AS DOUBLE) AS x FROM range({_PCA_DIM}) t(i))
+"""
+    ]
+    term = _PCA_TERM_EXPR.format(c="cf.c", x="x.x")
+    for r in range(1, _PCA_ROUNDS + 1):
+        parts.append(
+            f""",
+y{r} AS MATERIALIZED (
+  SELECT cf.i AS i, CAST(SUM({term}) AS BIGINT) AS qy
+  FROM cf JOIN x{r - 1} x ON cf.j = x.j GROUP BY cf.i
+),
+s{r} AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(qy AS HUGEINT) * qy) AS DOUBLE) AS ss FROM y{r}
+),
+x{r} AS MATERIALIZED (
+  SELECT i AS j, CAST(qy AS DOUBLE) / sqrt(ss) AS x FROM y{r}, s{r}
+)"""
+        )
+    R = _PCA_ROUNDS
+    parts.append(
+        f"""
+SELECT y.i AS dim,
+       CAST(y.qy AS DOUBLE) / sqrt(s.ss) AS loading,
+       sqrt(s.ss) / 1e12 AS eigenvalue
+FROM y{R} y, s{R} s
+"""
+    )
+    return "".join(parts)
+
+
+_PCA_ORACLE = _pca_oracle()
+
+
+@query("ext_pca_power_iteration", oracle=_PCA_ORACLE, tier=3)
+def ext_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power iteration
+    — the embedding-health primitive (anisotropy / collapsed-direction
+    monitoring, whitening prep, drift detection across encoder versions).
+    Declared input = fixture vectors + a deterministic rank-1 anisotropy
+    plant (module constant comment: the raw fixture is isotropic with
+    lambda2/lambda1 = 0.987, where NO eigensolver separates a top
+    direction in bounded rounds; real embedding spaces are anisotropic,
+    and the plant gives the iteration a real gap to recover — the test
+    pins recovery of the planted direction itself). Two-level
+    decomposition, the only shape that survives 100 TB:
+
+    1. DATA pass: all dims²/2 covariance moments in ONE scan — pairs
+       (i <= j) generate map-side from each vector via nested indexed
+       lambdas (no position self-join), then a single (i, j) aggregate
+       whose key space is 2080 groups regardless of row count. Exact
+       integer moments (inputs quantized at 1e6), covariance assembled
+       by the shared closed-form text, mirroring prof_corr_matrix.
+    2. MODEL iteration: 8 power-iteration rounds over the 64x64 matrix —
+       per round one broadcast of the 1-row iterate array folded against
+       the 4096-row matrix frame (the ext_kmeans_lite per-round
+       centroid-fold pattern; EXPECTED_FLAGS). Matrix-vector terms
+       floor-quantize at 1e12 so each partial sum is an exact long and
+       the norm uses exact DECIMAL(38,0)/HUGEINT squared sums — both
+       engines walk bit-identical doubles through all 8 rounds.
+
+    Output: 64 rows (dim, loading of the unit top eigenvector, Rayleigh
+    eigenvalue = ||C x||). Convergence vs numpy.linalg.eigh and the
+    variance-dominance property are pinned in tests/test_round10b.py."""
+    from ..session import widen_scan
+
+    # widen_scan A/B (the r9 discipline, min-of-4 at sf0.1): the moment
+    # explode is CPU-dense map work over a single-row-group scan — widened
+    # 0.79 s vs 2.49 s unwidened (3.1x)
+    emb = widen_scan(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, (v, d) -> CAST(v AS DOUBLE)"
+            f" + {_pca_plant('vec_id', 'd')})"
+        ).alias("pe"),
+    )
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, {_PCA_DIM - 1}), i ->
+            transform(sequence(i, {_PCA_DIM - 1}), j -> struct(
+              i AS i, j AS j,
+              CAST(floor(pe[i] * {_PCA_QSCALE}
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qi,
+              CAST(floor(pe[j] * {_PCA_QSCALE}
+                         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qj))))"""
+            )
+        ).alias("p")
+    ).select("p.*")
+    mom = pairs.groupBy("i", "j").agg(F.sum(F.expr("qi * qj")).alias("s"))
+    mean = (
+        emb.select(F.posexplode("pe").alias("i", "v"))
+        .select(
+            "i",
+            F.expr(
+                f"CAST(floor(v * {_PCA_QSCALE} + CAST(0.5 AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("q"),
+        )
+        .groupBy("i")
+        .agg(F.sum("q").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    a = mean.select(F.col("i").alias("ai"), F.col("m").alias("mi"), "n")
+    b = mean.select(F.col("i").alias("bi"), F.col("m").alias("mj"))
+    cov = (
+        mom.join(F.broadcast(a), mom.i == a.ai)
+        .join(F.broadcast(b), mom.j == b.bi)
+        .select("i", "j", F.expr(_PCA_COV_EXPR).alias("c"))
+    )
+    cf = scoped_persist(
+        cov.unionAll(
+            cov.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "c"
+            )
+        )
+    )
+    # x as a 1-row ordered array; round = broadcast-fold join + 64-group
+    # agg. CRITICAL plan-shape constraint: each round's frame is
+    # referenced EXACTLY ONCE by the next (the norm is an array fold
+    # inside the same projection, never a second branch off y) — a
+    # separate 1-row ss frame crossJoined back doubles the analyzed
+    # subtree per round and the 8-round plan goes exponential (observed:
+    # optimizer spun for minutes; linear form plans in milliseconds).
+    x_arr = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(0, {_PCA_DIM - 1}),"
+            " i -> CAST(0.125 AS DOUBLE))"
+        ).alias("xs")
+    )
+    term = _PCA_TERM_EXPR.format(c="c", x="xs[j]")
+    # exact squared-sum fold over the sorted per-dim longs (DECIMAL(38,0)
+    # accumulator — qy² reaches ~4e27), then the unit-normalized iterate
+    ss_fold = (
+        "aggregate(st, CAST(0 AS DECIMAL(38,0)),"
+        " (acc, e) -> acc + CAST(e.qy AS DECIMAL(38,0)) * e.qy,"
+        " acc -> CAST(acc AS DOUBLE))"
+    )
+    y = None
+    for _ in range(_PCA_ROUNDS):
+        y = (
+            cf.crossJoin(F.broadcast(x_arr))
+            .groupBy("i")
+            .agg(F.sum(F.expr(term)).alias("qy"))
+        )
+        x_arr = (
+            y.agg(
+                F.expr(
+                    "array_sort(collect_list(struct(i AS i, qy AS qy)))"
+                ).alias("st")
+            )
+            .select(
+                F.expr(
+                    f"transform(st, e -> CAST(e.qy AS DOUBLE)"
+                    f" / sqrt({ss_fold}))"
+                ).alias("xs"),
+                F.expr(f"sqrt({ss_fold}) / 1e12").alias("eig"),
+            )
+        )
+    return x_arr.select(
+        F.posexplode("xs").alias("dim", "loading"),
+        F.col("eig").alias("eigenvalue"),
+    ).select("dim", "loading", "eigenvalue")

@@ -10,11 +10,15 @@ reconciled — rather than a query over the data itself:
 - ``ext_dataset_diff`` — digest-level snapshot diff between two corpus
   versions (added / removed / changed / unchanged), the audit step of any
   incremental-ingest or data-versioning flow (lakeFS/DVC-style).
+- ``ext_compaction_plan`` — small-file compaction planner (the OPTIMIZE /
+  bin-pack step): assign manifest files to target-size output bins by
+  cumulative byte offset, the same concatenate-then-slice math Spark's own
+  ``FilePartition`` packing applies to splittable scans.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.determinism import dsum, o_dsum
@@ -241,5 +245,104 @@ def ext_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("len").alias("n_chars"),
+        )
+    )
+
+
+# --- ext_compaction_plan ------------------------------------------------------
+
+#: Desired output-file count: the packing target is ceil(total/_C_BINS)
+#: bytes, i.e. "compact the manifest into ~12 right-sized files" — derived
+#: from the data like ext_zorder_layout's extents, so the plan stays
+#: multi-file at every sf instead of degenerating when file sizes grow 10x.
+_C_BINS = 12
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT source, lang,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT CAST(SUM(bytes) AS BIGINT) AS total_bytes FROM files
+),
+offs AS (
+  SELECT source, lang, bytes, n_docs, total_bytes,
+         (total_bytes + {_C_BINS - 1}) // {_C_BINS} AS target,
+         CAST(COALESCE(SUM(bytes) OVER (
+           ORDER BY bytes DESC, source, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM files, tot
+)
+SELECT cum_before // target AS bin_id,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       CAST(MAX(bytes) AS BIGINT) AS max_file_bytes,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(ANY_VALUE(target) AS DOUBLE),
+             6) AS utilization
+FROM offs
+GROUP BY bin_id
+"""
+
+
+@query("ext_compaction_plan", oracle=_COMPACT_ORACLE, tier=2)
+def ext_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the bin-pack step behind Delta/Iceberg
+    ``OPTIMIZE`` and Spark's own scan coalescing: given a file manifest
+    (here one "file" per ``documents`` (source, lang) group, sized by its
+    character volume), assign files to output bins of ~``total/12`` bytes by
+    CUMULATIVE OFFSET — order files (size desc, key asc), lay them on a
+    byte line, and slice the line at target-size boundaries
+    (``bin = cum_before DIV target``).  This is exactly the
+    concatenate-then-slice packing ``FilePartition.getFilePartitions``
+    applies to splittable scans: deterministic, one pass, no sequential
+    driver loop — a greedy first-fit packer is inherently serial, the
+    offset slicer is pure window arithmetic.  Output IS the plan a rewrite
+    job would execute: per-bin file count, byte total, largest member, doc
+    count, and utilization vs the target.
+
+    Shape: one groupBy over the corpus builds the manifest (the only
+    data-sized shuffle), a 1-row total fold broadcasts the target back, and
+    the offset window runs over MANIFEST rows (O(n_files), never data rows
+    — ~1e5 entries for a 100 TB table, the same driver-scale object every
+    lakehouse manifest rewrite holds; the SinglePartition window is
+    justified in EXPECTED_FLAGS).  Replayed against a Python packer and
+    bounded (bin_bytes < target + max_file) in tests/test_round10b.py."""
+    d = load(spark, sf_dir, "documents")
+    files = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").alias("bytes"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = files.agg(F.sum("bytes").alias("total_bytes"))
+    w = (
+        Window.orderBy(F.desc("bytes"), "source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        files.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.expr(f"(total_bytes + {_C_BINS - 1}) DIV {_C_BINS}"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        )
+    )
+    return (
+        offs.withColumn("bin_id", F.expr("cum_before DIV target"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.max("bytes").alias("max_file_bytes"),
+            F.sum("n_docs").alias("n_docs"),
+            F.round(
+                F.sum("bytes").cast("double")
+                / F.first("target").cast("double"),
+                6,
+            ).alias("utilization"),
         )
     )

@@ -325,3 +325,197 @@ def prof_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         (F.floor(term * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("psi_term"),
     )
+
+
+# --- prof_corr_matrix --------------------------------------------------------
+
+#: The four lineitem measures profiled pairwise (6 unordered pairs).
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+#: Quantization scale for the corr inputs: 2 decimal places (cents /
+#: hundredths) captures every fixture value exactly, so all moments are
+#: EXACT integer sums and the only float arithmetic is the final closed
+#: form — identical IEEE ops on identical integers in both engines.
+_CM_SCALE = 100.0
+
+
+def _cm_moment_exprs(prod_cast: str) -> list[tuple[str, str]]:
+    """(expression, alias) pairs for the single-pass moment aggregate.
+    ``prod_cast`` widens the per-row product before summing: cross
+    products reach ~1e14 per row, so a 64-bit SUM overflows past ~1e5
+    rows — DECIMAL(38,0) on the Spark side, HUGEINT in DuckDB."""
+    out = [("COUNT(*)", "n")]
+    for i in range(len(_CM_COLS)):
+        out.append((f"SUM(c{i})", f"s_{i}"))
+    for i in range(len(_CM_COLS)):
+        for j in range(i, len(_CM_COLS)):
+            out.append(
+                (f"SUM(CAST(c{i} AS {prod_cast}) * c{j})", f"s_{i}_{j}")
+            )
+    return out
+
+
+def _cm_corr_expr(i: int, j: int) -> str:
+    """Pearson corr from exact integer moments, as a portable SQL string
+    (textually identical in both engines => bit-identical doubles)."""
+    n = "CAST(n AS DOUBLE)"
+    sx, sy = f"CAST(s_{i} AS DOUBLE)", f"CAST(s_{j} AS DOUBLE)"
+    sxy = f"CAST(s_{i}_{j} AS DOUBLE)"
+    sxx, syy = f"CAST(s_{i}_{i} AS DOUBLE)", f"CAST(s_{j}_{j} AS DOUBLE)"
+    raw = (
+        f"(({n} * {sxy}) - ({sx} * {sy})) / "
+        f"sqrt((({n} * {sxx}) - ({sx} * {sx}))"
+        f" * (({n} * {syy}) - ({sy} * {sy})))"
+    )
+    # 1e6 / CAST(.5): scientific-notation literals parse as DOUBLE in both
+    # engines, while Spark SQL reads "1000000.0" as DECIMAL and the whole
+    # quantizer silently becomes decimal(30,9) arithmetic
+    return f"floor(({raw}) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+
+
+def _cm_quantized_sql() -> str:
+    cols = ", ".join(
+        f"CAST(floor({c} * {_CM_SCALE} + 0.5) AS BIGINT) AS c{i}"
+        for i, c in enumerate(_CM_COLS)
+    )
+    return f"SELECT {cols} FROM lineitem"
+
+
+def _cm_pairs() -> list[tuple[int, int]]:
+    k = len(_CM_COLS)
+    return [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+
+_CORRM_ORACLE = (
+    f"WITH q AS ({_cm_quantized_sql()}),\n"
+    "m AS MATERIALIZED (SELECT "
+    + ", ".join(f"{e} AS {a}" for e, a in _cm_moment_exprs("HUGEINT"))
+    + " FROM q)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{_CM_COLS[i]}' AS col_x, '{_CM_COLS[j]}' AS col_y, "
+        f"n, {_cm_corr_expr(i, j)} AS corr FROM m"
+        for i, j in _cm_pairs()
+    )
+)
+
+
+@query("prof_corr_matrix", oracle=_CORRM_ORACLE, tier=2)
+def prof_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures in ONE scan
+    pass — the numeric-profiling step (feature redundancy / leakage
+    screening) a warehouse runs before trusting a new drop. All 14
+    raw moments (count, 4 sums, 10 sum-of-products) come from a single
+    global aggregate, so the fact table is read once and never shuffled:
+    the SinglePartition exchange carries one partial-moment row per task
+    (O(tasks), EXPECTED_FLAGS), exactly how a 1000-executor profile job
+    wants it. The 6 pair rows then explode map-side from the 1-row frame.
+
+    Determinism: inputs quantize to exact hundredths (the prof_psi_drift
+    integer-binning story), so every moment is an exact integer —
+    products widen to DECIMAL(38,0)/HUGEINT because squared cents reach
+    ~1e14 per row and a 64-bit sum overflows past ~1e5 rows — and the
+    closed form is the TEXTUALLY IDENTICAL double expression in both
+    engines (generated by _cm_corr_expr), quantized at 6dp."""
+    li = load(spark, sf_dir, "lineitem").select(
+        *[
+            F.floor(F.col(c).cast("double") * _CM_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, c in enumerate(_CM_COLS)
+        ]
+    )
+    m = li.agg(
+        *[
+            F.expr(e).alias(a)
+            for e, a in _cm_moment_exprs("DECIMAL(38,0)")
+        ]
+    )
+    pair_structs = [
+        F.struct(
+            F.lit(_CM_COLS[i]).alias("col_x"),
+            F.lit(_CM_COLS[j]).alias("col_y"),
+            F.col("n").alias("n"),
+            F.expr(_cm_corr_expr(i, j)).alias("corr"),
+        )
+        for i, j in _cm_pairs()
+    ]
+    return m.select(
+        F.explode(F.array(*pair_structs)).alias("pr")
+    ).select("pr.*")
+
+
+# --- prof_benford -----------------------------------------------------------
+
+#: ln(1 + 1/d) / ln(10) — Benford's expected first-digit share, emitted as
+#: the identical double expression in both engines (no precomputed float
+#: literal drift).
+_BENFORD_EXP = "(ln(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE)) / ln(CAST(10.0 AS DOUBLE)))"
+
+_BENFORD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+    AS c
+  FROM orders
+),
+digit AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM cents WHERE c > 0
+),
+counts AS (
+  SELECT d, COUNT(*) AS n FROM digit GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT d AS first_digit, n,
+       floor((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6
+             + CAST(0.5 AS DOUBLE)) / 1e6 AS observed_share,
+       floor({_BENFORD_EXP} * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+         AS benford_share,
+       floor(
+         ((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) - {_BENFORD_EXP})
+         * ((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) - {_BENFORD_EXP})
+         / {_BENFORD_EXP} * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+         AS chi2_term
+FROM counts, tot
+"""
+
+
+@query("prof_benford", oracle=_BENFORD_ORACLE, tier=2)
+def prof_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals — the
+    classic forensic / data-quality screen (fabricated or re-binned
+    monetary data drifts from the log-uniform digit law; a synthetic
+    uniform fixture deviates MASSIVELY, which the declared chi2 terms
+    make visible per digit rather than as one opaque statistic).
+
+    Determinism: amounts quantize to exact cents, the first digit is
+    string-sliced from the integer (no float log10 near a power-of-ten
+    boundary), and the only transcendental — the expected share
+    ln(1+1/d)/ln(10) — is the identical expression text in both engines,
+    quantized at 6dp. Shape: map-side digit extraction, one 9-row
+    conditional aggregate, 1-row total fold joined back
+    (EXPECTED_FLAGS). At 100 TB: one column-pruned scan pass."""
+    o = load(spark, sf_dir, "orders")
+    digit = o.select(
+        F.floor(F.col("o_totalprice").cast("double") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("c")
+    ).filter(F.col("c") > 0).select(
+        F.expr("CAST(substr(CAST(c AS STRING), 1, 1) AS BIGINT)").alias("d")
+    )
+    counts = digit.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    share = "(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))"
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.expr(
+            f"floor({share} * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+        ).alias("observed_share"),
+        F.expr(
+            f"floor({_BENFORD_EXP} * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+        ).alias("benford_share"),
+        F.expr(
+            f"floor(({share} - {_BENFORD_EXP}) * ({share} - {_BENFORD_EXP})"
+            f" / {_BENFORD_EXP} * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+        ).alias("chi2_term"),
+    )

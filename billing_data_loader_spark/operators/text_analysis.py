@@ -1057,3 +1057,77 @@ def ext_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("pmi"),
     )
+
+
+# --- ext_inverted_index -----------------------------------------------------
+
+# Postings are delta-encoded (d-gaps: first absolute position, then
+# successive differences) — the universal index-compression layout; the
+# csv string keeps the declared surface flat for the driver's canonicalizer.
+_INVIDX_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+g AS (
+  SELECT term, doc_id, pos,
+         pos - COALESCE(
+           lag(pos) OVER (PARTITION BY term, doc_id ORDER BY pos), 0
+         ) AS gap
+  FROM tok
+),
+posting AS (
+  SELECT term, doc_id, COUNT(*) AS tf,
+         string_agg(CAST(gap AS VARCHAR), ',' ORDER BY pos) AS gaps_csv
+  FROM g GROUP BY term, doc_id
+)
+SELECT term, doc_id, tf,
+       COUNT(*) OVER (PARTITION BY term) AS df,
+       gaps_csv
+FROM posting
+"""
+
+
+@query("ext_inverted_index", oracle=_INVIDX_ORACLE, tier=3)
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index construction — the batch job behind every
+    full-text search deployment (and the retrieval half of a RAG corpus):
+    per (term, document) one posting row carrying term frequency, document
+    frequency, and the position list DELTA-ENCODED as d-gaps (first
+    absolute offset, then successive differences — the layout that makes
+    varint compression work; ext_bm25/ext_tfidf consume the tf/df
+    statistics this index materializes).
+
+    Shape: posexplode inside the scan stage (no position self-join), ONE
+    (term, doc) groupBy building tf + the sorted position array (positions
+    of one doc are distinct, so sort_array is a total order — no
+    collect_list ambiguity), gaps via an indexed array lambda (map-side,
+    0-based ps[i-1] lookback), then a term-partitioned window for df.
+    Two shuffles end to end; at 100 TB the posting shuffle is the
+    irreducible index build cost and the df window rides the same term
+    key — exactly how a sharded indexer lays postings out per term."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    posting = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    gaps = F.concat_ws(
+        ",",
+        F.expr(
+            "transform(ps, (x, i) -> CAST("
+            "CASE WHEN i = 0 THEN x ELSE x - ps[i - 1] END AS STRING))"
+        ),
+    )
+    return posting.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.count(F.lit(1)).over(W.partitionBy("term")).alias("df"),
+        gaps.alias("gaps_csv"),
+    )

@@ -216,3 +216,200 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("val"),
         is_interp.cast("long").alias("is_interp"),
     )
+
+
+# --- ts_ewma_smooth ---------------------------------------------------------
+
+#: EWMA decay w = 1 - alpha (alpha = 0.2) over a finite 12-observation
+#: horizon. Weight literals are Python-computed doubles embedded via
+#: repr(): the shortest round-trip decimal parses back to the identical
+#: double in both engines, so no pow() call (whose libm could differ)
+#: ever runs inside a query.
+_EWMA_W = 0.8
+_EWMA_H = 12
+
+
+def _ewma_terms(val: str, part: str, order: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL for the finite-horizon EWMA: a
+    left-to-right sum of w^j * lag_j with null-masked weights, textually
+    identical in Spark and DuckDB."""
+    nums, dens = [], []
+    for j in range(_EWMA_H):
+        w = repr(_EWMA_W**j)
+        lag = (
+            val
+            if j == 0
+            else f"lag({val}, {j}) OVER (PARTITION BY {part} ORDER BY {order})"
+        )
+        nums.append(
+            f"(CAST({w} AS DOUBLE) * COALESCE({lag}, CAST(0.0 AS DOUBLE)))"
+        )
+        dens.append(
+            f"(CASE WHEN {lag} IS NULL THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE CAST({w} AS DOUBLE) END)"
+        )
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms("rev", "prio", "idx")
+
+_EWMA_ORACLE = f"""
+WITH m AS (
+  SELECT o_orderpriority AS prio,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS idx,
+         CAST(SUM(CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS DOUBLE) / 1e2 AS rev
+  FROM orders GROUP BY prio, idx
+)
+SELECT prio,
+       (idx // 12) * 100 + (idx % 12) + 1 AS ym,
+       rev,
+       floor((({_EWMA_NUM}) / ({_EWMA_DEN})) * 1e6 + CAST(0.5 AS DOUBLE))
+         / 1e6 AS ewma
+FROM m
+"""
+
+
+@query("ts_ewma_smooth", oracle=_EWMA_ORACLE, tier=2)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each priority's monthly
+    revenue series — the smoothing pass behind every billing trend chart
+    and alerting baseline. Finite-horizon form (the last 12
+    OBSERVATIONS, weights w^j renormalized over the terms that exist):
+    the infinite recursion ewma_t = a*x_t + (1-a)*ewma_{t-1} is
+    inherently sequential, while the truncated form is a fixed linear
+    combination of window lags — embarrassingly parallel, numerically
+    identical to the recursion up to w^12 ≈ 0.069 of mass, and robust to
+    series-head/gap months by construction (missing lags renormalize out
+    rather than decaying a stale carry).
+
+    Determinism: revenue is exact cents; the weight literals are
+    repr()'d doubles (no engine libm pow in the query) and the
+    numerator/denominator sums evaluate left-to-right in the same order
+    in both engines — the whole expression is shared SQL text. Shape:
+    one (priority, month) aggregate (the only data shuffle), then ONE
+    per-priority window evaluating all 12 lags over a frame of
+    O(priorities x months) rows; at 100 TB the lag window reads the
+    reduced frame, never the fact table."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("idx"),
+            F.floor(
+                F.col("o_totalprice").cast("double") * 1e2 + F.lit(0.5)
+            ).cast("long").alias("cents"),
+        )
+        .groupBy("prio", "idx")
+        .agg((F.sum("cents").cast("double") / 1e2).alias("rev"))
+    )
+    return m.select(
+        "prio",
+        F.expr("(idx DIV 12) * 100 + (idx % 12) + 1").alias("ym"),
+        "rev",
+        F.expr(
+            f"floor((({_EWMA_NUM}) / ({_EWMA_DEN})) * 1e6 "
+            "+ CAST(0.5 AS DOUBLE)) / 1e6"
+        ).alias("ewma"),
+    )
+
+
+# --- ts_anomaly_mad ---------------------------------------------------------
+
+#: Iglewicz-Hoaglin modified z-score: 0.6745 * (x - median) / MAD, flag
+#: |z| > 3.5. Both constants are the published defaults.
+_MAD_K = 0.6745
+_MAD_CUT = 3.5
+
+_MAD_ORACLE = f"""
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM q
+  GROUP BY event_type
+),
+dev AS (
+  SELECT q.event_type, q.cents, med.med,
+         abs(CAST(q.cents AS DOUBLE) - med.med) AS adev
+  FROM q JOIN med ON q.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+  GROUP BY event_type
+)
+SELECT dev.event_type,
+       COUNT(*) AS n,
+       floor(ANY_VALUE(dev.med) / 1e2 * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+         AS median_value,
+       floor(ANY_VALUE(mad.mad) / 1e2 * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+         AS mad_value,
+       CAST(SUM(CASE WHEN abs({_MAD_K!r}
+                             * (CAST(dev.cents AS DOUBLE) - dev.med)
+                             / mad.mad) > {_MAD_CUT!r}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type
+"""
+
+
+@query("ts_anomaly_mad", oracle=_MAD_ORACLE, tier=2)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type via the median/MAD modified
+    z-score (Iglewicz-Hoaglin): median and MAD are 50%-breakdown
+    estimators, so unlike mean/stddev control limits the threshold itself
+    cannot be dragged by the outliers it is hunting. Output is the
+    monitoring summary (n, median, MAD, anomaly count at |z| > 3.5).
+
+    Determinism: values quantize to exact cents, so both engines
+    interpolate medians over identical integers (even-count midpoints are
+    exact .5s in double) and the z comparison is the same IEEE expression
+    — boundary rows cannot flip one engine only. Shape: two grouped
+    EXACT percentile passes (each one shuffle keyed on event_type) with
+    the 5-row median/MAD frames broadcast back; at 100 TB you'd swap the
+    exact percentile for approx_percentile and keep the identical
+    dataflow — the exact form here is the oracle-parity choice
+    (agg_percentiles precedent)."""
+    e = load(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value").cast("double") * 1e2 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    med = q.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "cents",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = F.abs(
+        F.lit(_MAD_K)
+        * (F.col("cents").cast("double") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.floor(F.first("med") / 1e2 * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("median_value"),
+            (
+                F.floor(F.first("mad") / 1e2 * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("mad_value"),
+            F.sum(F.when(z > _MAD_CUT, 1).otherwise(0)).alias("n_anomalies"),
+        )
+    )

@@ -33,6 +33,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.timeseries",
     "billing_data_loader_spark.operators.profiling",
     "billing_data_loader_spark.operators.graph",
+    "billing_data_loader_spark.operators.embedding_pca",
     "billing_data_loader_spark.operators.ann",
     "billing_data_loader_spark.operators.multimodal",
     "billing_data_loader_spark.operators.extras",

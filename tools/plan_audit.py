@@ -226,11 +226,36 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_zorder_layout": (
             "1-row global min/max extents aggregate (bin scaling constants)"
         ),
+        "ext_compaction_plan": (
+            "offset window over the FILE MANIFEST (O(n_files) rows, never "
+            "data rows) + 1-row total fold for the target size"
+        ),
+        "ext_triangle_count": (
+            "1-row census aggregates (node/edge/wedge counts, O(tasks) "
+            "partials)"
+        ),
+        "ext_pca_power_iteration": (
+            "1-row iterate-array fold per power-iteration round (64 "
+            "values -> one array row; the ext_kmeans_lite pattern)"
+        ),
+        "ext_mmr_diversify": (
+            "top-1 argmax frames per greedy round (model-sized: 10 "
+            "candidates, 5 rounds — MMR selection is inherently "
+            "sequential)"
+        ),
         "prof_psi_drift": (
             "1-row extents + 1-row totals aggregates (bin scale and "
             "proportion denominators)"
         ),
+        "prof_corr_matrix": (
+            "1-row global moment aggregate (O(tasks) partials; the 6 pair "
+            "rows explode map-side from the single row)"
+        ),
+        "prof_benford": "1-row digit-total fold (share denominator)",
         "bill_dunning_aging": "1-row as-of-date aggregate (report anchor)",
+        "bill_mrr_waterfall": (
+            "1-row month-horizon aggregate (churn right-censoring anchor)"
+        ),
         "ext_cooccurrence_pmi": (
             "1-row pair-total and token-total aggregates (PMI denominators)"
         ),
@@ -379,6 +404,26 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row broadcasts (pivot array, query vector, residual "
             "codebook) + 8-row per-cell distance-table and 16-row "
             "centroid/probe broadcast joins"
+        ),
+        # round 10 third batch: same 1-row-broadcast pattern
+        "ext_compaction_plan": (
+            "1-row broadcast total-bytes fold (the packing target)"
+        ),
+        "bill_mrr_waterfall": (
+            "1-row broadcast month-horizon fold (churn right-censoring)"
+        ),
+        "ext_triangle_count": (
+            "cross join of the three 1-row census aggregates "
+            "(nodes x edges x wedges/triangles)"
+        ),
+        "ext_pca_power_iteration": (
+            "per-round broadcast of the 1-row iterate array against the "
+            "4096-row covariance frame (model-sized fold)"
+        ),
+        "prof_benford": "1-row broadcast digit-total fold (denominator)",
+        "ext_mmr_diversify": (
+            "1-row broadcast query vector (the ext_knn_cosine pattern) + "
+            "10x10 candidate-pair similarity join (model-sized frames)"
         ),
     },
     # CartesianProduct without broadcast: never acceptable.
