@@ -201,6 +201,37 @@ AUDITED = {
         "surviving year directories are listed/read; the dim filter "
         "never appears as a static literal on the fact side."
     ),
+    "prof_corr_matrix": (
+        "One-pass correlation matrix (round 10): all 14 integer moments "
+        "in a single partial-aggregated global fold (the exchange "
+        "carries one moment row per task), the 6 pair rows explode "
+        "map-side from the 1-row frame — the fact table is read once "
+        "and never hash-shuffled."
+    ),
+    "ext_triangle_count": (
+        "Degree-oriented triangle census (round 10): co-purchase pairs "
+        "generate map-side from each order's sorted part array (no "
+        "position self-join), one distinct shuffle for edges; degrees "
+        "and orientation ride broadcast joins; the wedge join is "
+        "equi-keyed on the shared endpoint (hash join) and closure "
+        "books in the same left-join aggregate pass."
+    ),
+    "ext_pca_power_iteration": (
+        "Moment-pass + model-iteration PCA (round 10): all 2080 "
+        "covariance moments from ONE widened scan pass (map-side i<=j "
+        "pair lambdas, exchange keyed on (i, j) — 2080 groups at any "
+        "corpus size); the 5 power rounds run on a persisted 4096-row "
+        "matrix with 1-row broadcast iterate arrays — LINEAR lineage "
+        "(each round references its predecessor exactly once; a norm "
+        "side-branch would double the analyzed subtree per round)."
+    ),
+    "ext_mmr_diversify": (
+        "MMR diversification (round 10): retrieval is the knn plan "
+        "(broadcast query vector, map-side cosine, "
+        "TakeOrderedAndProject); the greedy rounds touch only persisted "
+        "model-sized frames (10 candidates, 90 sims) via broadcast "
+        "equi-joins and top-1 sorts — the corpus is scanned once."
+    ),
 }
 
 
@@ -509,6 +540,17 @@ def main() -> None:
             specs[key].fn(spark, sf).explain("formatted")
         text = buf.getvalue()
         tree = text.split("\n\n", 1)[0]
+        # unrolled iterative keys (MMR, PCA) dump multi-thousand-line
+        # trees; the counters below read the FULL tree, the rendered
+        # excerpt is capped so PLANS.md stays reviewable
+        tree_lines = tree.splitlines()
+        if len(tree_lines) > 200:
+            tree_render = "\n".join(
+                tree_lines[:150]
+                + [f"... tree truncated ({len(tree_lines)} lines total)"]
+            )
+        else:
+            tree_render = tree
         n_exchange = len(re.findall(r"\bExchange \(\d+\)", tree))
         n_broadcast = len(re.findall(r"\bBroadcastHashJoin", tree))
         scans = re.findall(
@@ -524,7 +566,7 @@ def main() -> None:
         )
         out.append("")
         out.append("```")
-        out.append(tree.strip())
+        out.append(tree_render.strip())
         out.append("```")
         if scans:
             out.append("")
