@@ -2094,24 +2094,26 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale split: the DATA-sized work is the candidate retrieval (broadcast
     query vector, map-side cosine, TakeOrderedAndProject top-10 — the
-    ext_knn_cosine plan verbatim); the greedy loop then runs entirely on
-    MODEL-sized frames (10 candidates, 90 pairwise sims, 5 unrolled
-    rounds of argmax-join — each frame persisted and referenced by tiny
-    joins). MMR is inherently sequential in its selection order, which is
-    why the rounds unroll (the ext_bpe_merge_train precedent) instead of
-    pretending a window can express it. Determinism: cosines are the
+    ext_knn_cosine plan verbatim); the pool and its 90 pairwise sims then
+    fold into ONE row of arrays and ALL greedy rounds run inside a single
+    aggregate() lambda — the accumulator iterates at RUNTIME, so the
+    expression tree is constant-size and the whole selection costs zero
+    per-round jobs (the DataFrame-join form paid ~15 tiny-job latencies:
+    4.32 s vs 1.40 s min-of-4 at sf0.1; a per-round projection chain is
+    WORSE still — Catalyst collapses it and the selection subtree
+    duplicates exponentially, observed live). MMR is inherently
+    sequential in its selection order — the fold expresses that honestly
+    instead of pretending a window can. Determinism: cosines are the
     bit-identical sequential fold both engines share, scores quantize at
-    1e9 with ties to the lowest vec_id; the oracle replays all 5 rounds
-    as MATERIALIZED CTEs. Greedy-replay + diversity-property pins in
-    tests/test_round10b.py."""
-    from ..session import scoped_persist
-
+    1e9 with ties to the lowest vec_id (argmax over (q, -id) structs);
+    the oracle replays all 5 rounds as MATERIALIZED CTEs. Greedy-replay
+    + diversity-property pins in tests/test_round10b.py."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("ve"),
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("ve").alias("qv"))
-    cand = scoped_persist(
+    cand = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != 0)
         .select(
@@ -2124,47 +2126,52 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = cand.select(F.col("id").alias("a"), F.col("ve").alias("va"))
     b = cand.select(F.col("id").alias("b"), F.col("ve").alias("vb"))
-    sims = scoped_persist(
-        a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
-            "a", "b", _cos(F.col("va"), F.col("vb")).alias("sim")
-        )
+    sims = a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+        "a", "b", _cos(F.col("va"), F.col("vb")).alias("sim")
     )
-    sel = scoped_persist(
-        cand.orderBy(F.desc("rel"), F.asc("id"))
-        .limit(1)
-        .select(
-            "id",
-            "rel",
-            F.lit(1).alias("rank"),
-            F.expr(_MMR_QS.format(s=f"{_MMR_LAMBDA} * rel")).alias(
-                "mmr_score"
-            ),
-        )
+# fold the pool and its similarity table into ONE row of arrays, then
+    # run ALL greedy rounds inside a single aggregate() fold — the lambda
+    # accumulator iterates at RUNTIME, so the expression tree is constant
+    # size (a per-round projection chain duplicates the selection subtree
+    # at plan time and Catalyst goes exponential — the PCA lineage lesson
+    # at expression level; observed live both ways this round). Zero jobs
+    # per round: the whole selection is one projection over one row.
+    cands_row = cand.agg(
+        F.expr(
+            "array_sort(collect_list(struct(id AS id, rel AS rel)))"
+        ).alias("cands")
     )
-    for r in range(2, _MMR_SELECT + 1):
-        pen = (
-            sims.join(
-                F.broadcast(sel.select(F.col("id").alias("sid"))),
-                F.col("b") == F.col("sid"),
-            )
-            .groupBy("a")
-            .agg(F.max("sim").alias("mx"))
-        )
-        pick = (
-            cand.join(F.broadcast(pen), F.col("id") == F.col("a"))
-            .join(F.broadcast(sel.select("id")), "id", "left_anti")
-            .select(
-                "id",
-                "rel",
-                F.lit(r).alias("rank"),
-                F.expr(
-                    _MMR_QS.format(
-                        s=f"{_MMR_LAMBDA} * rel - {_MMR_PENALTY} * mx"
-                    )
-                ).alias("mmr_score"),
-            )
-            .orderBy(F.desc("mmr_score"), F.asc("id"))
-            .limit(1)
-        )
-        sel = scoped_persist(sel.unionAll(pick))
-    return sel.select("rank", F.col("id").alias("vec_id"), "rel", "mmr_score")
+    sims_row = sims.agg(
+        F.expr(
+            "array_sort(collect_list(struct(a AS a, b AS b, sim AS sim)))"
+        ).alias("sims")
+    )
+    qscore = (
+        f"floor(({_MMR_LAMBDA} * c.rel - {_MMR_PENALTY} *"
+        " coalesce(array_max(transform(filter(sims,"
+        " p -> p.a = c.id AND exists(acc, t -> t.id = p.b)),"
+        " p -> p.sim)), CAST(0.0 AS DOUBLE)))"
+        " * 1e9 + CAST(0.5 AS DOUBLE))"
+    )
+    pick = (
+        "array_max(transform("
+        "filter(cands, c -> NOT exists(acc, t -> t.id = c.id)),"
+        f" c -> struct({qscore} AS q, -c.id AS nid, c.rel AS rel)))"
+    )
+    # pick is inlined three times inside the lambda body — a fixed-size
+    # tree evaluated per round at runtime (a scalar subquery could share
+    # it, but lambda variables cannot cross subquery boundaries)
+    fold = (
+        f"aggregate(sequence(1, {_MMR_SELECT}),"
+        " CAST(array() AS ARRAY<STRUCT<rank: INT, id: BIGINT,"
+        " rel: DOUBLE, mmr_score: DOUBLE>>),"
+        f" (acc, r) -> concat(acc, array(struct(r AS rank,"
+        f" -({pick}).nid AS id, ({pick}).rel AS rel,"
+        f" CAST(({pick}).q AS DOUBLE) / 1e9 AS mmr_score))))"
+    )
+    state = cands_row.crossJoin(F.broadcast(sims_row)).select(
+        F.expr(fold).alias("sel")
+    )
+    return state.select(F.expr("inline(sel)")).select(
+        "rank", F.col("id").alias("vec_id"), "rel", "mmr_score"
+    )

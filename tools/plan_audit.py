@@ -228,9 +228,9 @@ AUDITED = {
     "ext_mmr_diversify": (
         "MMR diversification (round 10): retrieval is the knn plan "
         "(broadcast query vector, map-side cosine, "
-        "TakeOrderedAndProject); the greedy rounds touch only persisted "
-        "model-sized frames (10 candidates, 90 sims) via broadcast "
-        "equi-joins and top-1 sorts — the corpus is scanned once."
+        "TakeOrderedAndProject); pool + sims fold to ONE row of arrays "
+        "and all greedy rounds run inside a single runtime aggregate() "
+        "lambda — zero per-round jobs, the corpus is scanned once."
     ),
 }
 
@@ -270,8 +270,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "values -> one array row; the ext_kmeans_lite pattern)"
         ),
         "ext_mmr_diversify": (
-            "top-1 argmax frames per greedy round (model-sized: 10 "
-            "candidates, 5 rounds — MMR selection is inherently "
+            "1-row pool/sims array folds feeding the runtime greedy "
+            "aggregate() (model-sized; MMR selection is inherently "
             "sequential)"
         ),
         "prof_psi_drift": (
