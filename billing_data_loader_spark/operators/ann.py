@@ -2048,7 +2048,7 @@ sims AS MATERIALIZED (
 sel1 AS MATERIALIZED (
   SELECT id, rel, 1 AS rank,
          {_MMR_QS.format(s=f"{_MMR_LAMBDA} * rel")} AS mmr_score
-  FROM cand ORDER BY rel DESC, id ASC LIMIT 1
+  FROM cand ORDER BY mmr_score DESC, id ASC LIMIT 1
 )"""
     parts = [head]
     for r in range(2, _MMR_SELECT + 1):
@@ -2124,6 +2124,12 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel"), F.asc("id"))
         .limit(_MMR_POOL)
     )
+    # three consumers (both sim sides + the pool fold) — persist, or the
+    # DATA-sized retrieval subtree executes three times (code-review r10:
+    # the un-persisted plan showed six parquet scans)
+    from ..session import scoped_persist
+
+    cand = scoped_persist(cand)
     a = cand.select(F.col("id").alias("a"), F.col("ve").alias("va"))
     b = cand.select(F.col("id").alias("b"), F.col("ve").alias("vb"))
     sims = a.join(F.broadcast(b), F.col("a") != F.col("b")).select(

@@ -703,12 +703,11 @@ def bill_tax_rounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     line = li.select(
         F.col("l_orderkey").alias("ok"),
-        F.floor(
+        quantize_long(
             F.col("l_extendedprice").cast("double")
-            * F.col("l_tax").cast("double")
-            * 1e6
-            + F.lit(0.5)
-        ).cast("long").alias("micro"),
+            * F.col("l_tax").cast("double"),
+            6,
+        ).alias("micro"),
     )
     inv = line.groupBy("ok").agg(
         F.sum(F.expr("(micro + 5000) DIV 10000")).alias("line_cents"),

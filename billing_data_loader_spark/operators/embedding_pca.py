@@ -88,23 +88,18 @@ WITH pr AS (
   WHERE t1.i <= t2.j
 ),
 mom AS MATERIALIZED (
-  SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS s
+  SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS s,
+         CAST(SUM(qi) AS BIGINT) AS sl, COUNT(*) AS n
   FROM pr GROUP BY i, j
 ),
 mean AS MATERIALIZED (
-  SELECT i, CAST(SUM(q) AS BIGINT) AS m, COUNT(*) AS n FROM (
-    SELECT t.i AS i,
-           CAST(floor((embedding[t.i + 1]
-                       + {_pca_plant("vec_id", "t.i")}) * {_PCA_QSCALE}
-                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
-    FROM embeddings, range({_PCA_DIM}) t(i)
-  ) GROUP BY i
+  SELECT i, sl AS m, n FROM mom WHERE i = j
 ),
 cov AS MATERIALIZED (
-  SELECT mom.i AS i, mom.j AS j, {_PCA_COV_EXPR} AS c
-  FROM mom
-  JOIN (SELECT i, m AS mi, n FROM mean) a ON mom.i = a.i
-  JOIN (SELECT i, m AS mj FROM mean) b ON mom.j = b.i
+  SELECT mo.i AS i, mo.j AS j, {_PCA_COV_EXPR} AS c
+  FROM (SELECT i, j, s FROM mom) mo
+  JOIN (SELECT i, m AS mi, n FROM mean) a ON mo.i = a.i
+  JOIN (SELECT i, m AS mj FROM mean) b ON mo.j = b.i
 ),
 cf AS MATERIALIZED (
   SELECT i, j, c FROM cov
@@ -163,13 +158,13 @@ def ext_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
        whose key space is 2080 groups regardless of row count. Exact
        integer moments (inputs quantized at 1e6), covariance assembled
        by the shared closed-form text, mirroring prof_corr_matrix.
-    2. MODEL iteration: 8 power-iteration rounds over the 64x64 matrix —
+    2. MODEL iteration: 5 power-iteration rounds over the 64x64 matrix —
        per round one broadcast of the 1-row iterate array folded against
        the 4096-row matrix frame (the ext_kmeans_lite per-round
        centroid-fold pattern; EXPECTED_FLAGS). Matrix-vector terms
        floor-quantize at 1e12 so each partial sum is an exact long and
        the norm uses exact DECIMAL(38,0)/HUGEINT squared sums — both
-       engines walk bit-identical doubles through all 8 rounds.
+       engines walk bit-identical doubles through all 5 rounds.
 
     Output: 64 rows (dim, loading of the unit top eigenvector, Rayleigh
     eigenvalue = ||C x||). Convergence vs numpy.linalg.eigh and the
@@ -186,6 +181,10 @@ def ext_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + {_pca_plant('vec_id', 'd')})"
         ).alias("pe"),
     )
+    # the mean vector rides the DIAGONAL groups of the same aggregate
+    # (group (i, i) sees every qi once), so the corpus really is scanned
+    # once — the separate posexplode mean branch was a second full
+    # scan+shuffle (code-review r10)
     pairs = emb.select(
         F.explode(
             F.expr(
@@ -199,24 +198,20 @@ def ext_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
-    mom = pairs.groupBy("i", "j").agg(F.sum(F.expr("qi * qj")).alias("s"))
-    mean = (
-        emb.select(F.posexplode("pe").alias("i", "v"))
-        .select(
-            "i",
-            F.expr(
-                f"CAST(floor(v * {_PCA_QSCALE} + CAST(0.5 AS DOUBLE))"
-                " AS BIGINT)"
-            ).alias("q"),
-        )
-        .groupBy("i")
-        .agg(F.sum("q").alias("m"), F.count(F.lit(1)).alias("n"))
+    mom = pairs.groupBy("i", "j").agg(
+        F.sum(F.expr("qi * qj")).alias("s"),
+        F.sum("qi").alias("sl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = mom.filter(F.col("i") == F.col("j")).select(
+        "i", F.col("sl").alias("m"), "n"
     )
     a = mean.select(F.col("i").alias("ai"), F.col("m").alias("mi"), "n")
     b = mean.select(F.col("i").alias("bi"), F.col("m").alias("mj"))
+    mo = mom.select("i", "j", "s")  # drop sl/n: 'n' must bind to a's
     cov = (
-        mom.join(F.broadcast(a), mom.i == a.ai)
-        .join(F.broadcast(b), mom.j == b.bi)
+        mo.join(F.broadcast(a), mo.i == a.ai)
+        .join(F.broadcast(b), mo.j == b.bi)
         .select("i", "j", F.expr(_PCA_COV_EXPR).alias("c"))
     )
     cf = scoped_persist(

@@ -281,8 +281,8 @@ SELECT cum_before // target AS bin_id,
        CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
        CAST(MAX(bytes) AS BIGINT) AS max_file_bytes,
        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(bytes) AS DOUBLE) / CAST(ANY_VALUE(target) AS DOUBLE),
-             6) AS utilization
+       floor(CAST(SUM(bytes) AS DOUBLE) / CAST(ANY_VALUE(target) AS DOUBLE)
+             * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6 AS utilization
 FROM offs
 GROUP BY bin_id
 """
@@ -339,10 +339,17 @@ def ext_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bytes").alias("bin_bytes"),
             F.max("bytes").alias("max_file_bytes"),
             F.sum("n_docs").alias("n_docs"),
-            F.round(
-                F.sum("bytes").cast("double")
-                / F.first("target").cast("double"),
-                6,
+            # floor-quantized, not ROUND: Spark rounds the shortest repr
+            # HALF_UP, DuckDB the exact expansion — the determinism.py
+            # half-boundary corner (code-review r10)
+            (
+                F.floor(
+                    F.sum("bytes").cast("double")
+                    / F.first("target").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
             ).alias("utilization"),
         )
     )

@@ -418,9 +418,7 @@ def prof_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (generated by _cm_corr_expr), quantized at 6dp."""
     li = load(spark, sf_dir, "lineitem").select(
         *[
-            F.floor(F.col(c).cast("double") * _CM_SCALE + F.lit(0.5))
-            .cast("long")
-            .alias(f"c{i}")
+            quantize_long(c, 2).alias(f"c{i}")
             for i, c in enumerate(_CM_COLS)
         ]
     )
@@ -496,9 +494,7 @@ def prof_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     (EXPECTED_FLAGS). At 100 TB: one column-pruned scan pass."""
     o = load(spark, sf_dir, "orders")
     digit = o.select(
-        F.floor(F.col("o_totalprice").cast("double") * 1e2 + F.lit(0.5))
-        .cast("long")
-        .alias("c")
+        quantize_long("o_totalprice", 2).alias("c")
     ).filter(F.col("c") > 0).select(
         F.expr("CAST(substr(CAST(c AS STRING), 1, 1) AS BIGINT)").alias("d")
     )

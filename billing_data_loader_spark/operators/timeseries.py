@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.determinism import o_davg
+from ..functions.determinism import o_davg, quantize_long
 from ..plans.registry import query
 from ..tables import load
 
@@ -299,9 +299,7 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
             .cast("long")
             .alias("idx"),
-            F.floor(
-                F.col("o_totalprice").cast("double") * 1e2 + F.lit(0.5)
-            ).cast("long").alias("cents"),
+            quantize_long("o_totalprice", 2).alias("cents"),
         )
         .groupBy("prio", "idx")
         .agg((F.sum("cents").cast("double") / 1e2).alias("rev"))
@@ -349,7 +347,10 @@ SELECT dev.event_type,
          AS median_value,
        floor(ANY_VALUE(mad.mad) / 1e2 * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
          AS mad_value,
-       CAST(SUM(CASE WHEN abs({_MAD_K!r}
+       CAST(SUM(CASE WHEN mad.mad = 0
+                       THEN CASE WHEN CAST(dev.cents AS DOUBLE) <> dev.med
+                                 THEN 1 ELSE 0 END
+                     WHEN abs({_MAD_K!r}
                              * (CAST(dev.cents AS DOUBLE) - dev.med)
                              / mad.mad) > {_MAD_CUT!r}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
@@ -378,9 +379,7 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     q = e.select(
         "event_type",
-        F.floor(F.col("value").cast("double") * 1e2 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+        quantize_long("value", 2).alias("cents"),
     )
     med = q.groupBy("event_type").agg(
         F.percentile("cents", F.lit(0.5)).alias("med")
@@ -399,6 +398,16 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("cents").cast("double") - F.col("med"))
         / F.col("mad")
     )
+    # MAD = 0 guard (code-review r10): with a degenerate group (over half
+    # the values at the median) z is x/0 = NULL in BOTH engines and every
+    # anomaly would silently vanish — exactly where any deviation is
+    # infinitely anomalous. Divergence from the median IS the anomaly
+    # flag then (matches the numpy replay: inf > 3.5 counts, 0/0 = nan
+    # does not).
+    is_anom = F.when(
+        F.col("mad") == 0,
+        F.when(F.col("cents").cast("double") != F.col("med"), 1).otherwise(0),
+    ).when(z > _MAD_CUT, 1).otherwise(0)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -410,6 +419,6 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.floor(F.first("mad") / 1e2 * 1e6 + F.lit(0.5)) / 1e6
             ).alias("mad_value"),
-            F.sum(F.when(z > _MAD_CUT, 1).otherwise(0)).alias("n_anomalies"),
+            F.sum(is_anom).alias("n_anomalies"),
         )
     )

@@ -376,7 +376,7 @@ class TestInvertedIndex:
 class TestPcaPowerIteration:
     def test_numpy_convergence(self, spark):
         """The declared top component aligns with numpy.linalg.eigh's on
-        the same quantized covariance (|cos| > 0.999 after 8 rounds),
+        the same quantized covariance (|cos| > 0.999 after the declared rounds),
         the eigenvalue matches the dominant one, and the loading vector
         is unit-norm."""
         import numpy as np
@@ -486,7 +486,9 @@ class TestMmrDiversify:
 
             return math.floor(x * 1e9 + 0.5) / 1e9
 
-        sel = [min(pool, key=lambda i: (-rel[i], i))]
+        # round 1 argmaxes the QUANTIZED score too (ties at 1e-9 must
+        # resolve identically in all three implementations)
+        sel = [min(pool, key=lambda i: (-qs(0.7 * rel[i]), i))]
         scores = {sel[0]: qs(0.7 * rel[sel[0]])}
         while len(sel) < 5:
             best = None

@@ -23,10 +23,15 @@ def main() -> None:
     sf = "/root/testdata/sf0.01"
     if "--sf" in args:
         i = args.index("--sf")
+        if i + 1 >= len(args):
+            sys.exit("--sf requires a directory argument")
         sf = args[i + 1]
         del args[i : i + 2]
     spark = get_spark("bdl-check-keys")
     specs = catalog()
+    unknown = [k for k in args if k not in specs]
+    if unknown:
+        sys.exit(f"unknown keys (not in the catalog): {unknown}")
     failed = []
     for key in args:
         spec = specs[key]
