@@ -763,3 +763,108 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("window_start", "event_type").agg(
         F.sum(F.bit_count("bm")).alias("n_users")
     )
+
+
+# --- scan_state_store ---------------------------------------------------------
+
+# Oracle: the batch equivalent of the checkpointed aggregation — reading
+# the state store back must reproduce exactly what a batch GROUP BY says
+# (exactly-once state == batch semantics).
+_STATE_STORE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / 1e2 AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def _ensure_state_coordinator(spark: SparkSession, sf_dir: str) -> None:
+    """The ``statestore`` batch source resolves store locations through the
+    session's StateStoreCoordinator RPC endpoint, which Spark creates only
+    when a STATEFUL streaming query runs — a fresh session that merely
+    READS a checkpoint fails with RpcEndpointNotFoundException (observed
+    live). Run one trivial stateful availableNow stream per session
+    (memoized on the session object) so the endpoint exists; sessions
+    that just BUILT the staged checkpoint already ran one."""
+    if getattr(spark, "_bdl_state_coordinator_ready", False):
+        return
+    warm = _read_stream_events(spark, sf_dir).groupBy().count()
+    ckpt = tempfile.mkdtemp(prefix="bdl_ss_coord_")
+    q = (
+        warm.writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark._bdl_state_coordinator_ready = True
+
+
+def _state_store_checkpoint(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per fixture generation) a COMPLETED streaming-agg
+    checkpoint whose state the reader key inspects. Staged through
+    content_addressed_stage keyed on the events fixture, so warm runs
+    read existing state files with zero streaming work; the state files
+    are path-independent (the reader only walks state/<op>/<partition>),
+    so the atomic tmp->final rename is safe."""
+    from ..sources.connectors import content_addressed_stage
+
+    def build(tmp: str) -> None:
+        ev = _read_stream_events(spark, sf_dir)
+        agg = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(quantize_long("value", 2)).alias("sum_cents"),
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("complete")
+                .option("checkpointLocation", tmp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark._bdl_state_coordinator_ready = True
+
+    return content_addressed_stage(
+        sf_dir, "state_store_ckpt", build, table="events"
+    )
+
+
+@query("scan_state_store", oracle=_STATE_STORE_ORACLE, tier=3)
+def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER (Spark's ``statestore`` batch source): open a
+    completed streaming aggregation's checkpoint and read the operator
+    state itself as a DataFrame — the streaming-ops debugging surface
+    (is a key leaking? what does the store hold for THIS group? why is
+    state size growing?) that otherwise requires log archaeology. The
+    declared result projects the state rows (key struct -> event_type,
+    value struct -> the aggregation buffer our aliases named) back to
+    analyst columns, and the oracle is the BATCH GROUP BY over the same
+    source — reading internal state must reproduce exactly-once batch
+    semantics, which is the whole correctness claim of checkpointed
+    streaming aggregation.
+
+    Shape: the checkpoint builds ONCE per fixture generation through the
+    race-safe content-addressed staging (an availableNow replay into a
+    noop sink — only the state files matter), then every invocation is a
+    metadata-scale scan of state/<operator>/<partition> snapshot+delta
+    files: O(distinct keys) rows, never the event stream. At 100 TB the
+    read cost is the live key cardinality — the state store IS the
+    pre-aggregated table."""
+    ckpt = _state_store_checkpoint(spark, sf_dir)
+    _ensure_state_coordinator(spark, sf_dir)
+    st = spark.read.format("statestore").load(ckpt)
+    # the state VALUE holds the aggregation BUFFER with the internal
+    # function names (count, sum) — output aliases never reach the store
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        (F.col("value.sum").cast("double") / 1e2).alias("sum_value"),
+    )

@@ -514,3 +514,46 @@ class TestMmrDiversify:
         mx_plain = max(sims[(a, b)] for a in top5 for b in top5 if a != b)
         mx_mmr = max(sims[(a, b)] for a in sel for b in sel if a != b)
         assert mx_mmr <= mx_plain + 1e-12
+
+
+class TestScanStateStore:
+    def test_state_matches_batch_and_store_shape(self, spark):
+        """The state rows reproduce the batch aggregate exactly, one state
+        row per live key, and every row lives in one of the 8 sized state
+        partitions."""
+        from billing_data_loader_spark.streaming.jobs import (
+            _ensure_state_coordinator,
+            _state_store_checkpoint,
+        )
+
+        got = {
+            r["event_type"]: r
+            for r in catalog()["scan_state_store"].fn(spark, SF_DIR).collect()
+        }
+        ev = load(spark, SF_DIR, "events")
+        exp = {
+            r["event_type"]: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("value").cast("double") * 1e2 + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / 1e2
+                ).alias("sum_value"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exp)
+        for t, e in exp.items():
+            assert got[t]["n_events"] == e["n_events"]
+            assert abs(got[t]["sum_value"] - e["sum_value"]) < 1e-9
+        # raw store shape: one row per live key, partitions within width
+        ckpt = _state_store_checkpoint(spark, SF_DIR)
+        _ensure_state_coordinator(spark, SF_DIR)
+        raw = spark.read.format("statestore").load(ckpt).collect()
+        assert len(raw) == len(exp)
+        assert all(0 <= r["partition_id"] < 8 for r in raw)
