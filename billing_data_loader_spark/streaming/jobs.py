@@ -791,14 +791,19 @@ def _ensure_state_coordinator(spark: SparkSession, sf_dir: str) -> None:
         return
     warm = _read_stream_events(spark, sf_dir).groupBy().count()
     ckpt = tempfile.mkdtemp(prefix="bdl_ss_coord_")
-    q = (
-        warm.writeStream.format("noop")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        q = (
+            warm.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark._bdl_state_coordinator_ready = True
 
 
