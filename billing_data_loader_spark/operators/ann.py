@@ -2135,7 +2135,7 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
         "a", "b", _cos(F.col("va"), F.col("vb")).alias("sim")
     )
-# fold the pool and its similarity table into ONE row of arrays, then
+    # fold the pool and its similarity table into ONE row of arrays, then
     # run ALL greedy rounds inside a single aggregate() fold — the lambda
     # accumulator iterates at RUNTIME, so the expression tree is constant
     # size (a per-round projection chain duplicates the selection subtree

@@ -346,7 +346,10 @@ def _cm_moment_exprs(prod_cast: str) -> list[tuple[str, str]]:
     rows — DECIMAL(38,0) on the Spark side, HUGEINT in DuckDB."""
     out = [("COUNT(*)", "n")]
     for i in range(len(_CM_COLS)):
-        out.append((f"SUM(c{i})", f"s_{i}"))
+        # widened like the products: at the docstring's 100 TB narrative
+        # (~6e11 rows x ~1e7 cents) a bare BIGINT s_1 approaches int64
+        # range — the overflow headroom must hold for BOTH moment kinds
+        out.append((f"SUM(CAST(c{i} AS {prod_cast}))", f"s_{i}"))
     for i in range(len(_CM_COLS)):
         for j in range(i, len(_CM_COLS)):
             out.append(

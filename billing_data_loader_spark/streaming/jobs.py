@@ -804,6 +804,9 @@ def _ensure_state_coordinator(spark: SparkSession, sf_dir: str) -> None:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # pure warm-up plumbing: unlike the staged state checkpoint this
+        # dir has no reuse value — drop it or we leak one per session
+        shutil.rmtree(ckpt, ignore_errors=True)
     spark._bdl_state_coordinator_ready = True
 
 
@@ -867,7 +870,18 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_state_coordinator(spark, sf_dir)
     st = spark.read.format("statestore").load(ckpt)
     # the state VALUE holds the aggregation BUFFER with the internal
-    # function names (count, sum) — output aliases never reach the store
+    # function names (count, sum) — output aliases never reach the store.
+    # Those names are PRIVATE to Spark's streaming-agg state layout and
+    # may rename across upgrades: assert them up front so an upgrade
+    # breaks loudly here, not as an unresolved-column error downstream.
+    value_fields = [f.name for f in st.schema["value"].dataType.fields]
+    if value_fields != ["count", "sum"]:
+        raise RuntimeError(
+            "statestore value schema changed: expected internal streaming"
+            f"-agg buffer fields ['count', 'sum'], got {value_fields} — "
+            "Spark's state layout renamed across an upgrade; re-derive "
+            "the projection in scan_state_store from the new buffer."
+        )
     return st.select(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
