@@ -1,0 +1,416 @@
+"""Revenue-engine operators (SURVEY.md §2.11 extensions, round 11):
+tiered usage rating, straight-line revenue recognition, FIFO payment
+application, and the cohort-LTV triangle — the four query shapes a
+subscription/usage billing warehouse computes on every close cycle,
+each as pure DataFrame relational algebra with a DuckDB oracle twin.
+
+Scale stance: rating and rev-rec are MAP-SIDE expansions (a bounded
+per-row tier/month explode) into small-keyspace aggregates — no joins,
+no data-sized shuffle keys. FIFO application shuffles on the customer
+key exactly twice (two cumulative windows) plus one customer-keyed
+range join whose match count is O(n_invoices + n_payments) per customer
+by the interval-overlap bound, never the cross product. LTV collapses
+events to one row per user FIRST (the agg_retention_cohort discipline),
+so the triangle math runs on the distinct-user frame.
+
+All money flows as exact integer cents (functions/determinism
+.quantize_long); the only doubles are final closed-form divisions whose
+expression text is shared verbatim with the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.determinism import quantize_long
+from ..plans.registry import query
+from ..tables import load
+
+# --- bill_tiered_rating ------------------------------------------------------
+
+#: Graduated rate schedule: (tier label, lower bound, tier width in
+#: units, cents per unit). The last tier is unbounded — its width is an
+#: effectively-infinite sentinel so the SAME clamp formula
+#: least(greatest(q - lo, 0), width) prices every tier.
+_TIERS = [
+    ("t1_0_10", 0, 10, 150),
+    ("t2_10_30", 10, 20, 120),
+    ("t3_30_up", 30, 1000000, 90),
+]
+
+_TIER_ORACLE = f"""
+WITH t(tier, lo, width, rate) AS (
+  VALUES {", ".join(f"('{n}', {lo}, {w}, {r})" for n, lo, w, r in _TIERS)}
+), u AS (
+  SELECT l_returnflag, t.tier, t.rate,
+         LEAST(GREATEST(CAST(floor(l_quantity + CAST(0.5 AS DOUBLE))
+                             AS BIGINT) - t.lo, 0), t.width) AS units
+  FROM lineitem, t
+)
+SELECT l_returnflag, tier,
+       CAST(SUM(units) AS BIGINT) AS units,
+       CAST(SUM(units * rate) AS BIGINT) AS revenue_cents,
+       CAST(SUM(units * rate) AS DOUBLE) / CAST(SUM(units) AS DOUBLE)
+         AS effective_rate
+FROM u WHERE units > 0
+GROUP BY l_returnflag, tier
+"""
+
+
+@query("bill_tiered_rating", oracle=_TIER_ORACLE, tier=2)
+def bill_tiered_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graduated (tiered) usage rating — the core metering-to-money
+    operator of a usage-billing engine: each line's quantity is split
+    across rate brackets (first 10 units at full rate, the next 20
+    discounted, the tail at the volume rate) and each bracket is priced
+    at its own cents-per-unit. One clamp formula prices every tier:
+    units_in_tier = least(greatest(q - lo, 0), width), with the open
+    tail bracket closed by a sentinel width so no tier is special-cased.
+
+    Shape: a bounded 3-struct map-side explode (never a join — the rate
+    schedule is a literal array in the row expression) into a
+    (returnflag x tier) aggregate whose key space is fixed at any corpus
+    size; partial aggregation absorbs the 3x row expansion map-side. At
+    100 TB this is a single scan with combine — the ideal shape.
+    Quantities quantize to exact integer units and rates are integer
+    cents, so units/revenue are exact longs; the only double is the
+    effective-rate division, shared-text with the oracle."""
+    tier_structs = ", ".join(
+        f"struct('{n}' AS tier, "
+        f"least(greatest(q - {lo}, 0), {w}) AS units, {r} AS rate)"
+        for n, lo, w, r in _TIERS
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("q"),
+    )
+    tiered = li.select(
+        "l_returnflag",
+        F.expr(f"explode(array({tier_structs}))").alias("t"),
+    ).select("l_returnflag", "t.*")
+    return (
+        tiered.filter(F.col("units") > 0)
+        .groupBy("l_returnflag", "tier")
+        .agg(
+            F.sum("units").alias("units"),
+            F.sum(F.expr("units * rate")).alias("revenue_cents"),
+            F.expr(
+                "CAST(SUM(units * rate) AS DOUBLE)"
+                " / CAST(SUM(units) AS DOUBLE)"
+            ).alias("effective_rate"),
+        )
+    )
+
+
+# --- bill_revenue_recognition ------------------------------------------------
+
+# Largest-remainder allocation: floor(cents / n) per month, with the
+# remainder's pennies assigned to the FIRST (cents % n) months — exact
+# conservation (sum of schedule == invoice cents) with a deterministic
+# penny placement, the standard rev-rec ledger rule.
+_REVREC_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents,
+         1 + o_orderkey % 12 AS n,
+         date_trunc('month', o_orderdate) AS start_m
+  FROM orders
+), s AS (
+  SELECT o_orderkey, cents, n, start_m,
+         unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS m
+  FROM c
+)
+SELECT CAST(start_m + to_months(CAST(m AS INTEGER)) AS DATE) AS rec_month,
+       CAST(SUM(cents // n + CASE WHEN m < cents % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS recognized_cents,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_contracts
+FROM s
+GROUP BY rec_month
+"""
+
+
+@query("bill_revenue_recognition", oracle=_REVREC_ORACLE, tier=2)
+def bill_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straight-line monthly revenue recognition: each order is a
+    contract whose total spreads evenly over a service term of
+    1 + (o_orderkey % 12) months starting at its order month, with
+    penny-exact largest-remainder allocation — month m recognizes
+    floor(cents/n) plus one extra cent iff m < cents % n, so the
+    schedule conserves the invoice total EXACTLY (the ledger must
+    balance; tests pin conservation) and the penny placement is
+    deterministic, not rounding-dependent.
+
+    Shape: a map-side month explode (bounded by the 12-month max term)
+    into a recognition-month aggregate — key space is the calendar, not
+    the order count, so partial aggregation collapses almost everything
+    before the shuffle at any scale. The COUNT(DISTINCT contract) per
+    month rides the same shuffle as a two-level aggregate. All amounts
+    are exact integer cents end to end."""
+    c = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        quantize_long("o_totalprice", 2).alias("cents"),
+        (F.lit(1) + F.col("o_orderkey") % 12).alias("n"),
+        F.expr("trunc(o_orderdate, 'MM')").alias("start_m"),
+    )
+    s = c.select(
+        "o_orderkey",
+        "cents",
+        "n",
+        "start_m",
+        F.expr("explode(sequence(CAST(0 AS BIGINT), n - 1))").alias("m"),
+    )
+    return (
+        s.groupBy(F.expr("add_months(start_m, m)").alias("rec_month"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cents DIV n"
+                    " + CASE WHEN m < cents % n THEN 1 ELSE 0 END"
+                )
+            ).alias("recognized_cents"),
+            F.countDistinct("o_orderkey").alias("n_contracts"),
+        )
+    )
+
+
+# --- bill_credit_fifo --------------------------------------------------------
+
+# FIFO interval-overlap allocation: invoice i (cumulative window
+# (inv_cum - cents, inv_cum]) receives from payment p (cumulative window
+# (pay_cum - pc, pay_cum]) the overlap of the two intervals. The join
+# predicate keeps exactly the overlapping pairs, so the match count per
+# customer is O(n_inv + n_pay) — each allocation boundary is crossed
+# once — never the cross product.
+_FIFO_ORACLE = """
+WITH inv AS (
+  SELECT o_custkey AS cust, o_orderkey AS inv_id,
+         CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents,
+         SUM(CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE))
+                  AS BIGINT))
+           OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS inv_cum
+  FROM orders WHERE o_custkey % 7 = 3
+), pay AS (
+  SELECT user_id AS cust, event_id AS pay_id,
+         CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pc,
+         SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pay_cum
+  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 3
+)
+SELECT i.cust, i.inv_id, i.cents,
+       CAST(COALESCE(SUM(LEAST(i.inv_cum, p.pay_cum)
+                         - GREATEST(i.inv_cum - i.cents,
+                                    p.pay_cum - p.pc)), 0) AS BIGINT)
+         AS alloc_cents,
+       CAST(COUNT(p.pay_id) AS BIGINT) AS n_payments,
+       COALESCE(MIN(CASE WHEN p.pay_cum >= i.inv_cum THEN p.pay_id END),
+                CAST(-1 AS BIGINT)) AS completing_payment,
+       CASE
+         WHEN COALESCE(SUM(LEAST(i.inv_cum, p.pay_cum)
+                           - GREATEST(i.inv_cum - i.cents,
+                                      p.pay_cum - p.pc)), 0) = i.cents
+           THEN 'paid'
+         WHEN COALESCE(SUM(LEAST(i.inv_cum, p.pay_cum)
+                           - GREATEST(i.inv_cum - i.cents,
+                                      p.pay_cum - p.pc)), 0) > 0
+           THEN 'partial'
+         ELSE 'unpaid'
+       END AS status
+FROM inv i
+LEFT JOIN pay p
+  ON i.cust = p.cust
+ AND p.pay_cum > i.inv_cum - i.cents
+ AND p.pay_cum - p.pc < i.inv_cum
+GROUP BY i.cust, i.inv_id, i.cents
+"""
+
+
+@query("bill_credit_fifo", oracle=_FIFO_ORACLE, tier=2)
+def bill_credit_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO payment application — the accounts-receivable core: each
+    customer's payments (the events purchase stream, in (ts, event_id)
+    order) are applied oldest-invoice-first to their invoices (orders,
+    in (date, key) order). Expressed as the classic cumulative-interval
+    overlap: invoice i owns the range (inv_cum - amount, inv_cum] of the
+    customer's lifetime billed cents, payment p owns (pay_cum - pc,
+    pay_cum] of lifetime paid cents, and the cents p applies to i is the
+    overlap length of the two intervals. Per invoice: total allocated,
+    number of payments touching it, the payment that COMPLETED it (the
+    pair-level fact that forces real FIFO matching — per-invoice totals
+    alone would collapse to a closed form of the payment grand total),
+    and paid/partial/unpaid status.
+
+    Shape: two customer-keyed cumulative windows, then ONE equi-join on
+    the customer key with the overlap range predicate — matched pairs
+    per customer are O(n_inv + n_pay) because consecutive allocation
+    intervals tile the cents line (every extra match crosses a boundary
+    that is never re-crossed). At 100 TB the windows and the join all
+    shuffle once on the same customer key; AQE handles whale-customer
+    skew. All arithmetic is exact integer cents."""
+    oc = quantize_long("o_totalprice", 2)
+    # deterministic customer slice (the doc_id%97 benchmark-slice
+    # precedent): bounds the declared output while keeping every kept
+    # customer's FULL invoice/payment streams, so the FIFO semantics are
+    # untouched — and the modulo filter pushes into both scans
+    inv = load(spark, sf_dir, "orders").filter(
+        F.expr("o_custkey % 7 = 3")
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("inv_id"),
+        oc.alias("cents"),
+        F.sum(oc)
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("inv_cum"),
+    )
+    pc = quantize_long("value", 2)
+    pay = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.expr("user_id % 7 = 3"))
+        .select(
+            F.col("user_id").alias("pcust"),
+            F.col("event_id").alias("pay_id"),
+            pc.alias("pc"),
+            F.sum(pc)
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pay_cum"),
+        )
+    )
+    alloc = F.expr(
+        "LEAST(inv_cum, pay_cum) - GREATEST(inv_cum - cents, pay_cum - pc)"
+    )
+    pairs = inv.join(
+        pay,
+        (inv.cust == pay.pcust)
+        & (pay.pay_cum > inv.inv_cum - inv.cents)
+        & (pay.pay_cum - pay.pc < inv.inv_cum),
+        "left",
+    )
+    return pairs.groupBy("cust", "inv_id", "cents").agg(
+        F.coalesce(F.sum(alloc), F.lit(0)).alias("alloc_cents"),
+        F.count("pay_id").alias("n_payments"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("pay_cum") >= F.col("inv_cum"), F.col("pay_id")
+                )
+            ),
+            F.lit(-1).cast("long"),
+        ).alias("completing_payment"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(LEAST(inv_cum, pay_cum)"
+            " - GREATEST(inv_cum - cents, pay_cum - pc)), 0) = cents"
+            " THEN 'paid'"
+            " WHEN COALESCE(SUM(LEAST(inv_cum, pay_cum)"
+            " - GREATEST(inv_cum - cents, pay_cum - pc)), 0) > 0"
+            " THEN 'partial' ELSE 'unpaid' END"
+        ).alias("status"),
+    )
+
+
+# --- bill_ltv_triangle -------------------------------------------------------
+
+# Weekly cohort-LTV triangle (the events fixture spans one month, so the
+# cohort axis is the ISO week): cumulative purchase revenue per user
+# cohort by weeks-since-first-seen, with the cohort size alongside so
+# LTV-per-user reads directly off the row.
+_LTV_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+), wk AS (
+  SELECT u.cohort_week,
+         (CAST(date_trunc('week', e.ts) AS DATE) - u.cohort_week) // 7
+           AS age_n,
+         CAST(floor(e.value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS cents
+  FROM events e JOIN per_user u ON e.user_id = u.user_id
+  WHERE e.event_type = 'purchase'
+), cell AS (
+  SELECT cohort_week, age_n, CAST(SUM(cents) AS BIGINT) AS wk_cents
+  FROM wk GROUP BY cohort_week, age_n
+), size_ AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user GROUP BY cohort_week
+)
+SELECT c.cohort_week, CAST(c.age_n AS INTEGER) AS age_n, s.n_users,
+       CAST(SUM(c.wk_cents) OVER (PARTITION BY c.cohort_week
+                                  ORDER BY c.age_n) AS BIGINT)
+         AS cum_cents,
+       CAST(SUM(c.wk_cents) OVER (PARTITION BY c.cohort_week
+                                  ORDER BY c.age_n) AS DOUBLE)
+         / CAST(s.n_users AS DOUBLE) / 1e2 AS ltv_per_user
+FROM cell c JOIN size_ s ON c.cohort_week = s.cohort_week
+"""
+
+
+@query("bill_ltv_triangle", oracle=_LTV_ORACLE, tier=2)
+def bill_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users cohorted by first-seen ISO
+    week, with CUMULATIVE purchase revenue per cohort at each
+    weeks-since-first-seen age, plus the cohort size and the
+    LTV-per-user ratio — the payback-curve view finance reads next to
+    the retention matrix (agg_retention_cohort is the same triangle
+    counting users; this one accumulates their money). Ages with zero
+    purchases for a cohort produce no cell; the running sum therefore
+    steps only at observed ages, identically in both engines.
+
+    Shape: ONE user-keyed aggregate pins each user's cohort week, the
+    purchase stream joins to it on the user key (broadcast-eligible at
+    fixture scale, co-keyed shuffle at 100 TB), and everything after
+    runs on the O(weeks²) cell matrix — the cumulative window and the
+    cohort-size join are model-sized at any corpus. Money is exact
+    integer cents; the LTV division is shared-text."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.expr("CAST(date_trunc('week', ts) AS DATE)")).alias(
+            "cohort_week"
+        )
+    )
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.expr("CAST(date_trunc('week', ts) AS DATE)"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("age_n"),
+            quantize_long("value", 2).alias("cents"),
+        )
+    )
+    cell = wk.groupBy("cohort_week", "age_n").agg(
+        F.sum("cents").alias("wk_cents")
+    )
+    size = per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_n")
+    return (
+        cell.join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("age_n").cast("int").alias("age_n"),
+            "n_users",
+            F.sum("wk_cents").over(w).alias("cum_cents"),
+            (
+                F.sum("wk_cents").over(w).cast("double")
+                / F.col("n_users").cast("double")
+                / F.lit(100.0)
+            ).alias("ltv_per_user"),
+        )
+    )

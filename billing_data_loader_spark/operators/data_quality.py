@@ -1,0 +1,289 @@
+"""Data-quality profiling operators (SURVEY.md §2 extensions, round 11):
+functional-dependency discovery and a declarative rule suite — the
+deequ/Metanome-style validation surface a warehouse runs against every
+ingest batch before queries are allowed to trust it.
+
+Scale stance: FD discovery evaluates ALL candidate dependencies in one
+scan (a bounded map-side candidate explode into a (fd, lhs, rhs)
+aggregate — the shuffle key space is the candidates' value domains,
+never the row count), and the rule suite is one aggregate pass per
+table plus one referential anti-join: every metric is an exact integer
+count, so the pass is embarrassingly partial-aggregable and the only
+doubles are final shared-text ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+
+# --- prof_fd_discovery -------------------------------------------------------
+
+#: Candidate dependencies over ``orders``: (name, lhs SQL, rhs SQL),
+#: expressions shared verbatim with the oracle (values compare only
+#: WITHIN an engine, but shared text keeps the groupings trivially
+#: aligned). The set mixes two dependencies that hold — the key FD and a
+#: derived-attribute FD — with three that real data violates, so the g3
+#: scores span the full range.
+_FD_CANDIDATES = [
+    ("o_orderkey->o_orderpriority", "CAST(o_orderkey AS STRING)", "o_orderpriority"),
+    ("o_orderpriority->prio_class", "o_orderpriority", "substr(o_orderpriority, 1, 1)"),
+    ("o_custkey->o_orderstatus", "CAST(o_custkey AS STRING)", "o_orderstatus"),
+    ("o_orderstatus->o_orderpriority", "o_orderstatus", "o_orderpriority"),
+    ("order_month->o_orderstatus", "date_format(o_orderdate, 'yyyy-MM')", "o_orderstatus"),
+]
+
+#: g3 error (Kivinen & Mannila): the minimum fraction of rows to delete
+#: for the FD to hold = 1 - (sum over lhs groups of the majority rhs
+#: count) / N. Exact integer counts; one shared-text double division.
+_FD_ORACLE = """
+WITH cand AS (
+""" + "\n  UNION ALL\n".join(
+    "  SELECT '{name}' AS fd, {lhs} AS lhs, {rhs} AS rhs FROM orders".format(
+        name=n,
+        lhs=lhs.replace("CAST(o_orderkey AS STRING)", "CAST(o_orderkey AS VARCHAR)")
+        .replace("CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)")
+        .replace("date_format(o_orderdate, 'yyyy-MM')", "strftime(o_orderdate, '%Y-%m')"),
+        rhs=rhs,
+    )
+    for n, lhs, rhs in _FD_CANDIDATES
+) + """
+), pairs AS (
+  SELECT fd, lhs, rhs, COUNT(*) AS cnt FROM cand GROUP BY fd, lhs, rhs
+), grp AS (
+  SELECT fd, lhs, MAX(cnt) AS keep, SUM(cnt) AS total
+  FROM pairs GROUP BY fd, lhs
+)
+SELECT fd,
+       CAST(SUM(total) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(total) - SUM(keep) AS DOUBLE) / CAST(SUM(total) AS DOUBLE)
+         AS g3_error,
+       CASE WHEN SUM(total) = SUM(keep) THEN 1 ELSE 0 END AS holds
+FROM grp GROUP BY fd
+"""
+
+
+@query("prof_fd_discovery", oracle=_FD_ORACLE, tier=2)
+def prof_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a declared candidate set —
+    the schema-inference profiling primitive (Metanome / HoloClean
+    lineage): for each candidate A -> B, the g3 error = the minimum
+    fraction of rows that must be removed for the dependency to hold
+    exactly (0 = the FD holds). The candidate set spans the key FD
+    (o_orderkey -> priority), a derived-attribute FD that holds
+    non-trivially (priority -> its class digit), and three genuinely
+    violated dependencies, so the output exercises the full score range.
+
+    Shape: ONE scan for ALL candidates — each row map-side explodes into
+    one (fd, lhs, rhs) triple per candidate (bounded by the candidate
+    count), then two stacked aggregates: (fd, lhs, rhs) counts, majority
+    per (fd, lhs), and the per-fd rollup. The shuffle key space is the
+    candidates' value domains — at 100 TB the heavy (fd, lhs, rhs)
+    aggregate partial-combines map-side and the fd rollup is
+    model-sized. Counts are exact longs; g3 is one shared-text
+    division."""
+    structs = ", ".join(
+        f"struct('{n}' AS fd, {lhs} AS lhs, {rhs} AS rhs)"
+        for n, lhs, rhs in _FD_CANDIDATES
+    )
+    cand = (
+        load(spark, sf_dir, "orders")
+        .select(F.expr(f"explode(array({structs}))").alias("c"))
+        .select("c.*")
+    )
+    pairs = cand.groupBy("fd", "lhs", "rhs").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grp = pairs.groupBy("fd", "lhs").agg(
+        F.max("cnt").alias("keep"), F.sum("cnt").alias("total")
+    )
+    return grp.groupBy("fd").agg(
+        F.sum("total").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_lhs_groups"),
+        F.sum("keep").alias("n_kept"),
+        F.expr(
+            "CAST(SUM(total) - SUM(keep) AS DOUBLE)"
+            " / CAST(SUM(total) AS DOUBLE)"
+        ).alias("g3_error"),
+        F.expr(
+            "CASE WHEN SUM(total) = SUM(keep) THEN 1 ELSE 0 END"
+        ).alias("holds"),
+    )
+
+
+# --- prof_dq_rules -----------------------------------------------------------
+
+#: (rule, table, threshold): completeness/uniqueness/domain/range rules
+#: computed as exact satisfied-row counts over one aggregate pass per
+#: table, plus a referential-integrity anti-join. Two rules are
+#: deliberately stricter than the data (the status domain without 'P',
+#: the 5% discount cap) so the suite exercises the failing branch.
+_DQ_ORACLE = """
+WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(o_custkey) AS BIGINT) AS complete_cust,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS uniq_key,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS dom_full,
+         CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS dom_strict,
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos_price
+  FROM orders
+), l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc_ok,
+         CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.05
+                       THEN 1 ELSE 0 END) AS BIGINT) AS disc_strict
+  FROM lineitem
+), ref AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS orphans
+  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+)
+SELECT rule, tbl, n_rows, n_ok,
+       CAST(n_ok AS DOUBLE) / CAST(n_rows AS DOUBLE) AS metric,
+       CASE WHEN n_ok = n_rows THEN 1 ELSE 0 END AS passed
+FROM (
+  SELECT 'completeness_o_custkey' AS rule, 'orders' AS tbl,
+         n AS n_rows, complete_cust AS n_ok FROM o
+  UNION ALL SELECT 'uniqueness_o_orderkey', 'orders', n, uniq_key FROM o
+  UNION ALL SELECT 'domain_o_orderstatus_FOP', 'orders', n, dom_full FROM o
+  UNION ALL SELECT 'domain_o_orderstatus_FO', 'orders', n, dom_strict FROM o
+  UNION ALL SELECT 'positive_o_totalprice', 'orders', n, pos_price FROM o
+  UNION ALL SELECT 'range_l_discount_0_10pct', 'lineitem', n, disc_ok FROM l
+  UNION ALL SELECT 'range_l_discount_0_5pct', 'lineitem', n, disc_strict FROM l
+  UNION ALL SELECT 'ref_lineitem_orderkey', 'lineitem', n, n - orphans FROM ref
+) rules
+"""
+
+
+@query("prof_dq_rules", oracle=_DQ_ORACLE, tier=2)
+def prof_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule suite (the deequ Check pattern):
+    completeness, key uniqueness, domain membership, value range, sign,
+    and referential integrity, each reported as satisfied-rows /
+    total-rows with a pass flag. Two rules are deliberately stricter
+    than the fixture (a status domain missing 'P'; a 5% discount cap) so
+    the failing branch is genuinely exercised — a suite that always
+    passes tests nothing.
+
+    Shape: ONE aggregate pass per table computes every single-table
+    metric simultaneously (satisfied-row counts are just conditional
+    sums riding the same scan — the deequ trick), plus one left join for
+    the orphan count; the rule table itself is a constant-size unpivot
+    of the three 1-row frames. At 100 TB: two scans + one key-keyed
+    join, all map-side combinable. The 1-row folds are the documented
+    EXPECTED_FLAGS pattern. Exact counts; one shared-text ratio."""
+    o = load(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("complete_cust"),
+        F.countDistinct("o_orderkey").alias("uniq_key"),
+        F.sum(
+            F.expr(
+                "CASE WHEN o_orderstatus IN ('F', 'O', 'P')"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("dom_full"),
+        F.sum(
+            F.expr(
+                "CASE WHEN o_orderstatus IN ('F', 'O') THEN 1 ELSE 0 END"
+            )
+        ).alias("dom_strict"),
+        F.sum(
+            F.expr("CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END")
+        ).alias("pos_price"),
+    )
+    li = load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN l_discount >= 0 AND l_discount <= 0.1"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("disc_ok"),
+        F.sum(
+            F.expr(
+                "CASE WHEN l_discount >= 0 AND l_discount <= 0.05"
+                " THEN 1 ELSE 0 END"
+            )
+        ).alias("disc_strict"),
+    )
+    orphan_rows = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END"
+                )
+            ).alias("orphans"),
+        )
+    )
+
+    def unpivot(frame: DataFrame, tbl: str, items: list[tuple[str, str]]) -> DataFrame:
+        # ONE projection per source frame: unioning per-rule selects off
+        # the same 1-row aggregate would re-execute the scan once per
+        # rule (the PCA multiple-reference lesson at frame level)
+        structs = ", ".join(
+            f"struct('{name}' AS rule, '{tbl}' AS tbl,"
+            f" n AS n_rows, {ok} AS n_ok)"
+            for name, ok in items
+        )
+        return frame.select(
+            F.expr(f"explode(array({structs}))").alias("r")
+        ).select("r.*")
+
+    rules = (
+        unpivot(
+            o,
+            "orders",
+            [
+                ("completeness_o_custkey", "complete_cust"),
+                ("uniqueness_o_orderkey", "uniq_key"),
+                ("domain_o_orderstatus_FOP", "dom_full"),
+                ("domain_o_orderstatus_FO", "dom_strict"),
+                ("positive_o_totalprice", "pos_price"),
+            ],
+        )
+        .unionAll(
+            unpivot(
+                li,
+                "lineitem",
+                [
+                    ("range_l_discount_0_10pct", "disc_ok"),
+                    ("range_l_discount_0_5pct", "disc_strict"),
+                ],
+            )
+        )
+        .unionAll(
+            unpivot(
+                orphan_rows,
+                "lineitem",
+                [("ref_lineitem_orderkey", "n - orphans")],
+            )
+        )
+    )
+    return rules.select(
+        "rule",
+        "tbl",
+        "n_rows",
+        "n_ok",
+        F.expr("CAST(n_ok AS DOUBLE) / CAST(n_rows AS DOUBLE)").alias(
+            "metric"
+        ),
+        F.expr("CASE WHEN n_ok = n_rows THEN 1 ELSE 0 END").alias("passed"),
+    )

@@ -422,3 +422,89 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_anom).alias("n_anomalies"),
         )
     )
+
+
+# --- ts_cusum_changepoint ----------------------------------------------------
+
+# CUSUM level-shift detection (Page 1954, the mean-shift form monitoring
+# dashboards run): S_t = sum_{i<=t} (x_i - mean(x)). A sustained level
+# shift makes |S_t| peak AT the change day; the flagged day is the
+# argmax. All inputs are exact integer cents, the mean and the CUSUM are
+# shared-text double expressions, and the peak test compares doubles
+# both engines computed from identical integer inputs via identical IEEE
+# ops — bit-equal by construction.
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events GROUP BY day
+), c AS (
+  SELECT day, day_cents,
+         SUM(day_cents) OVER (ORDER BY day) AS cum,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         SUM(day_cents) OVER () AS total,
+         COUNT(*) OVER () AS nd
+  FROM daily
+), s AS (
+  SELECT day, day_cents,
+         CAST(cum AS DOUBLE) - CAST(rn AS DOUBLE)
+           * (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE)) AS cusum
+  FROM c
+)
+SELECT day, day_cents, cusum,
+       CASE WHEN abs(cusum) = MAX(abs(cusum)) OVER () THEN 1 ELSE 0 END
+         AS is_changepoint
+FROM s
+"""
+
+
+@query("ts_cusum_changepoint", oracle=_CUSUM_ORACLE, tier=2)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily revenue series: the
+    cumulative sum of deviations from the series mean peaks (in absolute
+    value) at the day the level shifted — the classic Page-CUSUM
+    mean-shift detector a revenue-monitoring dashboard runs nightly.
+    Output: per day, the exact cents, the CUSUM statistic, and the
+    argmax changepoint flag.
+
+    Shape: the DATA-sized work is one (day) aggregate with full map-side
+    combine; everything after (cumulative window, global mean, peak
+    test) runs on the O(days) daily frame — model-sized at any corpus
+    (30 rows here; a few thousand on a decade of data), so the
+    unpartitioned windows over it are the documented EXPECTED_FLAGS
+    pattern, with the bucketed two-pass prefix-sum swap available if a
+    series ever outgrew a partition. Cents are exact longs; the mean
+    and CUSUM are shared-text doubles over identical integers."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(quantize_long("value", 2)).alias("day_cents"))
+    )
+    w_ord = W.orderBy("day")
+    w_all = W.partitionBy()
+    c = daily.select(
+        "day",
+        "day_cents",
+        F.sum("day_cents").over(w_ord).alias("cum"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("day_cents").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+    )
+    s = c.select(
+        "day",
+        "day_cents",
+        F.expr(
+            "CAST(cum AS DOUBLE) - CAST(rn AS DOUBLE)"
+            " * (CAST(total AS DOUBLE) / CAST(nd AS DOUBLE))"
+        ).alias("cusum"),
+    )
+    return s.select(
+        "day",
+        "day_cents",
+        "cusum",
+        F.expr(
+            "CASE WHEN abs(cusum) = MAX(abs(cusum)) OVER"
+            " (PARTITION BY 1) THEN 1 ELSE 0 END"
+        ).alias("is_changepoint"),
+    )

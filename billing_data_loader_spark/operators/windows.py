@@ -684,3 +684,80 @@ def win_concurrent_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
         F.max("conc").alias("max_concurrent"),
     )
+
+
+# --- win_streak_islands -------------------------------------------------------
+
+# Gaps-and-islands: a user's consecutive-day runs group by the constant
+# (day_index - row_number) — the classic Tabibitosan trick. Both engines
+# compute the island id from the same integer subtraction.
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         (day - DATE '2024-01-01')
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+), runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len, MIN(day) AS run_start,
+         MAX(COUNT(*)) OVER (PARTITION BY user_id) AS best_len
+  FROM r GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       MIN(CASE WHEN run_len = best_len THEN run_start END)
+         AS best_streak_start
+FROM runs GROUP BY user_id
+"""
+
+
+@query("win_streak_islands", oracle=_STREAK_ORACLE, tier=2)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak analysis: per user, the longest run of
+    CONSECUTIVE active days, the island count, total active days, and
+    the start of the (earliest) longest streak — the engagement-streak /
+    SLA-continuity query every activity warehouse serves. Islands form
+    via the Tabibitosan identity: within a user, consecutive days share
+    a constant (day_index - row_number), so one subtraction converts
+    runs into group keys — no self-join, no recursive CTE.
+
+    Shape: distinct (user, day) collapse, ONE user-keyed window for the
+    row numbers, then two stacked aggregates on (user, island) and
+    (user) — every shuffle keys on user_id, and the per-user argmax of
+    the longest run rides the final aggregate as a min-over-filtered
+    struct rather than the oracle's correlated subquery. Scales with
+    users; no global ordering anywhere."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    r = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(
+                W.partitionBy("user_id").orderBy("day")
+            )
+        ).alias("island"),
+    )
+    runs = r.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("day").alias("run_start"),
+    ).withColumn(
+        "best_len",
+        F.max("run_len").over(W.partitionBy("user_id")),
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_streak"),
+        F.min(
+            F.when(F.col("run_len") == F.col("best_len"), F.col("run_start"))
+        ).alias("best_streak_start"),
+    )

@@ -41,6 +41,8 @@ _MODULES = [
     "billing_data_loader_spark.operators.segmentation",
     "billing_data_loader_spark.operators.dedup_span",
     "billing_data_loader_spark.operators.lakeops",
+    "billing_data_loader_spark.operators.billing_revenue",
+    "billing_data_loader_spark.operators.data_quality",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",

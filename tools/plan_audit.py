@@ -278,6 +278,16 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row extents + 1-row totals aggregates (bin scale and "
             "proportion denominators)"
         ),
+        "prof_dq_rules": (
+            "1-row per-table metric folds (deequ-style conditional-sum "
+            "pass; O(tasks) partials) unpivoted into the constant-size "
+            "rule table"
+        ),
+        "ts_cusum_changepoint": (
+            "cumulative/global windows over the O(days) daily frame "
+            "(model-sized at any corpus; bucketed two-pass prefix-sum "
+            "swap documented in the docstring)"
+        ),
         "prof_corr_matrix": (
             "1-row global moment aggregate (O(tasks) partials; the 6 pair "
             "rows explode map-side from the single row)"
