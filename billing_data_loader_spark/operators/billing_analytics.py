@@ -14,7 +14,7 @@ matrices are O(days² ) / O(steps) rows at any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.determinism import MICRO, dsum, o_dsum, quantize_long
@@ -720,4 +720,190 @@ def bill_tax_rounding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_invoices"),
             F.sum("diff_cents").alias("leaked_cents"),
         )
+    )
+
+
+# --- ext_attribution_credit --------------------------------------------------
+
+# Multi-touch attribution: each purchase's value is credited to the
+# touch events (view/click/signup) that precede it — and to 'direct'
+# when nothing does. Three models side by side: linear (equal split,
+# as exact integer micro-units via truncating division — deterministic,
+# order-insensitive), first-touch, last-touch. The touch->purchase
+# assignment is "next purchase strictly after the touch" in the
+# (ts, event_id) total order, computed with one reverse-ordered
+# last(ignorenulls) window — no self-join against the purchase stream.
+_ATTRIB_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pid,
+         last_value(CASE WHEN event_type = 'purchase' THEN cents END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pcents,
+         last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                         THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_touch
+  FROM ev
+), t AS (
+  SELECT event_type, user_id, ts, event_id, pid, pcents,
+         COUNT(*) OVER (PARTITION BY user_id, pid) AS n_t,
+         ROW_NUMBER() OVER (PARTITION BY user_id, pid
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, pid
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM m
+  WHERE event_type IN ('view', 'click', 'signup') AND pid IS NOT NULL
+), chan AS (
+  SELECT event_type AS channel,
+         CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+         CAST(SUM(pcents * 10000 // n_t) AS BIGINT) AS linear_u,
+         CAST(SUM(CASE WHEN rn_a = 1 THEN pcents ELSE 0 END) AS BIGINT)
+           AS first_cents,
+         CAST(SUM(CASE WHEN rn_d = 1 THEN pcents ELSE 0 END) AS BIGINT)
+           AS last_cents
+  FROM t GROUP BY event_type
+), direct AS (
+  SELECT 'direct' AS channel,
+         CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+         CAST(SUM(cents * 10000) AS BIGINT) AS linear_u,
+         CAST(SUM(cents) AS BIGINT) AS first_cents,
+         CAST(SUM(cents) AS BIGINT) AS last_cents
+  FROM m WHERE event_type = 'purchase' AND prev_touch IS NULL
+)
+SELECT channel, n_touchpoints,
+       CAST(linear_u AS DOUBLE) / 1e6 AS linear_dollars,
+       first_cents, last_cents
+FROM (SELECT * FROM chan UNION ALL SELECT * FROM direct) z
+"""
+
+
+@query("ext_attribution_credit", oracle=_ATTRIB_ORACLE, tier=3)
+def ext_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution over the event stream: each
+    purchase's value is credited to the touch events (view / click /
+    signup) that PRECEDE it in the user's (ts, event_id) total order —
+    linear (equal split), first-touch, and last-touch models side by
+    side, plus a 'direct' bucket for purchases with no prior touch, so
+    total credit conserves the purchase ledger (pinned in
+    tests/test_round11.py up to the documented truncating-division
+    remainder).
+
+    Shape: the touch->purchase assignment is ONE reverse-ordered
+    last(ignorenulls) window per user — the carry-forward trick
+    (ext_webdataset_index precedent), never a touch x purchase
+    self-join; the per-conversion touch counts and first/last flags ride
+    two more windows on the SAME user-keyed shuffle. Linear credit is an
+    exact truncating integer division into 1e-6-dollar units, so channel
+    sums are order-insensitive longs; the only double is the final /1e6
+    rescale."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        quantize_long("value", 2).alias("cents"),
+    )
+    w_desc = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_asc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    m = ev.select(
+        "*",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(w_desc)
+        .alias("pid"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("cents")),
+            ignorenulls=True,
+        )
+        .over(w_desc)
+        .alias("pcents"),
+        F.last(
+            F.when(
+                F.col("event_type").isin("view", "click", "signup"),
+                F.col("event_id"),
+            ),
+            ignorenulls=True,
+        )
+        .over(w_asc)
+        .alias("prev_touch"),
+    )
+    from ..session import scoped_persist
+
+    # two consumers (channel credits + the direct bucket) of the same
+    # windowed frame — persist, or the window pipeline runs twice
+    m = scoped_persist(m)
+    wt = W.partitionBy("user_id", "pid")
+    t = (
+        m.filter(
+            F.col("event_type").isin("view", "click", "signup")
+            & F.col("pid").isNotNull()
+        )
+        .select(
+            "event_type",
+            "pcents",
+            F.count(F.lit(1)).over(wt).alias("n_t"),
+            F.row_number()
+            .over(wt.orderBy("ts", "event_id"))
+            .alias("rn_a"),
+            F.row_number()
+            .over(wt.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+            .alias("rn_d"),
+        )
+    )
+    chan = t.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_touchpoints"),
+        F.sum(F.expr("pcents * 10000 DIV n_t")).alias("linear_u"),
+        F.sum(
+            F.expr("CASE WHEN rn_a = 1 THEN pcents ELSE 0 END")
+        ).alias("first_cents"),
+        F.sum(
+            F.expr("CASE WHEN rn_d = 1 THEN pcents ELSE 0 END")
+        ).alias("last_cents"),
+    )
+    direct = (
+        m.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_touch").isNull()
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_touchpoints"),
+            F.sum(F.expr("cents * 10000")).alias("linear_u"),
+            F.sum("cents").alias("first_cents"),
+            F.sum("cents").alias("last_cents"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            "n_touchpoints",
+            "linear_u",
+            "first_cents",
+            "last_cents",
+        )
+    )
+    return chan.unionAll(direct).select(
+        "channel",
+        "n_touchpoints",
+        F.expr("CAST(linear_u AS DOUBLE) / 1e6").alias("linear_dollars"),
+        "first_cents",
+        "last_cents",
     )

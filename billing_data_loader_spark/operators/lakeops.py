@@ -353,3 +353,132 @@ def ext_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("utilization"),
         )
     )
+
+
+# --- scan_txn_log_snapshot ----------------------------------------------------
+
+#: Retention horizon (in versions) after which a month-file is removed,
+#: and how far back from the head the snapshot query time-travels.
+_TXN_RETAIN = 24
+_TXN_BACK = 6
+
+#: Month index from the fixture epoch — the version counter: each order
+#: month commits one ADD at its own version; a REMOVE commits
+#: _TXN_RETAIN versions later (the vacuum), if that version exists.
+_TXN_V = "(CAST({y} AS BIGINT) - 1995) * 12 + CAST({m} AS BIGINT) - 1"
+
+_TXN_ORACLE = f"""
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         {_TXN_V.format(y="date_part('year', o_orderdate)",
+                        m="date_part('month', o_orderdate)")} AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY ym, v
+), vmax AS (
+  SELECT MAX(v) AS vm FROM monthly
+), log_ AS (
+  SELECT v AS version, 'add' AS op,
+         'orders/m=' || ym AS path, n_rows AS size_rows
+  FROM monthly
+  UNION ALL
+  SELECT v + {_TXN_RETAIN} AS version, 'remove' AS op,
+         'orders/m=' || ym AS path, CAST(0 AS BIGINT) AS size_rows
+  FROM monthly, vmax WHERE v + {_TXN_RETAIN} <= vmax.vm
+), q AS (
+  SELECT MAX(version) - {_TXN_BACK} AS qv FROM log_
+), latest AS (
+  SELECT path, arg_max(op, version) AS op,
+         arg_max(size_rows, version) AS size_rows,
+         MAX(version) AS version
+  FROM log_, q WHERE version <= q.qv GROUP BY path
+)
+SELECT path, size_rows, version AS added_version
+FROM latest WHERE op = 'add'
+"""
+
+
+@query("scan_txn_log_snapshot", oracle=_TXN_ORACLE, tier=3)
+def scan_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log snapshot reconstruction — the lakehouse
+    time-travel primitive (the Delta/Iceberg log-replay read path): a
+    JSONL action log (one add per month-partition file at its commit
+    version; a vacuum remove {_TXN_RETAIN} versions later) is STAGED to
+    scratch as real JSON files (distributed write through the
+    race-safe content-addressed staging), then the reader — the product
+    surface under test — is ``spark.read.json`` with an explicit schema
+    plus the snapshot algebra: at query version head-{_TXN_BACK}, a
+    file is live iff its LATEST action at-or-before that version is an
+    add. The remove rows carry size 0, so a reader that confused the
+    latest action's payload with the add's would visibly corrupt sizes.
+
+    Shape: the log is a MANIFEST (O(files) rows, never data rows — the
+    ext_compaction_plan scale argument), so the head-version fold and
+    the per-path arg-max are metadata-scale at any corpus; the real
+    100 TB cost is the JSON scan itself, which is distributed and
+    schema-pinned (no inference pass). The oracle mirrors the log
+    DERIVATION from orders — the staged path is runtime-keyed, so the
+    parity claim is that writing the log out and reading it back is
+    exact."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.connectors import content_addressed_stage
+
+    v_expr = _TXN_V.format(y="year(o_orderdate)", m="month(o_orderdate)")
+
+    def build(tmp: str) -> None:
+        monthly = (
+            load(spark, sf_dir, "orders")
+            .groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+                F.expr(v_expr).alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        vm = monthly.agg(F.max("v").alias("vm"))
+        log = monthly.crossJoin(F.broadcast(vm)).select(
+            F.explode(
+                F.expr(
+                    f"""filter(array(
+                  struct(v AS version, 'add' AS op,
+                         concat('orders/m=', ym) AS path,
+                         n_rows AS size_rows),
+                  struct(v + {_TXN_RETAIN} AS version, 'remove' AS op,
+                         concat('orders/m=', ym) AS path,
+                         CAST(0 AS BIGINT) AS size_rows)),
+                  x -> x.op = 'add' OR x.version <= vm)"""
+                )
+            ).alias("a")
+        ).select("a.*")
+        log.coalesce(4).write.mode("overwrite").json(tmp)
+
+    staged = content_addressed_stage(
+        sf_dir, "txn_log", build, table="orders"
+    )
+    schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("op", StringType()),
+            StructField("path", StringType()),
+            StructField("size_rows", LongType()),
+        ]
+    )
+    log = spark.read.schema(schema).json(staged)
+    q = log.agg((F.max("version") - _TXN_BACK).alias("qv"))
+    latest = (
+        log.crossJoin(F.broadcast(q))
+        .filter(F.col("version") <= F.col("qv"))
+        .groupBy("path")
+        .agg(
+            F.expr("max_by(op, version)").alias("op"),
+            F.expr("max_by(size_rows, version)").alias("size_rows"),
+            F.max("version").alias("version"),
+        )
+    )
+    return latest.filter(F.col("op") == "add").select(
+        "path", "size_rows", F.col("version").alias("added_version")
+    )

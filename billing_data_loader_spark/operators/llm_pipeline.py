@@ -961,3 +961,93 @@ def ext_neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.doc_id").alias("doc_b"),
         dist.alias("edit_dist"),
     ).filter(F.col("edit_dist") <= _EDIT_MAX_DIST)
+
+
+# --- ext_hard_negatives -----------------------------------------------------
+
+_HARDNEG_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS a_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS av
+  FROM embeddings WHERE vec_id % 97 = 0
+), scored AS (
+  SELECT a.anchor_id, e.vec_id AS cand_id,
+         CASE WHEN e.label <> a.a_label THEN 1 ELSE 0 END AS is_neg,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), av)
+         / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(av, av))) AS cos_sim
+  FROM embeddings e, a
+  WHERE e.vec_id <> a.anchor_id
+), ranked AS (
+  SELECT anchor_id, cand_id, is_neg, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY anchor_id, is_neg
+           ORDER BY cos_sim DESC, cand_id ASC
+         ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT anchor_id,
+       CASE WHEN is_neg = 1 THEN 'neg' ELSE 'pos' END AS kind,
+       rnk, cand_id, cos_sim
+FROM ranked
+WHERE (is_neg = 1 AND rnk <= 5) OR (is_neg = 0 AND rnk <= 1)
+"""
+
+
+@query("ext_hard_negatives", oracle=_HARDNEG_ORACLE, tier=3)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): for each anchor (the vec_id%97 benchmark slice),
+    the 5 most-similar vectors with a DIFFERENT label — the negatives
+    that actually teach the margin — plus the top same-label positive.
+    ext_knn_per_label ranks WITHIN each label; this ranks ACROSS the
+    label boundary, which is what makes a negative 'hard'.
+
+    Shape: the anchor frame broadcasts (it is a fixed modulo slice —
+    model-sized at any corpus) against one corpus scan; scoring is pure
+    JVM-side array arithmetic (zip_with dot product, no UDF), and the
+    per-(anchor, side) top-k is a window over the scored frame
+    partitioned on the anchor key. At 100 TB the exact scorer is the
+    oracle complement — the bucketed path is the existing ANN family
+    (IVF / LSH / PQ) feeding the same ranked output shape."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.expr("vec_id % 97 = 0")).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        _as_double("embedding").alias("av"),
+    )
+    ed = _as_double(F.col("embedding"))
+    av = F.col("av")
+    cos = _dot(ed, av) / (F.sqrt(_dot(ed, ed)) * F.sqrt(_dot(av, av)))
+    scored = (
+        e.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("cand_id"),
+            F.expr(
+                "CASE WHEN label <> a_label THEN 1 ELSE 0 END"
+            ).alias("is_neg"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id", "is_neg").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(
+            ((F.col("is_neg") == 1) & (F.col("rnk") <= 5))
+            | ((F.col("is_neg") == 0) & (F.col("rnk") <= 1))
+        )
+        .select(
+            "anchor_id",
+            F.expr(
+                "CASE WHEN is_neg = 1 THEN 'neg' ELSE 'pos' END"
+            ).alias("kind"),
+            "rnk",
+            "cand_id",
+            "cos_sim",
+        )
+    )

@@ -283,6 +283,17 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "pass; O(tasks) partials) unpivoted into the constant-size "
             "rule table"
         ),
+        "ext_assoc_rules": (
+            "1-row basket-total fold (support denominator; O(tasks) "
+            "partials)"
+        ),
+        "ext_attribution_credit": (
+            "1-row direct-bucket scalar fold (unattributed purchases)"
+        ),
+        "scan_txn_log_snapshot": (
+            "1-row head-version fold over the O(files) manifest (never "
+            "data rows)"
+        ),
         "ts_cusum_changepoint": (
             "cumulative/global windows over the O(days) daily frame "
             "(model-sized at any corpus; bucketed two-pass prefix-sum "
@@ -395,6 +406,18 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row broadcast totals fold (pair + token denominators)"
         ),
         "ext_lm_unigram_score": "1-row broadcast token-total frame",
+        "ext_hard_negatives": (
+            "broadcast modulo-slice anchor frame (model-sized at any "
+            "corpus; the ext_knn_cosine pattern generalized to a fixed "
+            "anchor set)"
+        ),
+        "ext_assoc_rules": (
+            "1-row broadcast basket-total fold (support denominator)"
+        ),
+        "scan_txn_log_snapshot": (
+            "1-row broadcast head-version fold over the O(files) manifest"
+        ),
+        "ext_attribution_credit": "1-row direct-bucket scalar fold",
         "ext_domain_mix_sample": "1-row broadcast min-count frame (rate denom)",
         "ts_gapfill": "1-row broadcast global-end-day bound for the grid",
         "win_ntile_pctrank": "1-row broadcast total-row-count frame",
