@@ -750,10 +750,15 @@ WITH ev AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS pcents,
          last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
-                         THEN event_id END IGNORE NULLS)
+                         THEN ts END IGNORE NULLS)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           AS prev_touch
+           AS prev_touch_ts,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_purch_ts
   FROM ev
 ), t AS (
   SELECT event_type, user_id, ts, event_id, pid, pcents,
@@ -779,7 +784,9 @@ WITH ev AS (
          CAST(SUM(cents * 10000) AS BIGINT) AS linear_u,
          CAST(SUM(cents) AS BIGINT) AS first_cents,
          CAST(SUM(cents) AS BIGINT) AS last_cents
-  FROM m WHERE event_type = 'purchase' AND prev_touch IS NULL
+  FROM m WHERE event_type = 'purchase'
+    AND (prev_touch_ts IS NULL
+         OR (prev_purch_ts IS NOT NULL AND prev_purch_ts > prev_touch_ts))
 )
 SELECT channel, n_touchpoints,
        CAST(linear_u AS DOUBLE) / 1e6 AS linear_dollars,
@@ -841,12 +848,18 @@ def ext_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(
             F.when(
                 F.col("event_type").isin("view", "click", "signup"),
-                F.col("event_id"),
+                F.col("ts"),
             ),
             ignorenulls=True,
         )
         .over(w_asc)
-        .alias("prev_touch"),
+        .alias("prev_touch_ts"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("ts")),
+            ignorenulls=True,
+        )
+        .over(w_asc)
+        .alias("prev_purch_ts"),
     )
     from ..session import scoped_persist
 
@@ -881,10 +894,21 @@ def ext_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN rn_d = 1 THEN pcents ELSE 0 END")
         ).alias("last_cents"),
     )
+    # 'direct' = no touch inside THIS purchase's conversion window (the
+    # stretch since the previous purchase) — 'no touch ever' undercounts:
+    # a purchase whose only touches preceded an earlier purchase would
+    # otherwise vanish from both buckets and break ledger conservation
+    # (found by the round-11 conservation test)
     direct = (
         m.filter(
             (F.col("event_type") == "purchase")
-            & F.col("prev_touch").isNull()
+            & (
+                F.col("prev_touch_ts").isNull()
+                | (
+                    F.col("prev_purch_ts").isNotNull()
+                    & (F.col("prev_purch_ts") > F.col("prev_touch_ts"))
+                )
+            )
         )
         .agg(
             F.count(F.lit(1)).alias("n_touchpoints"),

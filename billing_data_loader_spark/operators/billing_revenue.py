@@ -203,22 +203,25 @@ WITH inv AS (
   FROM events WHERE event_type = 'purchase' AND user_id % 7 = 3
 )
 SELECT i.cust, i.inv_id, i.cents,
-       CAST(COALESCE(SUM(LEAST(i.inv_cum, p.pay_cum)
-                         - GREATEST(i.inv_cum - i.cents,
-                                    p.pay_cum - p.pc)), 0) AS BIGINT)
-         AS alloc_cents,
+       CAST(COALESCE(SUM(CASE WHEN p.pay_id IS NULL THEN 0
+                         ELSE LEAST(i.inv_cum, p.pay_cum)
+                              - GREATEST(i.inv_cum - i.cents,
+                                         p.pay_cum - p.pc) END), 0)
+            AS BIGINT) AS alloc_cents,
        CAST(COUNT(p.pay_id) AS BIGINT) AS n_payments,
        COALESCE(MIN(CASE WHEN p.pay_cum >= i.inv_cum THEN p.pay_id END),
                 CAST(-1 AS BIGINT)) AS completing_payment,
        CASE
-         WHEN COALESCE(SUM(LEAST(i.inv_cum, p.pay_cum)
-                           - GREATEST(i.inv_cum - i.cents,
-                                      p.pay_cum - p.pc)), 0) = i.cents
-           THEN 'paid'
-         WHEN COALESCE(SUM(LEAST(i.inv_cum, p.pay_cum)
-                           - GREATEST(i.inv_cum - i.cents,
-                                      p.pay_cum - p.pc)), 0) > 0
-           THEN 'partial'
+         WHEN COALESCE(SUM(CASE WHEN p.pay_id IS NULL THEN 0
+                           ELSE LEAST(i.inv_cum, p.pay_cum)
+                                - GREATEST(i.inv_cum - i.cents,
+                                           p.pay_cum - p.pc) END), 0)
+              = i.cents THEN 'paid'
+         WHEN COALESCE(SUM(CASE WHEN p.pay_id IS NULL THEN 0
+                           ELSE LEAST(i.inv_cum, p.pay_cum)
+                                - GREATEST(i.inv_cum - i.cents,
+                                           p.pay_cum - p.pc) END), 0)
+              > 0 THEN 'partial'
          ELSE 'unpaid'
        END AS status
 FROM inv i
@@ -284,8 +287,12 @@ def bill_credit_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pay_cum"),
         )
     )
+    # LEAST/GREATEST skip NULLs in BOTH engines (found by the round-11
+    # FIFO replay test): an unmatched left-join row must allocate 0, not
+    # collapse the overlap to the invoice's own interval
     alloc = F.expr(
-        "LEAST(inv_cum, pay_cum) - GREATEST(inv_cum - cents, pay_cum - pc)"
+        "CASE WHEN pay_id IS NULL THEN 0 ELSE LEAST(inv_cum, pay_cum)"
+        " - GREATEST(inv_cum - cents, pay_cum - pc) END"
     )
     pairs = inv.join(
         pay,
@@ -306,11 +313,13 @@ def bill_credit_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long"),
         ).alias("completing_payment"),
         F.expr(
-            "CASE WHEN COALESCE(SUM(LEAST(inv_cum, pay_cum)"
-            " - GREATEST(inv_cum - cents, pay_cum - pc)), 0) = cents"
+            "CASE WHEN COALESCE(SUM(CASE WHEN pay_id IS NULL THEN 0"
+            " ELSE LEAST(inv_cum, pay_cum)"
+            " - GREATEST(inv_cum - cents, pay_cum - pc) END), 0) = cents"
             " THEN 'paid'"
-            " WHEN COALESCE(SUM(LEAST(inv_cum, pay_cum)"
-            " - GREATEST(inv_cum - cents, pay_cum - pc)), 0) > 0"
+            " WHEN COALESCE(SUM(CASE WHEN pay_id IS NULL THEN 0"
+            " ELSE LEAST(inv_cum, pay_cum)"
+            " - GREATEST(inv_cum - cents, pay_cum - pc) END), 0) > 0"
             " THEN 'partial' ELSE 'unpaid' END"
         ).alias("status"),
     )

@@ -1,0 +1,459 @@
+"""Round-11 semantic tests: Python replays and conservation invariants
+for tiered rating, revenue recognition, FIFO payment application, the
+LTV triangle, streak islands, CUSUM changepoints, FD discovery, the DQ
+rule suite, association rules, attribution, hard negatives, and the
+transaction-log snapshot."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from billing_data_loader_spark.plans.catalog import catalog
+from billing_data_loader_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def _cents(x: float) -> int:
+    return int(math.floor(x * 100 + 0.5))
+
+
+class TestTieredRating:
+    def test_python_replay(self, spark):
+        """Units and revenue per (flag, tier) equal a per-line Python
+        replay of the clamp formula, and tier-1 units conserve the
+        min(q, 10) line total."""
+        from billing_data_loader_spark.operators.billing_revenue import _TIERS
+
+        rows = (
+            load(spark, SF_DIR, "lineitem")
+            .select("l_returnflag", "l_quantity")
+            .collect()
+        )
+        exp: dict[tuple, list] = defaultdict(lambda: [0, 0])
+        for r in rows:
+            q = int(math.floor(r["l_quantity"] + 0.5))
+            for name, lo, width, rate in _TIERS:
+                u = min(max(q - lo, 0), width)
+                if u > 0:
+                    exp[(r["l_returnflag"], name)][0] += u
+                    exp[(r["l_returnflag"], name)][1] += u * rate
+        got = {
+            (r["l_returnflag"], r["tier"]): r
+            for r in catalog()["bill_tiered_rating"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(exp)
+        for k, (u, rev) in exp.items():
+            assert got[k]["units"] == u
+            assert got[k]["revenue_cents"] == rev
+
+
+class TestRevenueRecognition:
+    def test_conservation_and_term_bounds(self, spark):
+        """The recognition schedule conserves total invoice cents
+        EXACTLY (the ledger must balance), and per-month contract counts
+        never exceed the order count."""
+        orders = load(spark, SF_DIR, "orders").select("o_totalprice").collect()
+        total = sum(_cents(r["o_totalprice"]) for r in orders)
+        sched = catalog()["bill_revenue_recognition"].fn(spark, SF_DIR).collect()
+        assert sum(r["recognized_cents"] for r in sched) == total
+        assert max(r["n_contracts"] for r in sched) <= len(orders)
+
+    def test_largest_remainder_replay(self, spark):
+        """One order's schedule equals the largest-remainder rule."""
+        r = (
+            load(spark, SF_DIR, "orders")
+            .orderBy("o_orderkey")
+            .limit(1)
+            .collect()[0]
+        )
+        cents = _cents(r["o_totalprice"])
+        n = 1 + r["o_orderkey"] % 12
+        base, rem = divmod(cents, n)
+        sched = [base + (1 if m < rem else 0) for m in range(n)]
+        assert sum(sched) == cents
+        assert max(sched) - min(sched) <= 1
+
+
+class TestCreditFifo:
+    def test_python_fifo_replay(self, spark):
+        """Per-invoice allocation, payment count, and the completing
+        payment id equal a sequential Python FIFO replay for every
+        customer in the declared slice."""
+        inv_rows = (
+            load(spark, SF_DIR, "orders")
+            .filter(F.expr("o_custkey % 7 = 3"))
+            .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+            .collect()
+        )
+        pay_rows = (
+            load(spark, SF_DIR, "events")
+            .filter(F.expr("event_type = 'purchase' AND user_id % 7 = 3"))
+            .select("user_id", "event_id", "value", "ts")
+            .collect()
+        )
+        invs: dict[int, list] = defaultdict(list)
+        for r in inv_rows:
+            invs[r["o_custkey"]].append(
+                (r["o_orderdate"], r["o_orderkey"], _cents(r["o_totalprice"]))
+            )
+        pays: dict[int, list] = defaultdict(list)
+        for r in pay_rows:
+            pays[r["user_id"]].append(
+                (r["ts"], r["event_id"], _cents(r["value"]))
+            )
+        exp = {}
+        for cust, iv in invs.items():
+            iv.sort()
+            queue = sorted(pays.get(cust, []))
+            # sequential FIFO: walk payments into invoices oldest-first
+            alloc = {k: 0 for _, k, _ in iv}
+            touched = {k: set() for _, k, _ in iv}
+            completing = {k: -1 for _, k, _ in iv}
+            i = 0
+            remaining = [c for _, _, c in iv]
+            for _, pay_id, pc in queue:
+                left = pc
+                while left > 0 and i < len(iv):
+                    k = iv[i][1]
+                    take = min(left, remaining[i])
+                    if take > 0:
+                        alloc[k] += take
+                        touched[k].add(pay_id)
+                        remaining[i] -= take
+                        left -= take
+                    if remaining[i] == 0:
+                        if completing[k] == -1:
+                            completing[k] = pay_id
+                        i += 1
+                    else:
+                        break
+            for _, k, cents in iv:
+                status = (
+                    "paid"
+                    if alloc[k] == cents
+                    else ("partial" if alloc[k] > 0 else "unpaid")
+                )
+                exp[k] = (alloc[k], len(touched[k]), completing[k], status)
+        got = {
+            r["inv_id"]: r
+            for r in catalog()["bill_credit_fifo"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(exp)
+        for k, (alloc, n_pay, completing, status) in exp.items():
+            assert got[k]["alloc_cents"] == alloc, k
+            assert got[k]["n_payments"] == n_pay, k
+            assert got[k]["completing_payment"] == completing, k
+            assert got[k]["status"] == status, k
+
+
+class TestLtvTriangle:
+    def test_cumulative_monotone_and_conservation(self, spark):
+        """Per cohort the cumulative revenue is nondecreasing in age,
+        and the final cumulative total over cohorts equals the total
+        purchase cents of the slice."""
+        rows = catalog()["bill_ltv_triangle"].fn(spark, SF_DIR).collect()
+        by_cohort: dict = defaultdict(list)
+        for r in rows:
+            by_cohort[r["cohort_week"]].append((r["age_n"], r["cum_cents"]))
+        last_total = 0
+        for cohort, cells in by_cohort.items():
+            cells.sort()
+            assert all(
+                a[1] <= b[1] for a, b in zip(cells, cells[1:])
+            ), cohort
+            last_total += cells[-1][1]
+        total = sum(
+            _cents(r["value"])
+            for r in load(spark, SF_DIR, "events")
+            .filter("event_type = 'purchase'")
+            .select("value")
+            .collect()
+        )
+        assert last_total == total
+
+
+class TestStreakIslands:
+    def test_brute_force_replay(self, spark):
+        """Longest streak / island count equal a Python scan of each
+        user's sorted day set."""
+        rows = (
+            load(spark, SF_DIR, "events")
+            .select("user_id", F.to_date("ts").alias("day"))
+            .distinct()
+            .collect()
+        )
+        days: dict = defaultdict(set)
+        for r in rows:
+            days[r["user_id"]].add(r["day"])
+        exp = {}
+        for u, ds in days.items():
+            ordered = sorted(ds)
+            runs, cur = [], 1
+            for a, b in zip(ordered, ordered[1:]):
+                if (b - a).days == 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            exp[u] = (len(ordered), len(runs), max(runs))
+        got = {
+            r["user_id"]: r
+            for r in catalog()["win_streak_islands"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(exp)
+        for u, (nd, ni, mx) in exp.items():
+            assert got[u]["n_active_days"] == nd
+            assert got[u]["n_islands"] == ni
+            assert got[u]["longest_streak"] == mx
+
+
+class TestCusum:
+    def test_numpy_replay(self, spark):
+        """CUSUM values and the peak flag equal a numpy replay over the
+        exact daily cents."""
+        import numpy as np
+
+        rows = catalog()["ts_cusum_changepoint"].fn(spark, SF_DIR).collect()
+        rows.sort(key=lambda r: r["day"])
+        x = np.array([r["day_cents"] for r in rows], dtype=np.float64)
+        mean = float(x.sum()) / len(x)
+        cusum = np.cumsum(x - mean)
+        peak = int(np.argmax(np.abs(cusum)))
+        for i, r in enumerate(rows):
+            assert abs(r["cusum"] - cusum[i]) < 1e-6 * max(1.0, abs(cusum[i]))
+        flagged = [i for i, r in enumerate(rows) if r["is_changepoint"] == 1]
+        assert peak in flagged
+        # ties are astronomically unlikely on real cents but allowed:
+        # every flagged day must carry the max |CUSUM|
+        for i in flagged:
+            assert abs(abs(cusum[i]) - abs(cusum[peak])) < 1e-9
+
+
+class TestFdDiscovery:
+    def test_known_fds_hold_and_violations_replay(self, spark):
+        """The key FD and the derived-attribute FD hold (g3 = 0); a
+        violated candidate's g3 equals the Python majority count."""
+        got = {
+            r["fd"]: r
+            for r in catalog()["prof_fd_discovery"].fn(spark, SF_DIR).collect()
+        }
+        assert got["o_orderkey->o_orderpriority"]["holds"] == 1
+        assert got["o_orderpriority->prio_class"]["holds"] == 1
+        assert got["o_custkey->o_orderstatus"]["holds"] == 0
+        rows = (
+            load(spark, SF_DIR, "orders")
+            .select("o_custkey", "o_orderstatus")
+            .collect()
+        )
+        groups: dict = defaultdict(lambda: defaultdict(int))
+        for r in rows:
+            groups[r["o_custkey"]][r["o_orderstatus"]] += 1
+        kept = sum(max(g.values()) for g in groups.values())
+        r = got["o_custkey->o_orderstatus"]
+        assert r["n_kept"] == kept
+        assert r["n_rows"] == len(rows)
+
+
+class TestDqRules:
+    def test_pass_fail_partition(self, spark):
+        """The deliberately-strict rules fail, everything else passes,
+        and referential integrity is clean on the fixture."""
+        got = {
+            r["rule"]: r
+            for r in catalog()["prof_dq_rules"].fn(spark, SF_DIR).collect()
+        }
+        assert got["domain_o_orderstatus_FO"]["passed"] == 0
+        assert got["range_l_discount_0_5pct"]["passed"] == 0
+        for rule in (
+            "completeness_o_custkey",
+            "uniqueness_o_orderkey",
+            "domain_o_orderstatus_FOP",
+            "positive_o_totalprice",
+            "range_l_discount_0_10pct",
+            "ref_lineitem_orderkey",
+        ):
+            assert got[rule]["passed"] == 1, rule
+            assert got[rule]["n_ok"] == got[rule]["n_rows"], rule
+
+
+class TestAssocRules:
+    def test_python_replay(self, spark):
+        """Rule counts and the support cut equal an itertools replay
+        over the basket sets."""
+        from itertools import combinations
+
+        from billing_data_loader_spark.operators.market_basket import (
+            _MINSUP_MUL,
+        )
+
+        li = (
+            load(spark, SF_DIR, "lineitem")
+            .join(
+                load(spark, SF_DIR, "part"),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .select("l_orderkey", "p_brand")
+            .collect()
+        )
+        baskets: dict = defaultdict(set)
+        for r in li:
+            baskets[r["l_orderkey"]].add(r["p_brand"])
+        n = len(baskets)
+        item_cnt: dict = defaultdict(int)
+        pair_cnt: dict = defaultdict(int)
+        for items in baskets.values():
+            for it in items:
+                item_cnt[it] += 1
+            for a, b in combinations(sorted(items), 2):
+                pair_cnt[(a, b)] += 1
+        exp = {}
+        for (a, b), c in pair_cnt.items():
+            if _MINSUP_MUL * c >= n:
+                exp[(a, b)] = c
+                exp[(b, a)] = c
+        got = {
+            (r["antecedent"], r["consequent"]): r
+            for r in catalog()["ext_assoc_rules"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(exp)
+        for k, c in exp.items():
+            assert got[k]["n_ab"] == c
+            assert got[k]["n_ante"] == item_cnt[k[0]]
+            # lift symmetry: A->B and B->A share the same lift
+            assert abs(got[k]["lift"] - got[(k[1], k[0])]["lift"]) < 1e-12
+
+
+class TestAttribution:
+    def test_conservation(self, spark):
+        """First-touch, last-touch, and the direct bucket each conserve
+        the attributed purchase ledger exactly; linear credit conserves
+        it up to the documented truncating-division remainder (< n_t
+        micro-units per conversion)."""
+        rows = catalog()["ext_attribution_credit"].fn(spark, SF_DIR).collect()
+        by = {r["channel"]: r for r in rows}
+        ev = (
+            load(spark, SF_DIR, "events")
+            .select("user_id", "ts", "event_id", "event_type", "value")
+            .collect()
+        )
+        ev.sort(key=lambda r: (r["user_id"], r["ts"], r["event_id"]))
+        touch_types = {"view", "click", "signup"}
+        attributed = 0
+        direct = 0
+        n_purch = 0
+        per_user: dict = defaultdict(list)
+        for r in ev:
+            per_user[r["user_id"]].append(r)
+        for seq in per_user.values():
+            # a purchase is attributed iff a touch occurred inside ITS
+            # conversion window (since the previous purchase) — the
+            # operator's window semantics
+            touch_in_window = False
+            for r in seq:
+                if r["event_type"] in touch_types:
+                    touch_in_window = True
+                elif r["event_type"] == "purchase":
+                    n_purch += 1
+                    if touch_in_window:
+                        attributed += _cents(r["value"])
+                    else:
+                        direct += _cents(r["value"])
+                    touch_in_window = False
+        chan_first = sum(
+            by[c]["first_cents"] for c in by if c != "direct"
+        )
+        chan_last = sum(by[c]["last_cents"] for c in by if c != "direct")
+        assert chan_first == attributed
+        assert chan_last == attributed
+        assert by["direct"]["first_cents"] == direct
+        # linear: dollars * 1e6 micro-units vs attributed cents * 1e4
+        linear_u = sum(
+            round(by[c]["linear_dollars"] * 1e6)
+            for c in by
+            if c != "direct"
+        )
+        assert 0 <= attributed * 10000 - linear_u < n_purch * 10000
+
+
+class TestHardNegatives:
+    def test_numpy_replay(self, spark):
+        """Negative/positive picks equal a numpy brute-force replay."""
+        import numpy as np
+
+        rows = (
+            load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "label", "embedding")
+            .collect()
+        )
+        ids = np.array([r["vec_id"] for r in rows])
+        labels = np.array([r["label"] for r in rows])
+        V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        got: dict = defaultdict(list)
+        for r in catalog()["ext_hard_negatives"].fn(spark, SF_DIR).collect():
+            got[(r["anchor_id"], r["kind"])].append(
+                (r["rnk"], r["cand_id"])
+            )
+        for a_idx in np.where(ids % 97 == 0)[0]:
+            sims = Vn @ Vn[a_idx]
+            order = sorted(
+                (
+                    (-sims[i], ids[i], i)
+                    for i in range(len(ids))
+                    if ids[i] != ids[a_idx]
+                )
+            )
+            negs = [
+                t[1] for t in order if labels[t[2]] != labels[a_idx]
+            ][:5]
+            pos = [t[1] for t in order if labels[t[2]] == labels[a_idx]][:1]
+            key_n = (ids[a_idx], "neg")
+            key_p = (ids[a_idx], "pos")
+            assert [c for _, c in sorted(got[key_n])] == negs
+            assert [c for _, c in sorted(got[key_p])] == pos
+
+
+class TestTxnLogSnapshot:
+    def test_retention_algebra_replay(self, spark):
+        """The live set equals the Python replay of the add/remove
+        retention algebra, sizes come from the ADD rows, and removed
+        months are absent."""
+        from billing_data_loader_spark.operators.lakeops import (
+            _TXN_BACK,
+            _TXN_RETAIN,
+        )
+
+        rows = (
+            load(spark, SF_DIR, "orders")
+            .select(
+                F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            )
+            .collect()
+        )
+        counts: dict = defaultdict(int)
+        for r in rows:
+            counts[r["ym"]] += 1
+        vs = {
+            ym: (int(ym[:4]) - 1995) * 12 + int(ym[5:]) - 1 for ym in counts
+        }
+        vmax = max(vs.values())
+        head = max(
+            [v + _TXN_RETAIN for v in vs.values() if v + _TXN_RETAIN <= vmax]
+            + [vmax]
+        )
+        qv = head - _TXN_BACK
+        exp = {
+            f"orders/m={ym}": (counts[ym], v)
+            for ym, v in vs.items()
+            if v <= qv and not (v + _TXN_RETAIN <= min(vmax, qv))
+        }
+        got = {
+            r["path"]: (r["size_rows"], r["added_version"])
+            for r in catalog()["scan_txn_log_snapshot"].fn(spark, SF_DIR).collect()
+        }
+        assert got == exp
