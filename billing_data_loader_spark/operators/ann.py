@@ -2181,3 +2181,178 @@ def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(F.expr("inline(sel)")).select(
         "rank", F.col("id").alias("vec_id"), "rel", "mmr_score"
     )
+
+
+# --- ext_ann_rptree -----------------------------------------------------------
+
+#: Random-projection tree depth: 4 median splits -> 16 leaves. Weights
+#: are small INTEGER-valued constants from a closed-form hash — exact in
+#: both engines, no RNG state to synchronize.
+_RPT_LEVELS = 4
+_RPT_TOPK = 10
+
+
+def _rpt_weights_sql(level: int, transform_fn: str, series_fn: str) -> str:
+    """The level's projection direction as engine SQL: component j is
+    ((j*37 + level*101) % 19) - 9 — integer-valued in [-9, 9], zero-mean
+    across the index line, different per level."""
+    return (
+        f"{transform_fn}({series_fn}, j ->"
+        f" CAST((j * 37 + {level} * 101) % 19 AS DOUBLE)"
+        " - CAST(9 AS DOUBLE))"
+    )
+
+
+def _rpt_oracle() -> str:
+    qcols = ", ".join(
+        "CAST(floor(list_dot_product(ve, "
+        + _rpt_weights_sql(lv, "list_transform", "generate_series(0, 63)")
+        + f") * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q{lv}"
+        for lv in range(_RPT_LEVELS)
+    )
+    parts = [
+        f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, ve, {qcols} FROM (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+    FROM embeddings
+  ) inner_
+),
+n0 AS (SELECT *, CAST(0 AS BIGINT) AS node FROM base)"""
+    ]
+    for lv in range(_RPT_LEVELS):
+        parts.append(
+            f""",
+m{lv} AS MATERIALIZED (
+  SELECT node, quantile_cont(q{lv}, 0.5) AS med
+  FROM n{lv} GROUP BY node
+),
+n{lv + 1} AS MATERIALIZED (
+  SELECT b.vec_id, b.ve, b.q0, b.q1, b.q2, b.q3,
+         b.node * 2 + CASE WHEN b.q{lv} > m.med THEN 1 ELSE 0 END AS node
+  FROM n{lv} b JOIN m{lv} m ON b.node = m.node
+)"""
+        )
+    L = _RPT_LEVELS
+    parts.append(
+        f""",
+anchor AS (SELECT node AS aleaf, ve AS av FROM n{L} WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id AS cand_id, c.node AS leaf,
+         list_dot_product(c.ve, a.av)
+         / (sqrt(list_dot_product(c.ve, c.ve))
+            * sqrt(list_dot_product(a.av, a.av))) AS cos_sim
+  FROM n{L} c, anchor a
+  WHERE c.node = a.aleaf AND c.vec_id <> 0
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, cand_id ASC)
+            AS BIGINT) AS rnk,
+       cand_id, leaf, cos_sim
+FROM scored
+ORDER BY cos_sim DESC, cand_id ASC
+LIMIT {_RPT_TOPK}
+"""
+    )
+    return "".join(parts)
+
+
+_RPTREE_ORACLE = _rpt_oracle()
+
+
+@query("ext_ann_rptree", oracle=_RPTREE_ORACLE, tier=3)
+def ext_ann_rptree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection-tree ANN (the annoy/FLANN family — the fourth
+    index family next to IVF cells, LSH sign buckets, and PQ codes):
+    4 levels of median splits on deterministic integer-valued projection
+    directions partition the corpus into 16 balanced leaves, and a query
+    descends to its leaf and ranks only those candidates. Unlike LSH's
+    data-independent hyperplanes through the origin, each split adapts
+    to the DATA (the node's own median), so leaves stay balanced even on
+    skewed corpora — the property that makes RP-trees the
+    bounded-candidate-list index.
+
+    Shape: ALL four projections compute in one map-side pass over one
+    corpus scan (persisted — each level's median aggregate and split
+    join re-reference it); per level, the median frame is O(2^level)
+    rows and broadcasts back, so the only data-sized exchanges are the
+    4 median aggregates, each keyed on the (bounded) node id.
+    Projections quantize to exact 1e-9 longs, so both engines
+    interpolate node medians over identical integers (the
+    ts_anomaly_mad midpoint argument) and every split decision is an
+    exact integer-vs-double compare. At 100 TB: deeper trees (leaf size
+    stays constant by adding levels — the median frames stay
+    model-sized) and multi-tree forests for recall, the standard annoy
+    deployment; the numpy construction replay + leaf-balance + recall
+    floor are pinned in tests/test_round11.py."""
+    from ..session import scoped_persist
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("ve")
+    )
+    qcols = [
+        F.expr(
+            "CAST(floor(aggregate(zip_with(ve, "
+            + _rpt_weights_sql(lv, "transform", "sequence(0, 63)")
+            + ", (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + x) * 1e9 + CAST(0.5 AS DOUBLE))"
+            " AS BIGINT)"
+        ).alias(f"q{lv}")
+        for lv in range(_RPT_LEVELS)
+    ]
+    base = scoped_persist(
+        e.select("vec_id", "ve", *qcols).withColumn(
+            "node", F.lit(0).cast("long")
+        )
+    )
+    cur = base
+    for lv in range(_RPT_LEVELS):
+        meds = cur.groupBy("node").agg(
+            F.percentile(f"q{lv}", F.lit(0.5)).alias("med")
+        )
+        cur = (
+            cur.join(F.broadcast(meds), "node")
+            .withColumn(
+                "node",
+                F.expr(
+                    f"node * 2 + CASE WHEN q{lv} > med THEN 1 ELSE 0 END"
+                ),
+            )
+            .drop("med")
+        )
+        # each level is referenced TWICE (its median aggregate + the
+        # split join) — unpersisted, level l re-executes O(2^l) times
+        # and the 4-level build measured 15 s on a 500-row corpus;
+        # per-level persistence makes it 4 aggregates + 4 joins
+        cur = scoped_persist(cur)
+    anchor = cur.filter(F.col("vec_id") == 0).select(
+        F.col("node").alias("aleaf"), F.col("ve").alias("av")
+    )
+    scored = (
+        cur.join(F.broadcast(anchor), F.col("node") == F.col("aleaf"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("node").alias("leaf"),
+            _cos(F.col("ve"), F.col("av")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("cand_id").asc())
+        .limit(_RPT_TOPK)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("cos_sim").desc(), F.col("cand_id").asc()
+                )
+            )
+            .cast("long")
+            .alias("rnk"),
+            "cand_id",
+            "leaf",
+            "cos_sim",
+        )
+    )

@@ -508,3 +508,73 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (PARTITION BY 1) THEN 1 ELSE 0 END"
         ).alias("is_changepoint"),
     )
+
+
+# --- ts_seasonal_index -------------------------------------------------------
+
+# Day-of-week seasonal decomposition: the multiplicative index each
+# weekday carries vs the average day — the correction factor every
+# revenue forecast divides out first. Weekday derives from an epoch-day
+# modulus (2024-01-01 is a Monday), NOT the engines' dayofweek()
+# builtins, whose numbering conventions differ (Spark 1=Sunday,
+# DuckDB 0=Sunday).
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events GROUP BY day
+), dw AS (
+  SELECT CAST((day - DATE '2024-01-01') % 7 AS INTEGER) AS dow_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(day_cents) AS BIGINT) AS dow_cents
+  FROM daily GROUP BY dow_idx
+)
+SELECT dow_idx, n_days, dow_cents,
+       (CAST(dow_cents AS DOUBLE) / CAST(n_days AS DOUBLE))
+         / (CAST(SUM(dow_cents) OVER () AS DOUBLE)
+            / CAST(SUM(n_days) OVER () AS DOUBLE)) AS seasonal_index
+FROM dw
+"""
+
+
+@query("ts_seasonal_index", oracle=_SEASONAL_ORACLE, tier=2)
+def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index over daily revenue: each weekday's
+    average daily cents relative to the overall average day — the
+    multiplicative seasonal factor a forecast divides out before trend
+    fitting (the classical-decomposition first step; ts_ewma_smooth and
+    ts_cusum_changepoint consume the deseasonalized series this
+    produces). Weekday comes from an epoch-day modulus, not the
+    engines' dayofweek() builtins, whose numbering conventions differ.
+
+    Shape: one (day) aggregate with full map-side combine is the only
+    data-sized work; the 7-row weekday rollup and its global windows
+    are constant-size at any corpus (EXPECTED_FLAGS pattern). Exact
+    integer cents; the index is a shared-text double ratio."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(quantize_long("value", 2)).alias("day_cents"))
+    )
+    dw = daily.groupBy(
+        F.expr(
+            "CAST(datediff(day, DATE '2024-01-01') % 7 AS INT)"
+        ).alias("dow_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("day_cents").alias("dow_cents"),
+    )
+    w_all = W.partitionBy()
+    return dw.select(
+        "dow_idx",
+        "n_days",
+        "dow_cents",
+        (
+            (F.col("dow_cents").cast("double") / F.col("n_days").cast("double"))
+            / (
+                F.sum("dow_cents").over(w_all).cast("double")
+                / F.sum("n_days").over(w_all).cast("double")
+            )
+        ).alias("seasonal_index"),
+    )

@@ -887,3 +887,109 @@ def scan_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n_events"),
         (F.col("value.sum").cast("double") / 1e2).alias("sum_value"),
     )
+
+
+# --- stream_outer_join_watermark --------------------------------------------
+
+# LEFT OUTER stream-stream interval join: every view emits — joined to
+# the purchases inside its 1-hour window, or null-padded once the
+# watermark PROVES no match can still arrive. The oracle mirrors the
+# final-watermark algebra: at availableNow completion the global
+# watermark is min(max event time per side) - delay, and an unmatched
+# view emits iff its window end (view_ts + 1h) is behind it; views still
+# inside the horizon stay in state and never emit (right-censoring is
+# the semantic, not a bug). Null padding is COALESCEd to sentinels so
+# every declared cell stays flat and typed.
+_OUTER_JOIN_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id AS p_user_id, ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(view_ts) FROM v),
+               (SELECT max(purchase_ts) FROM p))
+         - INTERVAL 1 HOUR AS wm
+)
+SELECT v.user_id, v.view_ts,
+       1 AS matched,
+       p.purchase_ts,
+       p.purchase_value
+FROM v JOIN p
+  ON v.user_id = p.p_user_id
+ AND p.purchase_ts >= v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.user_id, v.view_ts,
+       0 AS matched,
+       TIMESTAMP '1970-01-01 00:00:00' AS purchase_ts,
+       CAST(-1 AS DOUBLE) AS purchase_value
+FROM v, wm
+WHERE v.view_ts + INTERVAL 1 HOUR < wm.wm
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.p_user_id = v.user_id
+      AND p.purchase_ts >= v.view_ts
+      AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+  )
+"""
+
+
+@query("stream_outer_join_watermark", oracle=_OUTER_JOIN_ORACLE, tier=3)
+def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the attribution shape
+    where NON-conversion is also an answer: every view joins the
+    purchases in its 1-hour window, and a view with no purchase emits a
+    null-padded row once the watermark passes its window end (before
+    that, a match could still arrive, so outer results are inherently
+    watermark-gated — the part of outer-join semantics batch engines
+    never surface). Views whose window is still inside the final
+    watermark horizon stay in state and never emit; the oracle encodes
+    exactly that right-censoring via the min-of-side-maxima watermark
+    algebra, so the hash binds Spark's eviction boundary to the
+    documented semantics. Null padding is COALESCEd to typed sentinels
+    (epoch / -1) so the declared cells stay flat.
+
+    State scales with the watermark horizon on both sides (the same
+    cleanup bound as the inner form); the no-data final micro-batch
+    (Spark's noDataMicroBatches) is what flushes the last outer rows at
+    availableNow completion."""
+    ev = _read_stream_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "view_ts",
+        F.when(F.col("purchase_ts").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("matched"),
+        F.coalesce(
+            F.col("purchase_ts"),
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).alias("purchase_ts"),
+        F.coalesce(F.col("purchase_value"), F.lit(-1.0)).alias(
+            "purchase_value"
+        ),
+    )
+    return _run_to_memory(joined, "bdl_stream_outer_join", "append")

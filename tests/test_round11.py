@@ -457,3 +457,111 @@ class TestTxnLogSnapshot:
             for r in catalog()["scan_txn_log_snapshot"].fn(spark, SF_DIR).collect()
         }
         assert got == exp
+
+
+class TestRpTree:
+    def test_numpy_construction_replay_and_balance(self, spark):
+        """The tree construction (projections, per-node medians, leaf
+        assignment) and the returned top-10 equal a numpy replay, and
+        median splits keep every leaf within 1 of perfect balance."""
+        import numpy as np
+
+        rows = (
+            load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        q = np.zeros((len(ids), 4), dtype=np.int64)
+        for lv in range(4):
+            w = np.array(
+                [((j * 37 + lv * 101) % 19) - 9.0 for j in range(64)]
+            )
+            q[:, lv] = np.floor(V @ w * 1e9 + 0.5).astype(np.int64)
+        node = np.zeros(len(ids), dtype=np.int64)
+        for lv in range(4):
+            new = node.copy()
+            for nd in np.unique(node):
+                mask = node == nd
+                med = np.percentile(q[mask, lv], 50)
+                new[mask] = nd * 2 + (q[mask, lv] > med)
+            node = new
+        sizes = np.bincount(node, minlength=16)
+        assert sizes.sum() == len(ids)
+        assert sizes.max() - sizes.min() <= 1
+        anchor = int(np.where(ids == 0)[0][0])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = Vn @ Vn[anchor]
+        leaf = node[anchor]
+        cand = sorted(
+            (
+                (-sims[i], ids[i])
+                for i in range(len(ids))
+                if node[i] == leaf and ids[i] != 0
+            )
+        )
+        exp = [c[1] for c in cand[:10]]
+        got = catalog()["ext_ann_rptree"].fn(spark, SF_DIR).collect()
+        got.sort(key=lambda r: r["rnk"])
+        assert [r["cand_id"] for r in got] == exp
+        assert all(r["leaf"] == leaf for r in got)
+
+
+class TestSeasonalIndex:
+    def test_weighted_mean_is_one(self, spark):
+        """The n_days-weighted mean of the seasonal index is exactly 1
+        (the multiplicative-decomposition identity), and the replayed
+        ratios match."""
+        rows = catalog()["ts_seasonal_index"].fn(spark, SF_DIR).collect()
+        tot_days = sum(r["n_days"] for r in rows)
+        weighted = sum(r["seasonal_index"] * r["n_days"] for r in rows)
+        assert abs(weighted - tot_days) < 1e-9 * tot_days
+        total = sum(r["dow_cents"] for r in rows)
+        for r in rows:
+            exp = (r["dow_cents"] / r["n_days"]) / (total / tot_days)
+            assert abs(r["seasonal_index"] - exp) < 1e-12
+
+
+class TestStreamOuterJoin:
+    def test_matched_equals_inner_and_censoring(self, spark):
+        """Matched rows equal the batch inner join; null-padded rows are
+        exactly the unmatched views behind the final watermark (the
+        right-censoring algebra)."""
+        ev = (
+            load(spark, SF_DIR, "events")
+            .select("user_id", "ts", "event_type")
+            .collect()
+        )
+        views = [(r["user_id"], r["ts"]) for r in ev if r["event_type"] == "view"]
+        purch = [
+            (r["user_id"], r["ts"]) for r in ev if r["event_type"] == "purchase"
+        ]
+        from datetime import timedelta
+
+        hour = timedelta(hours=1)
+        matches = {
+            (u, vt)
+            for u, vt in views
+            for pu, pt in purch
+            if pu == u and vt <= pt <= vt + hour
+        }
+        n_matched_pairs = sum(
+            1
+            for u, vt in views
+            for pu, pt in purch
+            if pu == u and vt <= pt <= vt + hour
+        )
+        wm = min(max(t for _, t in views), max(t for _, t in purch)) - hour
+        exp_null = {
+            (u, vt)
+            for u, vt in views
+            if (u, vt) not in matches and vt + hour < wm
+        }
+        rows = (
+            catalog()["stream_outer_join_watermark"].fn(spark, SF_DIR).collect()
+        )
+        got_matched = [r for r in rows if r["matched"] == 1]
+        got_null = {(r["user_id"], r["view_ts"]) for r in rows if r["matched"] == 0}
+        assert len(got_matched) == n_matched_pairs
+        assert got_null == exp_null

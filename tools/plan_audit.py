@@ -294,6 +294,15 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row head-version fold over the O(files) manifest (never "
             "data rows)"
         ),
+        "ts_seasonal_index": (
+            "global windows over the 7-row weekday frame (constant size "
+            "at any corpus)"
+        ),
+        "ext_ann_rptree": (
+            "rank window over the top-k of ONE leaf (bounded candidate "
+            "list — the whole point of the tree) + O(2^level) median "
+            "frames"
+        ),
         "ts_cusum_changepoint": (
             "cumulative/global windows over the O(days) daily frame "
             "(model-sized at any corpus; bucketed two-pass prefix-sum "
