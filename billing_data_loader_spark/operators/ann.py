@@ -2356,3 +2356,176 @@ def ext_ann_rptree(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+# --- ext_knn_graph ------------------------------------------------------------
+
+#: Per-point neighbor count and the per-tile candidate buffer. The tile
+#: prefilter ranks by BLAS matmul doubles while the final ranking uses
+#: the exact sequential fold; a buffer of 8 candidates per tile means a
+#: true global top-3 member could only be lost if 6+ tile-mates sat
+#: within the ~1e-15 matmul-vs-fold discrepancy of each other —
+#: impossible on a continuous-similarity corpus (the near-dup epsilon-
+#: margin argument, applied to ranks).
+_KNNG_K = 3
+_KNNG_BUF = 8
+
+_KNNG_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, b.label AS nbr_label,
+         a.label AS a_label,
+         list_dot_product(a.ve, b.ve)
+         / (sqrt(list_dot_product(a.ve, a.ve))
+            * sqrt(list_dot_product(b.ve, b.ve))) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, nbr_id, cos_sim,
+         CASE WHEN nbr_label = a_label THEN 1 ELSE 0 END AS same_label,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC
+         ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT vec_id, rnk, nbr_id, cos_sim, same_label
+FROM ranked WHERE rnk <= {_KNNG_K}
+"""
+
+
+def _knng_tile(pdf):
+    """One block-pair task of the kNN-graph build: a BLAS tile ranks
+    both sides' local candidates, the per-tile top-{_KNNG_BUF} survive
+    with their cosine recomputed by the exact left fold (bit-identical
+    to the oracle's list_dot_product)."""
+    import numpy as np
+    import pandas as pd
+
+    def _seq_cos(x, y):
+        dot = 0.0
+        nx = 0.0
+        ny = 0.0
+        for a, b in zip(x, y):
+            dot += a * b
+            nx += a * a
+            ny += b * b
+        return dot / ((nx ** 0.5) * (ny ** 0.5))
+
+    cols = {"vec_id": "int64", "nbr_id": "int64", "cos_sim": "float64"}
+    sa = pdf[pdf["side"] == 0]
+    sb = pdf[pdf["side"] == 1]
+    if sa.empty:
+        return pd.DataFrame({c: [] for c in cols}).astype(cols)
+    ida = sa["vec_id"].to_numpy()
+    ma = np.stack(sa["v"].to_numpy())
+    man = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+    if sb.empty:
+        idb, vb, mbn = ida, sa["v"], man
+    else:
+        idb = sb["vec_id"].to_numpy()
+        mb = np.stack(sb["v"].to_numpy())
+        mbn = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        vb = sb["v"]
+    sims = man @ mbn.T
+    rows = []
+    va = sa["v"]
+
+    def _emit(side_ids, other_ids, s, vx, vy):
+        # local top-buffer per row, ties to the smaller id
+        for i in range(s.shape[0]):
+            row = s[i].copy()
+            if side_ids is other_ids:
+                row[i] = -2.0  # self
+            order = np.lexsort((other_ids, -row))[: _KNNG_BUF]
+            for j in order:
+                if row[j] <= -2.0:
+                    continue
+                rows.append(
+                    (
+                        int(side_ids[i]),
+                        int(other_ids[j]),
+                        _seq_cos(vx.iat[int(i)], vy.iat[int(j)]),
+                    )
+                )
+
+    _emit(ida, idb, sims, va, vb)
+    if not sb.empty:
+        _emit(idb, ida, sims.T, vb, va)
+    return pd.DataFrame(rows, columns=list(cols)).astype(cols)
+
+
+@query("ext_knn_graph", oracle=_KNNG_ORACLE, tier=3)
+def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH over the whole corpus (every
+    point's top-3 cosine neighbors, with a same-label agreement flag) —
+    the substrate of graph-based curation: SemDeDup-style cluster
+    pruning, confident-learning label-noise screens (a point whose
+    neighbors all disagree with its label is suspect), and kNN-graph
+    ANN indexes all start from exactly this frame. ext_knn_cosine ranks
+    one anchor; this ranks EVERYONE, which is what forces the blocked
+    build.
+
+    Shape: the ext_neardup_embedding tile pattern, upgraded from
+    threshold-filter to rank-merge — the corpus hashes into 16 blocks,
+    each of the 136 block-pair tasks ranks ONE BLAS tile and emits only
+    its local top-8 per point (the buffer that makes the matmul-vs-fold
+    rank discrepancy unexploitable; module constant comment), and a
+    per-point window over the O(n·m·8) candidate stream picks the
+    global top-3 — no task ever materializes n² pairs. Survivor cosines
+    are recomputed with the exact left fold, so the emitted doubles are
+    bit-identical to the oracle's naive self-join. Labels join onto the
+    final 3n-row frame (broadcast here, co-keyed at 100 TB — where an
+    LSH/IVF candidate filter would also front the tiles; the per-tile
+    kernel stays this one)."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "embeddings")
+    m = _EMB_N_BLOCKS
+    v = e.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(m)).alias("blk"),
+    )
+    rows = []
+    for i in range(m):
+        rows.append((i * m + i, i, 0))
+        for j in range(i + 1, m):
+            rows.append((i * m + j, i, 0))
+            rows.append((i * m + j, j, 1))
+    task_df = spark.createDataFrame(rows, "pair_id int, blk int, side int")
+    cand = (
+        v.join(F.broadcast(task_df), "blk")
+        .select("pair_id", "side", "vec_id", "v")
+        .groupBy("pair_id")
+        .applyInPandas(
+            _knng_tile, "vec_id long, nbr_id long, cos_sim double"
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    topk = cand.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= _KNNG_K
+    )
+    labels = e.select("vec_id", "label")
+    la = labels.select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("a_label")
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("b_id"), F.col("label").alias("b_label")
+    )
+    return (
+        topk.join(F.broadcast(la), F.col("vec_id") == F.col("a_id"))
+        .join(F.broadcast(lb), F.col("nbr_id") == F.col("b_id"))
+        .select(
+            "vec_id",
+            "rnk",
+            "nbr_id",
+            "cos_sim",
+            F.expr(
+                "CASE WHEN b_label = a_label THEN 1 ELSE 0 END"
+            ).alias("same_label"),
+        )
+    )

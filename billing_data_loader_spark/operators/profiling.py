@@ -518,3 +518,164 @@ def prof_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {_BENFORD_EXP} * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
         ).alias("chi2_term"),
     )
+
+
+# --- prof_entropy_profile ----------------------------------------------------
+
+#: Profiled expressions over ``orders``: (name, value SQL). Values cast
+#: to STRING so one (col, value) explode schema serves every column;
+#: groupings only compare within an engine. Spans a 3-value enum, a
+#: 5-value enum, the 80-value calendar, the high-cardinality key line,
+#: and a bucketed measure.
+_ENT_COLS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("order_month", "date_format(o_orderdate, 'yyyy-MM')"),
+    ("o_custkey", "CAST(o_custkey AS STRING)"),
+    ("price_k_bucket", "CAST(CAST(floor(o_totalprice / 1000) AS BIGINT) AS STRING)"),
+]
+
+#: Shannon entropy from exact value counts; ln is the only
+#: transcendental, so the final statistic quantizes at 6dp (the
+#: prof_benford 1-ulp discipline) — the cross-row double sum's noise
+#: (~1e-12) is far inside the quantum.
+_ENTROPY_ORACLE = """
+WITH cand AS (
+""" + "\n  UNION ALL\n".join(
+    "  SELECT '{name}' AS col, {expr} AS val FROM orders".format(
+        name=n,
+        expr=e.replace("CAST(o_custkey AS STRING)", "CAST(o_custkey AS VARCHAR)")
+        .replace(
+            "date_format(o_orderdate, 'yyyy-MM')",
+            "strftime(o_orderdate, '%Y-%m')",
+        )
+        .replace(
+            "CAST(CAST(floor(o_totalprice / 1000) AS BIGINT) AS STRING)",
+            "CAST(CAST(floor(o_totalprice / 1000) AS BIGINT) AS VARCHAR)",
+        ),
+    )
+    for n, e in _ENT_COLS
+) + """
+), counts AS (
+  SELECT col, val, COUNT(*) AS c FROM cand GROUP BY col, val
+)
+SELECT col,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       floor(SUM(CAST(c AS DOUBLE)
+                 * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))
+             / CAST(SUM(c) AS DOUBLE)
+             / ln(CAST(2 AS DOUBLE)) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6
+         AS entropy_bits,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio
+FROM (SELECT col, val, c, SUM(c) OVER (PARTITION BY col) AS n FROM counts) z
+GROUP BY col
+"""
+
+
+@query("prof_entropy_profile", oracle=_ENTROPY_ORACLE, tier=2)
+def prof_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy column profile (the information-content screen a
+    profiler runs next to prof_column_stats): per declared expression,
+    the exact row/distinct counts, the entropy in bits, and the
+    distinct ratio — low entropy flags near-constant columns,
+    entropy ~ log2(n) flags key-like ones; the candidate set spans both
+    extremes plus the calendar and a bucketed measure.
+
+    Shape: ONE scan explodes every candidate's (col, value) pair
+    map-side (the prof_fd_discovery pattern), one (col, val) count
+    aggregate, then the per-col rollup is O(distinct values) with the
+    entropy as a closed form over exact counts. The only transcendental
+    is ln, quantized at 6dp after the sum (the prof_benford 1-ulp
+    discipline). At 100 TB the (col, val) aggregate partial-combines
+    map-side and the rollup key space is the value domains."""
+    structs = ", ".join(
+        f"struct('{n}' AS col, {e} AS val)" for n, e in _ENT_COLS
+    )
+    counts = (
+        load(spark, sf_dir, "orders")
+        .select(F.expr(f"explode(array({structs}))").alias("c"))
+        .select("c.*")
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z = counts.select(
+        "col", "c", F.sum("c").over(W.partitionBy("col")).alias("n")
+    )
+    return z.groupBy("col").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr(
+            "floor(SUM(CAST(c AS DOUBLE)"
+            " * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))"
+            " / CAST(SUM(c) AS DOUBLE)"
+            " / ln(CAST(2 AS DOUBLE)) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+        ).alias("entropy_bits"),
+        F.expr(
+            "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+    )
+
+
+# --- prof_freshness_lag ------------------------------------------------------
+
+# Per-feed freshness report against a deterministic as-of (the global
+# max event time — no wall clock in a graded plan): last-seen lag and
+# the worst inter-arrival gap, both as exact whole seconds from
+# microsecond integers.
+_FRESHNESS_ORACLE = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) AS gap_us
+  FROM events
+), asf AS (SELECT MAX(us) AS max_us FROM ev)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST((a.max_us - MAX(us)) // 1000000 AS BIGINT) AS lag_seconds,
+       CAST(COALESCE(MAX(gap_us), 0) // 1000000 AS BIGINT)
+         AS max_gap_seconds
+FROM ev, asf a
+GROUP BY event_type, a.max_us
+"""
+
+
+@query("prof_freshness_lag", oracle=_FRESHNESS_ORACLE, tier=2)
+def prof_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-freshness profile: per event type (the feed), how far its
+    last arrival lags the as-of point (the global max event time — a
+    deterministic stand-in for wall clock, the bill_dunning_aging
+    precedent) and the worst inter-arrival gap — the staleness monitor
+    a loader checks before trusting a feed's completeness.
+
+    Shape: one event_type-keyed window for the inter-arrival gaps (the
+    (ts, event_id) composite keeps lag deterministic), one feed-keyed
+    aggregate, and a 1-row as-of fold broadcast back. All arithmetic is
+    exact integer microseconds floor-divided to whole seconds — no
+    float time math anywhere."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(
+                W.partitionBy("event_type").orderBy("ts", "event_id")
+            )
+        ).alias("gap_us"),
+    )
+    asof = ev.agg(F.max("us").alias("max_us"))
+    return (
+        ev.crossJoin(F.broadcast(asof))
+        .groupBy("event_type", "max_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST((FIRST(max_us) - MAX(us)) DIV 1000000 AS BIGINT)"
+            ).alias("lag_seconds"),
+            F.expr(
+                "CAST(COALESCE(MAX(gap_us), 0) DIV 1000000 AS BIGINT)"
+            ).alias("max_gap_seconds"),
+        )
+        .drop("max_us")
+    )

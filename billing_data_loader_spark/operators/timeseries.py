@@ -578,3 +578,80 @@ def ts_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seasonal_index"),
     )
+
+
+# --- ts_backtest_seasonal_naive ----------------------------------------------
+
+# Forecast-accuracy backtest against the seasonal-naive baseline
+# (forecast(d) = actual(d - 7)): the benchmark every forecasting model
+# must beat before it ships, and the natural consumer of
+# ts_seasonal_index's weekly cycle. Errors stay exact: absolute error
+# is integer cents, the percentage error per day is a truncating
+# integer division into 1e-6 units — order-insensitive sums, no float
+# accumulation anywhere.
+_BACKTEST_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day
+), j AS (
+  SELECT a.event_type, a.day, a.cents AS actual, f.cents AS forecast
+  FROM daily a JOIN daily f
+    ON a.event_type = f.event_type AND f.day = a.day - 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(abs(actual - forecast)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 1e2 AS mae_dollars,
+       CAST(SUM(abs(actual - forecast) * 1000000 // actual) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mape,
+       CAST(SUM(actual - forecast) AS BIGINT) AS bias_cents
+FROM j GROUP BY event_type
+"""
+
+
+@query("ts_backtest_seasonal_naive", oracle=_BACKTEST_ORACLE, tier=2)
+def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest against the seasonal-naive baseline
+    (forecast(d) = actual(d − 7), per event type): MAE, MAPE, and
+    signed bias over every day with a week-earlier observation — the
+    accuracy floor a shipped forecaster must beat, computed the way a
+    backtest harness would (align, diff, aggregate). The 7-day lag
+    aligns by CALENDAR join, not a ROWS window, so a missing day
+    shifts nothing.
+
+    Shape: one (type, day) aggregate collapses the stream, the
+    self-join runs on the O(types x days) daily frame (co-keyed on
+    event_type — model-sized at any corpus), and every error metric is
+    exact: absolute errors are integer cents, per-day percentage
+    errors are truncating integer divisions into 1e-6 units, and the
+    final means are shared-text divisions."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(quantize_long("value", 2)).alias("cents"))
+    )
+    a = daily.select("event_type", "day", F.col("cents").alias("actual"))
+    f = daily.select(
+        F.col("event_type").alias("f_type"),
+        F.col("day").alias("f_day"),
+        F.col("cents").alias("forecast"),
+    )
+    j = a.join(
+        f,
+        (F.col("event_type") == F.col("f_type"))
+        & (F.col("f_day") == F.date_sub(F.col("day"), 7)),
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            "CAST(SUM(abs(actual - forecast)) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE) / 1e2"
+        ).alias("mae_dollars"),
+        F.expr(
+            "CAST(SUM(abs(actual - forecast) * 1000000 DIV actual)"
+            " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6"
+        ).alias("mape"),
+        F.sum(F.expr("actual - forecast")).alias("bias_cents"),
+    )

@@ -565,3 +565,133 @@ class TestStreamOuterJoin:
         got_null = {(r["user_id"], r["view_ts"]) for r in rows if r["matched"] == 0}
         assert len(got_matched) == n_matched_pairs
         assert got_null == exp_null
+
+
+class TestEntropyProfile:
+    def test_python_replay(self, spark):
+        """Entropy bits and distinct ratios equal a Python replay over
+        the exact value counts."""
+        import math as m
+
+        from billing_data_loader_spark.operators.profiling import _ENT_COLS
+
+        rows = load(spark, SF_DIR, "orders").selectExpr(
+            *(f"{e} AS c_{i}" for i, (_, e) in enumerate(_ENT_COLS))
+        ).collect()
+        got = {
+            r["col"]: r
+            for r in catalog()["prof_entropy_profile"].fn(spark, SF_DIR).collect()
+        }
+        for i, (name, _) in enumerate(_ENT_COLS):
+            counts: dict = defaultdict(int)
+            for r in rows:
+                counts[r[f"c_{i}"]] += 1
+            n = sum(counts.values())
+            h = sum(c * m.log(n / c) for c in counts.values()) / n / m.log(2)
+            hq = m.floor(h * 1e6 + 0.5) / 1e6
+            assert got[name]["n_rows"] == n
+            assert got[name]["n_distinct"] == len(counts)
+            assert abs(got[name]["entropy_bits"] - hq) < 2e-6, name
+            assert (
+                abs(got[name]["distinct_ratio"] - len(counts) / n) < 1e-12
+            )
+
+
+class TestFreshnessLag:
+    def test_python_replay(self, spark):
+        """Lag and max-gap seconds equal a Python replay over exact
+        microsecond integers."""
+        rows = (
+            load(spark, SF_DIR, "events")
+            .selectExpr(
+                "event_type", "unix_micros(ts) AS us", "event_id"
+            )
+            .collect()
+        )
+        per: dict = defaultdict(list)
+        for r in rows:
+            per[r["event_type"]].append((r["us"], r["event_id"]))
+        max_us = max(r["us"] for r in rows)
+        got = {
+            r["event_type"]: r
+            for r in catalog()["prof_freshness_lag"].fn(spark, SF_DIR).collect()
+        }
+        for t, seq in per.items():
+            seq.sort()
+            gaps = [b[0] - a[0] for a, b in zip(seq, seq[1:])]
+            assert got[t]["n_events"] == len(seq)
+            assert got[t]["lag_seconds"] == (max_us - seq[-1][0]) // 1000000
+            assert got[t]["max_gap_seconds"] == (max(gaps) if gaps else 0) // 1000000
+
+
+class TestSeasonalNaiveBacktest:
+    def test_python_replay(self, spark):
+        """MAE / MAPE / bias equal a Python replay of the calendar-
+        aligned 7-day-lag errors."""
+        rows = (
+            load(spark, SF_DIR, "events")
+            .selectExpr(
+                "event_type",
+                "CAST(ts AS DATE) AS day",
+                "CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+                " AS cents",
+            )
+            .collect()
+        )
+        daily: dict = defaultdict(int)
+        for r in rows:
+            daily[(r["event_type"], r["day"])] += r["cents"]
+        from datetime import timedelta
+
+        week = timedelta(days=7)
+        per: dict = defaultdict(list)
+        for (t, d), a in daily.items():
+            f = daily.get((t, d - week))
+            if f is not None:
+                per[t].append((a, f))
+        got = {
+            r["event_type"]: r
+            for r in catalog()["ts_backtest_seasonal_naive"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(per)
+        for t, pairs in per.items():
+            n = len(pairs)
+            mae = sum(abs(a - f) for a, f in pairs) / n / 100
+            mape = sum(abs(a - f) * 1000000 // a for a, f in pairs) / n / 1e6
+            bias = sum(a - f for a, f in pairs)
+            assert got[t]["n_days"] == n
+            assert abs(got[t]["mae_dollars"] - mae) < 1e-9
+            assert abs(got[t]["mape"] - mape) < 1e-12
+            assert got[t]["bias_cents"] == bias
+
+
+class TestKnnGraph:
+    def test_numpy_replay(self, spark):
+        """Every point's top-3 neighbors and label-agreement flags equal
+        the numpy brute force."""
+        import numpy as np
+
+        rows = (
+            load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "label", "embedding")
+            .collect()
+        )
+        ids = np.array([r["vec_id"] for r in rows])
+        labels = {r["vec_id"]: r["label"] for r in rows}
+        V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        got: dict = defaultdict(dict)
+        for r in catalog()["ext_knn_graph"].fn(spark, SF_DIR).collect():
+            got[r["vec_id"]][r["rnk"]] = (r["nbr_id"], r["same_label"])
+        assert set(got) == set(ids.tolist())
+        for i, vid in enumerate(ids):
+            order = sorted(
+                ((-S[i, j], ids[j]) for j in range(len(ids)) if j != i)
+            )[:3]
+            for rnk, (_, nbr) in enumerate(order, start=1):
+                g_nbr, g_same = got[vid][rnk]
+                assert g_nbr == nbr, (vid, rnk)
+                assert g_same == int(labels[nbr] == labels[vid])

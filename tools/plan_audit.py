@@ -298,6 +298,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "global windows over the 7-row weekday frame (constant size "
             "at any corpus)"
         ),
+        "prof_freshness_lag": (
+            "1-row as-of fold (global max event time; O(tasks) partials)"
+        ),
         "ext_ann_rptree": (
             "rank window over the top-k of ONE leaf (bounded candidate "
             "list — the whole point of the tree) + O(2^level) median "
@@ -415,6 +418,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row broadcast totals fold (pair + token denominators)"
         ),
         "ext_lm_unigram_score": "1-row broadcast token-total frame",
+        "prof_freshness_lag": (
+            "1-row broadcast as-of fold (global max event time — the "
+            "bill_dunning_aging pattern)"
+        ),
         "ext_hard_negatives": (
             "broadcast modulo-slice anchor frame (model-sized at any "
             "corpus; the ext_knn_cosine pattern generalized to a fixed "
