@@ -1011,7 +1011,13 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned on the anchor key. At 100 TB the exact scorer is the
     oracle complement — the bucketed path is the existing ANN family
     (IVF / LSH / PQ) feeding the same ranked output shape."""
-    e = load(spark, sf_dir, "embeddings")
+    from ..session import widen_scan
+
+    # widen_scan A/B (min-of-4 at sf0.1): the interpreted zip_with
+    # cosine fold over a single-row-group scan is 1-task CPU-dense map
+    # work — full path widened 0.97 s vs 1.31 s unwidened (1.35x; the
+    # scoring stage alone is 3x, the anchor-keyed window is the rest)
+    e = widen_scan(load(spark, sf_dir, "embeddings"))
     a = e.filter(F.expr("vec_id % 97 = 0")).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("a_label"),
