@@ -185,9 +185,12 @@ def bill_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate keeps exactly the overlapping pairs, so the match count per
 # customer is O(n_inv + n_pay) — each allocation boundary is crossed
 # once — never the cross product.
-_FIFO_ORACLE = """
-WITH inv AS (
+#: The invoice/payment cumulative streams, shared by bill_credit_fifo
+#: and bill_dso_fifo (oracle side; the Spark twins are _fifo_invoices /
+#: _fifo_payments below).
+_FIFO_CTES = """inv AS (
   SELECT o_custkey AS cust, o_orderkey AS inv_id,
+         CAST(o_orderdate AS DATE) AS inv_date,
          CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
            AS cents,
          SUM(CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE))
@@ -196,12 +199,15 @@ WITH inv AS (
                  ORDER BY o_orderdate, o_orderkey) AS inv_cum
   FROM orders WHERE o_custkey % 7 = 3
 ), pay AS (
-  SELECT user_id AS cust, event_id AS pay_id,
+  SELECT user_id AS cust, event_id AS pay_id, ts AS pts,
          CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pc,
          SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pay_cum
   FROM events WHERE event_type = 'purchase' AND user_id % 7 = 3
-)
+)"""
+
+_FIFO_ORACLE = f"""
+WITH {_FIFO_CTES}
 SELECT i.cust, i.inv_id, i.cents,
        CAST(COALESCE(SUM(CASE WHEN p.pay_id IS NULL THEN 0
                          ELSE LEAST(i.inv_cum, p.pay_cum)
@@ -233,6 +239,53 @@ GROUP BY i.cust, i.inv_id, i.cents
 """
 
 
+def _fifo_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice stream with the customer-lifetime cumulative cents — the
+    deterministic %7 customer slice (the doc_id%97 benchmark-slice
+    precedent) bounds the declared output while keeping every kept
+    customer's FULL stream, and the modulo filter pushes into the
+    scan."""
+    oc = quantize_long("o_totalprice", 2)
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.expr("o_custkey % 7 = 3"))
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderkey").alias("inv_id"),
+            F.col("o_orderdate").cast("date").alias("inv_date"),
+            oc.alias("cents"),
+            F.sum(oc)
+            .over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            .alias("inv_cum"),
+        )
+    )
+
+
+def _fifo_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment stream with the customer-lifetime cumulative cents (same
+    slice as the invoices)."""
+    pc = quantize_long("value", 2)
+    return (
+        load(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.expr("user_id % 7 = 3")
+        )
+        .select(
+            F.col("user_id").alias("pcust"),
+            F.col("event_id").alias("pay_id"),
+            F.col("ts").alias("pts"),
+            pc.alias("pc"),
+            F.sum(pc)
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pay_cum"),
+        )
+    )
+
+
 @query("bill_credit_fifo", oracle=_FIFO_ORACLE, tier=2)
 def bill_credit_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFO payment application — the accounts-receivable core: each
@@ -255,38 +308,8 @@ def bill_credit_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is never re-crossed). At 100 TB the windows and the join all
     shuffle once on the same customer key; AQE handles whale-customer
     skew. All arithmetic is exact integer cents."""
-    oc = quantize_long("o_totalprice", 2)
-    # deterministic customer slice (the doc_id%97 benchmark-slice
-    # precedent): bounds the declared output while keeping every kept
-    # customer's FULL invoice/payment streams, so the FIFO semantics are
-    # untouched — and the modulo filter pushes into both scans
-    inv = load(spark, sf_dir, "orders").filter(
-        F.expr("o_custkey % 7 = 3")
-    ).select(
-        F.col("o_custkey").alias("cust"),
-        F.col("o_orderkey").alias("inv_id"),
-        oc.alias("cents"),
-        F.sum(oc)
-        .over(
-            Window.partitionBy("o_custkey").orderBy(
-                "o_orderdate", "o_orderkey"
-            )
-        )
-        .alias("inv_cum"),
-    )
-    pc = quantize_long("value", 2)
-    pay = (
-        load(spark, sf_dir, "events")
-        .filter((F.col("event_type") == "purchase") & F.expr("user_id % 7 = 3"))
-        .select(
-            F.col("user_id").alias("pcust"),
-            F.col("event_id").alias("pay_id"),
-            pc.alias("pc"),
-            F.sum(pc)
-            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-            .alias("pay_cum"),
-        )
-    )
+    inv = _fifo_invoices(spark, sf_dir)
+    pay = _fifo_payments(spark, sf_dir)
     # LEAST/GREATEST skip NULLs in BOTH engines (found by the round-11
     # FIFO replay test): an unmatched left-join row must allocate 0, not
     # collapse the overlap to the invoice's own interval
@@ -422,4 +445,101 @@ def bill_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(100.0)
             ).alias("ltv_per_user"),
         )
+    )
+
+
+# --- bill_dso_fifo -----------------------------------------------------------
+
+# Days-sales-outstanding off the SAME FIFO allocation: an invoice's
+# settlement date is the timestamp of the payment that completed it
+# (the first payment whose cumulative covers the invoice's interval
+# end), so DSO inherits bill_credit_fifo's pair semantics rather than
+# re-inventing a matching rule.
+_DSO_ORACLE = f"""
+WITH {_FIFO_CTES},
+per_inv AS (
+  SELECT i.cust, i.inv_id, i.inv_date, i.cents,
+         MIN(CASE WHEN p.pay_cum >= i.inv_cum THEN p.pts END)
+           AS completing_ts
+  FROM inv i
+  LEFT JOIN pay p
+    ON i.cust = p.cust
+   AND p.pay_cum > i.inv_cum - i.cents
+   AND p.pay_cum - p.pc < i.inv_cum
+  GROUP BY i.cust, i.inv_id, i.inv_date, i.cents
+), d AS (
+  SELECT strftime(inv_date, '%Y-%m') AS inv_month, cents,
+         CASE WHEN completing_ts IS NULL THEN NULL
+              ELSE CAST(completing_ts AS DATE) - inv_date END AS days
+  FROM per_inv
+)
+SELECT inv_month,
+       CAST(COUNT(*) AS BIGINT) AS n_invoices,
+       CAST(COUNT(days) AS BIGINT) AS n_paid,
+       CASE WHEN COUNT(days) = 0 THEN CAST(-1 AS DOUBLE)
+            ELSE CAST(SUM(days) AS DOUBLE) / CAST(COUNT(days) AS DOUBLE)
+       END AS avg_days_to_pay,
+       CASE WHEN COUNT(days) = 0 THEN CAST(-1 AS DOUBLE)
+            ELSE CAST(SUM(CASE WHEN days IS NULL THEN NULL
+                               ELSE days * cents END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN days IS NULL THEN NULL
+                                 ELSE cents END) AS DOUBLE)
+       END AS dso_weighted
+FROM d GROUP BY inv_month
+"""
+
+
+@query("bill_dso_fifo", oracle=_DSO_ORACLE, tier=2)
+def bill_dso_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days-sales-outstanding by invoice month — THE accounts-receivable
+    health metric, derived from the same FIFO application
+    bill_credit_fifo performs (shared stream helpers, shared oracle
+    CTEs): an invoice settles at the timestamp of the payment that
+    completed its cumulative interval, days-to-pay is the calendar gap
+    from invoice date to that settlement, and the month rollup reports
+    plain and amount-weighted DSO over the settled invoices (unsettled
+    ones count in n_invoices and are sentinel −1 when a month settles
+    nothing — right-censoring made explicit, never silently dropped).
+
+    Shape: identical to bill_credit_fifo up to the per-invoice
+    aggregate (two customer-keyed windows + one overlap-bounded equi-
+    join), then a calendar-keyed rollup whose key space is months. Days
+    are exact integers; the two DSO ratios are shared-text divisions."""
+    inv = _fifo_invoices(spark, sf_dir)
+    pay = _fifo_payments(spark, sf_dir)
+    pairs = inv.join(
+        pay,
+        (inv.cust == pay.pcust)
+        & (pay.pay_cum > inv.inv_cum - inv.cents)
+        & (pay.pay_cum - pay.pc < inv.inv_cum),
+        "left",
+    )
+    per_inv = pairs.groupBy("cust", "inv_id", "inv_date", "cents").agg(
+        F.min(
+            F.when(F.col("pay_cum") >= F.col("inv_cum"), F.col("pts"))
+        ).alias("completing_ts")
+    )
+    d = per_inv.select(
+        F.date_format("inv_date", "yyyy-MM").alias("inv_month"),
+        "cents",
+        F.when(
+            F.col("completing_ts").isNotNull(),
+            F.datediff(F.col("completing_ts").cast("date"), F.col("inv_date")),
+        ).alias("days"),
+    )
+    return d.groupBy("inv_month").agg(
+        F.count(F.lit(1)).alias("n_invoices"),
+        F.count("days").alias("n_paid"),
+        F.expr(
+            "CASE WHEN COUNT(days) = 0 THEN CAST(-1 AS DOUBLE)"
+            " ELSE CAST(SUM(days) AS DOUBLE) / CAST(COUNT(days) AS DOUBLE)"
+            " END"
+        ).alias("avg_days_to_pay"),
+        F.expr(
+            "CASE WHEN COUNT(days) = 0 THEN CAST(-1 AS DOUBLE)"
+            " ELSE CAST(SUM(CASE WHEN days IS NULL THEN NULL"
+            " ELSE days * cents END) AS DOUBLE)"
+            " / CAST(SUM(CASE WHEN days IS NULL THEN NULL"
+            " ELSE cents END) AS DOUBLE) END"
+        ).alias("dso_weighted"),
     )

@@ -761,3 +761,61 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("run_len") == F.col("best_len"), F.col("run_start"))
         ).alias("best_streak_start"),
     )
+
+
+# --- win_moving_median --------------------------------------------------------
+
+# Trailing 7-row exact moving median over each event type's daily
+# revenue — the robust smoother (a single spike day cannot drag it, the
+# reason ops dashboards prefer it to the moving mean). Medians
+# interpolate over exact integer cents, so even-count midpoints are
+# exact in both engines (the ts_anomaly_mad argument).
+_MOVMED_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, cents,
+       quantile_cont(cents, 0.5) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS med7
+FROM daily
+"""
+
+
+@query("win_moving_median", oracle=_MOVMED_ORACLE, tier=2)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-observation exact MOVING MEDIAN of daily revenue per
+    event type — the robust complement to win_moving_avg_range: one
+    outage-day spike moves a moving mean for a week but cannot drag the
+    median, which is why ops smoothing prefers it. Ramp-up days
+    (fewer than 7 trailing rows) take the median of what exists, the
+    standard convention.
+
+    Shape: the DATA-sized work is one (type, day) aggregate with full
+    map-side combine; the median window runs on the O(types x days)
+    daily frame, partitioned per type — model-sized at any corpus, and
+    the frame median is an exact order statistic over integer cents, so
+    both engines interpolate identical midpoints (the ts_anomaly_mad
+    argument). At 100 TB with a giant per-key timeline the swap is the
+    two-pass bucketed decomposition the win_running_sum family
+    documents."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(quantize_long("value", 2)).alias("cents"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.percentile("cents", F.lit(0.5)).over(w).alias("med7"),
+    )

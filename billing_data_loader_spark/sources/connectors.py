@@ -762,3 +762,91 @@ def scan_parquet_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         " column_name string, num_values long, null_count long,"
         " compressed_bytes long, uncompressed_bytes long",
     )
+
+
+# --- scan_jsonl_malformed ----------------------------------------------------
+
+# JSONL twin of scan_csv_malformed, with the corruption planted per
+# PARSE-FAILURE CLASS instead of appended wholesale: every doc_id%23==5
+# line is truncated mid-object (the cut-off upload), every %23==6 line
+# is non-JSON garbage (the log line that leaked into the feed). The
+# declared output books the per-language valid rollup AND the
+# quarantine count in one frame, so a silently-dropped record moves two
+# numbers.
+_JSONL_MALFORMED_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 23 NOT IN (5, 6)
+GROUP BY lang
+UNION ALL
+SELECT '_corrupt' AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 23 IN (5, 6)
+"""
+
+
+@query("scan_jsonl_malformed", oracle=_JSONL_MALFORMED_ORACLE, tier=3)
+def scan_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSONL ingest with quarantine — the JSON twin of
+    scan_csv_malformed, staged with per-class corruption: truncated
+    objects (a cut-off upload) and non-JSON garbage (a leaked log line)
+    planted on deterministic doc_id slices, everything else valid. The
+    reader is spark.read.json with a declared schema +
+    _corrupt_record under PERMISSIVE (FAILFAST kills the batch,
+    DROPMALFORMED silently loses documents), and the declared output
+    books the per-language valid rollup NEXT TO the quarantine count —
+    a dropped record moves two numbers, so the oracle catches both
+    failure modes.
+
+    Shape: the staged write is distributed (df.write.text through the
+    race-safe content-addressed staging — no driver loop), the read
+    back is a schema-pinned distributed JSON scan (no inference pass),
+    and the single pass aggregates valid and corrupt together off the
+    documented persist-before-splitting requirement for the corrupt
+    column."""
+    from ..tables import load as _load
+
+    def build(tmp: str) -> None:
+        d = _load(spark, sf_dir, "documents").select(
+            F.expr(
+                """CASE
+                 WHEN doc_id % 23 = 5 THEN
+                   concat('{"doc_id": ', CAST(doc_id AS STRING), ', "lang')
+                 WHEN doc_id % 23 = 6 THEN
+                   concat('GARBAGE feed line for doc ',
+                          CAST(doc_id AS STRING), ' :: not json at all')
+                 ELSE to_json(struct(doc_id, lang, n_chars))
+               END""").alias("value")
+        )
+        d.coalesce(4).write.mode("overwrite").text(tmp)
+
+    staged = content_addressed_stage(
+        sf_dir, "jsonl_malformed", build, table="documents"
+    )
+    schema = (
+        "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
+    )
+    parsed = scoped_persist(
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(staged)
+    )
+    valid = (
+        parsed.filter(F.col("_corrupt_record").isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    corrupt = parsed.filter(F.col("_corrupt_record").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.lit("_corrupt").alias("lang"),
+        "n_docs",
+        F.lit(0).cast("long").alias("sum_chars"),
+    )
+    return valid.unionAll(corrupt)

@@ -695,3 +695,115 @@ class TestKnnGraph:
                 g_nbr, g_same = got[vid][rnk]
                 assert g_nbr == nbr, (vid, rnk)
                 assert g_same == int(labels[nbr] == labels[vid])
+
+
+class TestMovingMedian:
+    def test_python_replay(self, spark):
+        """The trailing-7 median equals a Python replay over the sorted
+        daily series per type."""
+        import statistics
+
+        rows = catalog()["win_moving_median"].fn(spark, SF_DIR).collect()
+        per: dict = defaultdict(list)
+        for r in rows:
+            per[r["event_type"]].append((r["day"], r["cents"], r["med7"]))
+        for t, seq in per.items():
+            seq.sort()
+            cents = [c for _, c, _ in seq]
+            for i, (_, _, got_med) in enumerate(seq):
+                window = cents[max(0, i - 6) : i + 1]
+                assert abs(got_med - statistics.median(window)) < 1e-9, (t, i)
+
+
+class TestDsoFifo:
+    def test_settlement_replay(self, spark):
+        """Per-month DSO equals a Python replay driven by the SAME
+        sequential FIFO walk the credit test uses (settlement = the
+        payment that completes the invoice)."""
+        inv_rows = (
+            load(spark, SF_DIR, "orders")
+            .filter(F.expr("o_custkey % 7 = 3"))
+            .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+            .collect()
+        )
+        pay_rows = (
+            load(spark, SF_DIR, "events")
+            .filter(F.expr("event_type = 'purchase' AND user_id % 7 = 3"))
+            .select("user_id", "event_id", "value", "ts")
+            .collect()
+        )
+        invs: dict = defaultdict(list)
+        for r in inv_rows:
+            invs[r["o_custkey"]].append(
+                (r["o_orderdate"], r["o_orderkey"], _cents(r["o_totalprice"]))
+            )
+        pays: dict = defaultdict(list)
+        for r in pay_rows:
+            pays[r["user_id"]].append((r["ts"], r["event_id"], _cents(r["value"])))
+        month: dict = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, paid, sum_days, wsum, wcents
+        for cust, iv in invs.items():
+            iv.sort()
+            queue = sorted(pays.get(cust, []))
+            i = 0
+            remaining = [c for _, _, c in iv]
+            settle = {k: None for _, k, _ in iv}
+            for pts, _, pc in queue:
+                left = pc
+                while left > 0 and i < len(iv):
+                    take = min(left, remaining[i])
+                    remaining[i] -= take
+                    left -= take
+                    if remaining[i] == 0:
+                        settle[iv[i][1]] = pts
+                        i += 1
+                    else:
+                        break
+            for d, k, cents in iv:
+                m = d.strftime("%Y-%m")
+                slot = month[m]
+                slot[0] += 1
+                if settle[k] is not None:
+                    days = (settle[k].date() - d.date()).days
+                    slot[1] += 1
+                    slot[2] += days
+                    slot[3] += days * cents
+                    slot[4] += cents
+        got = {
+            r["inv_month"]: r
+            for r in catalog()["bill_dso_fifo"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(month)
+        for m, (n, paid, sd, wsum, wc) in month.items():
+            assert got[m]["n_invoices"] == n
+            assert got[m]["n_paid"] == paid
+            if paid == 0:
+                assert got[m]["avg_days_to_pay"] == -1
+                assert got[m]["dso_weighted"] == -1
+            else:
+                assert abs(got[m]["avg_days_to_pay"] - sd / paid) < 1e-9
+                assert abs(got[m]["dso_weighted"] - wsum / wc) < 1e-9
+
+
+class TestJsonlMalformed:
+    def test_quarantine_partition(self, spark):
+        """Quarantined count equals the planted corruption slice and no
+        valid document is lost."""
+        docs = (
+            load(spark, SF_DIR, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .collect()
+        )
+        planted = sum(1 for r in docs if r["doc_id"] % 23 in (5, 6))
+        per: dict = defaultdict(lambda: [0, 0])
+        for r in docs:
+            if r["doc_id"] % 23 not in (5, 6):
+                per[r["lang"]][0] += 1
+                per[r["lang"]][1] += r["n_chars"]
+        got = {
+            r["lang"]: r
+            for r in catalog()["scan_jsonl_malformed"].fn(spark, SF_DIR).collect()
+        }
+        assert got["_corrupt"]["n_docs"] == planted
+        for lang, (n, chars) in per.items():
+            assert got[lang]["n_docs"] == n
+            assert got[lang]["sum_chars"] == chars

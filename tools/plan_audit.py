@@ -301,6 +301,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "prof_freshness_lag": (
             "1-row as-of fold (global max event time; O(tasks) partials)"
         ),
+        "scan_jsonl_malformed": (
+            "1-row quarantine-count fold off the persisted parse frame"
+        ),
         "ext_ann_rptree": (
             "rank window over the top-k of ONE leaf (bounded candidate "
             "list — the whole point of the tree) + O(2^level) median "
