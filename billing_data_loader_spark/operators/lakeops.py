@@ -482,3 +482,120 @@ def scan_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("op") == "add").select(
         "path", "size_rows", F.col("version").alias("added_version")
     )
+
+
+# --- ext_compaction_apply ----------------------------------------------------
+
+# The EXECUTE step behind ext_compaction_plan: physically rewrite the
+# small files into their planned bins, then read the compacted table
+# BACK and prove conservation — the declared output comes from the
+# rewritten bytes, so a dropped file, a double-written bin, or a
+# mis-assigned row all break the hash against the plan-derivation
+# oracle.
+_COMPACT_APPLY_ORACLE = f"""
+WITH files AS (
+  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT CAST(SUM(bytes) AS BIGINT) AS total_bytes FROM files
+), offs AS (
+  SELECT source, lang, bytes, n_docs,
+         (total_bytes + {_C_BINS - 1}) // {_C_BINS} AS target,
+         COALESCE(SUM(bytes) OVER (
+           ORDER BY bytes DESC, source, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM files, tot
+)
+SELECT CAST(cum_before // target AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+FROM offs GROUP BY bin_id
+"""
+
+
+@query("ext_compaction_apply", oracle=_COMPACT_APPLY_ORACLE, tier=3)
+def ext_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction EXECUTION — ext_compaction_plan is the
+    OPTIMIZE planner, this is the rewrite job: the corpus is first
+    staged as genuinely small files (one parquet file per (source,
+    lang) group — the fragmented-ingest layout compaction exists to
+    fix), then rewritten into the planner's bins (each bin one output
+    file, via the same offset-slice assignment broadcast onto the
+    rows), and the DECLARED OUTPUT is the per-bin rollup of the
+    compacted table's READBACK — the rewritten bytes themselves, so a
+    dropped group, a double-write, or a mis-binned row breaks the hash
+    against the plan-derivation oracle (conservation is the contract of
+    any rewrite). tests/test_round11.py additionally pins the physical
+    layout: exactly one parquet file per bin on disk.
+
+    Shape: both stage writes are distributed and content-addressed
+    (re-runs are readback-only); the bin assignment joins the O(files)
+    manifest broadcast onto the data; the rewrite is repartition(bin) →
+    partitionBy(bin) — at 100 TB this is the standard OPTIMIZE shape:
+    one shuffle of the data keyed on the target bin, manifest math on
+    the side."""
+    from ..sources.connectors import content_addressed_stage
+
+    def build_small(tmp: str) -> None:
+        (
+            load(spark, sf_dir, "documents")
+            .repartition("source", "lang")
+            .write.mode("overwrite")
+            .partitionBy("source", "lang")
+            .parquet(tmp)
+        )
+
+    small = content_addressed_stage(
+        sf_dir, "compact_small_files", build_small, table="documents"
+    )
+
+    def build_compacted(tmp: str) -> None:
+        d = spark.read.parquet(small)
+        files = d.groupBy("source", "lang").agg(
+            F.sum("n_chars").alias("bytes")
+        )
+        tot = files.agg(F.sum("bytes").alias("total_bytes"))
+        w = Window.orderBy(F.desc("bytes"), "source", "lang").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        plan = (
+            files.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "target",
+                F.expr(f"(total_bytes + {_C_BINS - 1}) DIV {_C_BINS}"),
+            )
+            .withColumn(
+                "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            )
+            .select(
+                F.col("source").alias("p_source"),
+                F.col("lang").alias("p_lang"),
+                F.expr("cum_before DIV target").alias("bin_id"),
+            )
+        )
+        (
+            d.join(
+                F.broadcast(plan),
+                (d.source == plan.p_source) & (d.lang == plan.p_lang),
+            )
+            .drop("p_source", "p_lang")
+            .repartition("bin_id")
+            .write.mode("overwrite")
+            .partitionBy("bin_id")
+            .parquet(tmp)
+        )
+
+    compacted = content_addressed_stage(
+        sf_dir, "compact_applied", build_compacted, table="documents"
+    )
+    rb = spark.read.parquet(compacted)
+    # partition-directory values read back as INT; the oracle's integer
+    # division is HUGEINT — pin BIGINT on both sides
+    return rb.groupBy(F.col("bin_id").cast("long").alias("bin_id")).agg(
+        F.countDistinct("source", "lang").alias("n_files"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("bin_bytes"),
+    )

@@ -807,3 +807,36 @@ class TestJsonlMalformed:
         for lang, (n, chars) in per.items():
             assert got[lang]["n_docs"] == n
             assert got[lang]["sum_chars"] == chars
+
+
+class TestCompactionApply:
+    def test_physical_layout_and_conservation(self, spark):
+        """The compacted table holds exactly one parquet data file per
+        bin on disk, and the readback conserves the corpus."""
+        import os
+
+        # run the operator (stages both dirs), then inspect the layout
+        rows = catalog()["ext_compaction_apply"].fn(spark, SF_DIR).collect()
+        from billing_data_loader_spark.operators.corpus_ops import (
+            _corpus_fingerprint,
+        )
+        from billing_data_loader_spark.sources.connectors import scratch_dir
+
+        mt, sz = _corpus_fingerprint(SF_DIR, table="documents")
+        compacted = scratch_dir(SF_DIR, f"compact_applied-{mt}-{sz}")
+        bins = [
+            d for d in os.listdir(compacted) if d.startswith("bin_id=")
+        ]
+        assert len(bins) == len(rows)
+        for b in bins:
+            files = [
+                f
+                for f in os.listdir(os.path.join(compacted, b))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, b
+        docs = load(spark, SF_DIR, "documents")
+        assert sum(r["n_docs"] for r in rows) == docs.count()
+        assert sum(r["bin_bytes"] for r in rows) == (
+            docs.agg(F.sum("n_chars")).collect()[0][0]
+        )
