@@ -232,6 +232,38 @@ AUDITED = {
         "and all greedy rounds run inside a single runtime aggregate() "
         "lambda — zero per-round jobs, the corpus is scanned once."
     ),
+    "bill_credit_fifo": (
+        "FIFO payment application (round 11): two customer-keyed "
+        "cumulative windows share their shuffle shape, then ONE "
+        "SortMergeJoin on the customer equi-key with the interval-"
+        "overlap range predicate as a post-join filter — matched pairs "
+        "per customer are O(n_inv + n_pay) because allocation "
+        "intervals tile the cents line; the modulo customer slice is "
+        "pushed into both parquet scans."
+    ),
+    "ext_knn_graph": (
+        "Exact kNN graph (round 11): the corpus replicates onto 136 "
+        "block-pair tasks via one broadcast of the task table (n·(m+1) "
+        "vectors of shuffle, never n² pairs); each tile is one BLAS "
+        "matmul inside applyInPandas emitting only local top-8 per "
+        "point; the global top-3 is a vec_id-keyed window over the "
+        "O(n·m·8) candidate stream, and labels broadcast onto the "
+        "final 3n rows."
+    ),
+    "ext_ann_rptree": (
+        "RP-tree ANN (round 11): all 4 level projections compute in "
+        "one map-side pass over the persisted base; per level the "
+        "median aggregate keys on the (bounded) node id and its "
+        "O(2^level)-row result broadcasts back into the split join — "
+        "each level persisted so the two references per round stay "
+        "two cache reads, not O(2^level) chain re-executions."
+    ),
+    "prof_fd_discovery": (
+        "FD discovery (round 11): one scan explodes all 5 candidate "
+        "triples map-side; the only data-sized exchange keys on "
+        "(fd, lhs, rhs) with full partial aggregation, and the "
+        "majority/rollup stages run on value-domain-sized frames."
+    ),
 }
 
 
