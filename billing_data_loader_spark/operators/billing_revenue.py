@@ -543,3 +543,100 @@ def bill_dso_fifo(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE cents END) AS DOUBLE) END"
         ).alias("dso_weighted"),
     )
+
+
+# --- bill_usage_commitment -----------------------------------------------------
+
+#: Committed-use contract terms, derived deterministically per user:
+#: monthly committed units, the discounted per-unit commit rate, and the
+#: premium per-unit overage rate (cents). Unused committed units expire
+#: at month end (no rollover) — the simple form every committed-use
+#: discount (CUD) bill computes first.
+_UC_COMMIT_UNITS = "(50 * (1 + user_id % 4))"
+_UC_COMMIT_RATE = 80
+_UC_OVERAGE_RATE = 125
+
+_USAGE_COMMIT_ORACLE = f"""
+WITH usage_ AS (
+  SELECT strftime(ts, '%Y-%m') AS month,
+         user_id,
+         CAST(COUNT(*) AS BIGINT) AS used_units,
+         CAST({_UC_COMMIT_UNITS} AS BIGINT) AS commit_units
+  FROM events GROUP BY month, user_id
+), rated AS (
+  SELECT month, used_units, commit_units,
+         commit_units * {_UC_COMMIT_RATE} AS commit_cents,
+         CASE WHEN used_units > commit_units
+              THEN (used_units - commit_units) * {_UC_OVERAGE_RATE}
+              ELSE 0 END AS overage_cents,
+         CASE WHEN used_units < commit_units
+              THEN commit_units - used_units ELSE 0 END AS expired_units
+  FROM usage_
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(used_units) AS BIGINT) AS used_units,
+       CAST(SUM(commit_cents) AS BIGINT) AS commit_cents,
+       CAST(SUM(overage_cents) AS BIGINT) AS overage_cents,
+       CAST(SUM(CASE WHEN overage_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_over_commit,
+       CAST(SUM(expired_units) AS BIGINT) AS expired_units
+FROM rated GROUP BY month
+"""
+
+
+@query("bill_usage_commitment", oracle=_USAGE_COMMIT_ORACLE, tier=2)
+def bill_usage_commitment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed-use billing (the CUD / reserved-capacity rating model):
+    each user commits to a monthly unit volume at a discounted rate
+    ({_UC_COMMIT_RATE}c vs {_UC_OVERAGE_RATE}c per unit); the commit is
+    billed in full whether used or not, usage beyond it rates at the
+    overage premium, and unused committed units EXPIRE (no rollover).
+    Per month: users, usage, committed revenue, overage revenue, how
+    many users blew through their commit (the upsell signal), and the
+    expired-unit volume (the over-provisioning signal finance watches).
+    Complements bill_tiered_rating: tiers price marginal units ever
+    cheaper, commitments price a floor the customer pays regardless.
+
+    Shape: ONE (month, user) counting aggregate over the event stream —
+    full map-side combine, shuffle keyed on the natural billing grain —
+    then per-row contract arithmetic (the terms derive from the user
+    key; a real deployment broadcast-joins a contract dim of the same
+    width) and a calendar-sized month rollup. Every money/unit figure
+    is an exact integer; there are no doubles anywhere."""
+    ev = load(spark, sf_dir, "events")
+    usage = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("used_units"))
+    rated = usage.select(
+        "month",
+        "used_units",
+        F.expr(f"CAST({_UC_COMMIT_UNITS} AS BIGINT)").alias("commit_units"),
+    ).select(
+        "month",
+        "used_units",
+        "commit_units",
+        (F.col("commit_units") * _UC_COMMIT_RATE).alias("commit_cents"),
+        F.when(
+            F.col("used_units") > F.col("commit_units"),
+            (F.col("used_units") - F.col("commit_units")) * _UC_OVERAGE_RATE,
+        )
+        .otherwise(F.lit(0))
+        .alias("overage_cents"),
+        F.when(
+            F.col("used_units") < F.col("commit_units"),
+            F.col("commit_units") - F.col("used_units"),
+        )
+        .otherwise(F.lit(0))
+        .alias("expired_units"),
+    )
+    return rated.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("used_units").alias("used_units"),
+        F.sum("commit_cents").alias("commit_cents"),
+        F.sum("overage_cents").alias("overage_cents"),
+        F.sum(
+            F.when(F.col("overage_cents") > 0, 1).otherwise(0)
+        ).alias("users_over_commit"),
+        F.sum("expired_units").alias("expired_units"),
+    )

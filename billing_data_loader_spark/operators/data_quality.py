@@ -287,3 +287,115 @@ def prof_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("CASE WHEN n_ok = n_rows THEN 1 ELSE 0 END").alias("passed"),
     )
+
+
+# --- prof_candidate_keys -------------------------------------------------------
+
+#: Candidate (composite) keys over ``lineitem``: (name, member expressions).
+#: Values compare only WITHIN an engine (the metric is a count), so the
+#: member casts need only be injective per engine — the shared text
+#: diverges solely on Spark STRING vs DuckDB VARCHAR (the documented
+#: one-token gap). The set spans the true composite PK, a superkey of it,
+#: and non-keys at different duplication grades. NOTE the synthetic
+#: fixture does NOT honor dbgen's (orderkey, linenumber) key — that
+#: candidate is ~76% unique, the realistic "assumed key that is not
+#: one" profile a UCC discovery run exists to flag; the true key needs
+#: all four id columns (verified at sf0.01, pinned in test_round11b).
+_CK_CANDIDATES = [
+    ("l_orderkey", ["CAST(l_orderkey AS STRING)"]),
+    (
+        "l_orderkey+l_linenumber",
+        ["CAST(l_orderkey AS STRING)", "CAST(l_linenumber AS STRING)"],
+    ),
+    (
+        "l_orderkey+l_linenumber+l_partkey+l_suppkey",
+        [
+            "CAST(l_orderkey AS STRING)",
+            "CAST(l_linenumber AS STRING)",
+            "CAST(l_partkey AS STRING)",
+            "CAST(l_suppkey AS STRING)",
+        ],
+    ),
+    (
+        "l_partkey+l_suppkey",
+        ["CAST(l_partkey AS STRING)", "CAST(l_suppkey AS STRING)"],
+    ),
+    ("l_shipdate", ["CAST(CAST(l_shipdate AS DATE) AS STRING)"]),
+]
+
+
+def _ck_val(exprs: list[str]) -> str:
+    return "concat_ws('~', " + ", ".join(exprs) + ")"
+
+
+_CK_ORACLE = (
+    """
+WITH cand AS (
+"""
+    + "\n  UNION ALL\n".join(
+        "  SELECT '{name}' AS candidate, {val} AS v FROM lineitem".format(
+            name=n, val=_ck_val(exprs).replace(" AS STRING", " AS VARCHAR")
+        )
+        for n, exprs in _CK_CANDIDATES
+    )
+    + """
+), grp AS (
+  SELECT candidate, v, COUNT(*) AS cnt FROM cand GROUP BY candidate, v
+)
+SELECT candidate,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dup_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_group_rows,
+       CASE WHEN SUM(cnt) = COUNT(*) THEN 1 ELSE 0 END AS is_key,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS uniqueness
+FROM grp GROUP BY candidate
+"""
+)
+
+
+@query("prof_candidate_keys", oracle=_CK_ORACLE, tier=2)
+def prof_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key (uniqueness) discovery over a declared combination
+    set — the unique-column-combination profiling primitive (Metanome's
+    UCC discovery, deequ's ``isUnique``) and the complement of
+    prof_fd_discovery: for each candidate, how close it comes to
+    uniquely identifying a row. The set spans the true composite key
+    (all four id columns), the pair dbgen would have made unique
+    (orderkey+linenumber — only ~76% unique in the synthetic fixture,
+    exactly the "assumed key that is not one" finding UCC discovery
+    exists to surface), and three non-keys at different duplication
+    grades, so is_key, dup volume, and the worst collision group all
+    exercise both branches.
+
+    Shape: ONE scan for ALL candidates (the prof_fd_discovery map-side
+    candidate explode — bounded by candidate count), one (candidate,
+    value) counting aggregate whose shuffle key space is the candidates'
+    value domains with full map-side combine, and a model-sized rollup.
+    At 100 TB a near-key candidate's value domain is ~row-scale — the
+    same cost profile as the dedup_exact_rows digest groupBy, which is
+    exactly the operation uniqueness profiling prices out. Counts are
+    exact longs; uniqueness is one shared-text division of identical
+    integers."""
+    structs = ", ".join(
+        f"struct('{n}' AS candidate, {_ck_val(exprs)} AS v)"
+        for n, exprs in _CK_CANDIDATES
+    )
+    cand = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.expr(f"explode(array({structs}))").alias("c"))
+        .select("c.*")
+    )
+    grp = cand.groupBy("candidate", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return grp.groupBy("candidate").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.sum("cnt") - F.count(F.lit(1))).alias("n_dup_rows"),
+        F.max("cnt").alias("max_group_rows"),
+        F.expr(
+            "CASE WHEN SUM(cnt) = COUNT(*) THEN 1 ELSE 0 END"
+        ).alias("is_key"),
+        F.expr(
+            "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)"
+        ).alias("uniqueness"),
+    )

@@ -655,3 +655,119 @@ def ts_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mape"),
         F.sum(F.expr("actual - forecast")).alias("bias_cents"),
     )
+
+
+# --- ts_acf -------------------------------------------------------------------
+
+#: Autocorrelation horizon: lags 1..7 cover the weekly cycle
+#: ts_seasonal_index models — a peak at lag 7 is the numeric signature of
+#: day-of-week seasonality, a slow decay the signature of trend.
+_ACF_MAX_LAG = 7
+
+#: Sample ACF at lag k from exact integer moments, as textually-shared SQL:
+#: r_k = sum_{t<=n-k}(x_t - m)(x_{t+k} - m) / sum_t(x_t - m)^2 with m=sx/n,
+#: expanded so every aggregate is an exact integer (products widened to
+#: DECIMAL(38,0)/HUGEINT — the prof_corr_matrix overflow stance) and the
+#: only float arithmetic is this one identical-IEEE closed form, quantized
+#: at 6dp via the tie-free floor form.
+_ACF_EXPR = (
+    "floor((("
+    "CAST(sxy AS DOUBLE)"
+    " - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "   * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))"
+    " + CAST(n_pairs AS DOUBLE)"
+    "   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    "   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    ") / ("
+    "CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    ")) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+)
+
+_ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY day
+), rnd AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+), g AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(c AS HUGEINT)) AS sx,
+         SUM(CAST(c AS HUGEINT) * c) AS sxx
+  FROM rnd
+), l AS (
+  SELECT CAST(k AS BIGINT) AS k FROM range(1, {_ACF_MAX_LAG + 1}) t(k)
+), p AS (
+  SELECT l.k,
+         COUNT(*) AS n_pairs,
+         SUM(CAST(a.c AS HUGEINT) * b.c) AS sxy,
+         SUM(CAST(a.c AS HUGEINT)) AS sh,
+         SUM(CAST(b.c AS HUGEINT)) AS st
+  FROM rnd a CROSS JOIN l JOIN rnd b ON b.rn = a.rn + l.k
+  GROUP BY l.k
+)
+SELECT k AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       {_ACF_EXPR} AS acf
+FROM p, g
+"""
+
+
+@query("ts_acf", oracle=_ACF_ORACLE, tier=2)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the daily revenue series at
+    lags 1..{_ACF_MAX_LAG} — the first diagnostic a forecaster reads
+    before picking a model: a spike at lag 7 confirms the day-of-week
+    cycle ts_seasonal_index quantifies, slow decay across all lags
+    flags trend (difference before modeling), and an ACF inside the
+    noise band says the series is already white. Positional (ROW) lags
+    over the observed series, the classical estimator with the GLOBAL
+    mean/variance in the denominator.
+
+    Shape: the DATA-sized work is one (day) aggregate with full
+    map-side combine; everything after runs on the O(days) daily frame
+    — model-sized at any corpus, so its row_number window and 1-row
+    moment fold are the documented EXPECTED_FLAGS pattern. The lag
+    pairing is an EQUI-join on the computed key rn+k (never a band
+    BNLJ), the moments are exact integers (products widened to
+    DECIMAL(38,0)/HUGEINT per the prof_corr_matrix overflow stance),
+    and the estimator is one textually-shared IEEE expression over
+    those integers, quantized at 6dp."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(quantize_long("value", 2)).alias("c"))
+    )
+    rnd = daily.select(
+        "c", F.row_number().over(W.orderBy("day")).alias("rn")
+    )
+    g = rnd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
+    )
+    a = rnd.select(
+        F.col("c").alias("ca"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG)),
+                lambda k: F.struct(
+                    k.cast("long").alias("k"),
+                    (F.col("rn") + k).alias("brn"),
+                ),
+            )
+        ).alias("e"),
+    ).select("ca", "e.k", "e.brn")
+    b = rnd.select(F.col("rn").alias("brn"), F.col("c").alias("cb"))
+    p = a.join(b, "brn").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb")).alias("sxy"),
+        F.sum(F.col("ca").cast("decimal(38,0)")).alias("sh"),
+        F.sum(F.col("cb").cast("decimal(38,0)")).alias("st"),
+    )
+    return p.crossJoin(F.broadcast(g)).select(
+        F.col("k").alias("lag"),
+        "n_pairs",
+        F.expr(_ACF_EXPR).alias("acf"),
+    )

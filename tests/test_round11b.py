@@ -1,0 +1,245 @@
+"""Round-11 continuation tests: independent replays and invariants for
+the vacuum planner, the incremental (CDC) read plan, the ACF estimator,
+candidate-key discovery, and committed-use billing."""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+from collections import defaultdict
+
+from billing_data_loader_spark.plans.catalog import catalog
+from billing_data_loader_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def _staged_log_rows(spark) -> list[dict]:
+    """Read the staged transaction log directly off disk (pure Python,
+    no Spark) — the independent side of the replay."""
+    from billing_data_loader_spark.operators.lakeops import _txn_log_frame
+
+    # ensure the log is staged, then locate its directory via the same
+    # content-addressed key the operator used
+    _txn_log_frame(spark, SF_DIR).count()
+    from billing_data_loader_spark.operators.corpus_ops import (
+        _corpus_fingerprint,
+    )
+    from billing_data_loader_spark.sources.connectors import scratch_dir
+
+    mt, sz = _corpus_fingerprint(SF_DIR, table="orders")
+    staged = scratch_dir(SF_DIR, f"txn_log-{mt}-{sz}")
+    rows = []
+    for path in glob.glob(f"{staged}/part-*.json") + glob.glob(
+        f"{staged}/*.json"
+    ):
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    assert rows, f"no staged log lines under {staged}"
+    return rows
+
+
+def _latest_state(rows: list[dict], at_version: int) -> dict[str, dict]:
+    """path -> its latest action at-or-before ``at_version`` plus the
+    add payload size (removes carry size 0)."""
+    state: dict[str, dict] = {}
+    for r in sorted(rows, key=lambda r: r["version"]):
+        if r["version"] > at_version:
+            continue
+        cur = state.setdefault(
+            r["path"], {"op": None, "version": -1, "add_rows": 0}
+        )
+        cur["op"] = r["op"]
+        cur["version"] = r["version"]
+        cur["add_rows"] = max(cur["add_rows"], r["size_rows"])
+    return state
+
+
+class TestVacuumPlan:
+    def test_python_replay_and_conservation(self, spark):
+        from billing_data_loader_spark.operators.lakeops import _VAC_HORIZON
+
+        rows = _staged_log_rows(spark)
+        head = max(r["version"] for r in rows)
+        state = _latest_state(rows, head)
+        exp = defaultdict(lambda: [0, 0])  # status -> [n_files, rows]
+        for st in state.values():
+            if st["op"] == "add":
+                status = "live"
+            elif head - st["version"] >= _VAC_HORIZON:
+                status = "vacuum"
+            else:
+                status = "retained"
+            exp[status][0] += 1
+            exp[status][1] += st["add_rows"]
+
+        got = {
+            r["status"]: r
+            for r in catalog()["ext_vacuum_plan"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(exp) == {"live", "retained", "vacuum"}
+        for status, (n, rws) in exp.items():
+            assert got[status]["n_files"] == n
+            assert got[status]["total_rows"] == rws
+        # conservation: every path's add payload books exactly once
+        n_orders = load(spark, SF_DIR, "orders").count()
+        assert sum(r["total_rows"] for r in got.values()) == n_orders
+
+
+class TestIncrementalRead:
+    def test_python_replay(self, spark):
+        from billing_data_loader_spark.operators.lakeops import (
+            _INC_FROM,
+            _INC_TO,
+        )
+
+        rows = _staged_log_rows(spark)
+        head = max(r["version"] for r in rows)
+        live_a = {
+            p: st
+            for p, st in _latest_state(rows, head - _INC_FROM).items()
+            if st["op"] == "add"
+        }
+        live_b = {
+            p: st
+            for p, st in _latest_state(rows, head - _INC_TO).items()
+            if st["op"] == "add"
+        }
+        exp = {}
+        for p in set(live_a) | set(live_b):
+            if p not in live_a:
+                exp[p] = ("added", live_b[p]["add_rows"])
+            elif p not in live_b:
+                exp[p] = ("removed", live_a[p]["add_rows"])
+            else:
+                exp[p] = ("unchanged", live_b[p]["add_rows"])
+
+        got = {
+            r["path"]: (r["status"], r["size_rows"])
+            for r in catalog()["ext_incremental_read"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert got == exp
+        # every class genuinely populated at this fixture
+        statuses = {s for s, _ in got.values()}
+        assert statuses == {"added", "removed", "unchanged"}
+
+
+class TestAcf:
+    def test_numpy_replay(self, spark):
+        import numpy as np
+
+        ev = (
+            load(spark, SF_DIR, "events")
+            .select("ts", "value")
+            .collect()
+        )
+        daily: dict = defaultdict(int)
+        for r in ev:
+            daily[r["ts"].date()] += int(
+                math.floor(r["value"] * 100 + 0.5)
+            )
+        x = np.array(
+            [daily[d] for d in sorted(daily)], dtype=np.float64
+        )
+        n = len(x)
+        m = x.sum() / n
+        denom = ((x - m) ** 2).sum()
+        got = {
+            r["lag"]: r
+            for r in catalog()["ts_acf"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(range(1, 8))
+        for k in range(1, 8):
+            exp = ((x[:-k] - m) * (x[k:] - m)).sum() / denom
+            assert got[k]["n_pairs"] == n - k
+            assert abs(got[k]["acf"] - exp) < 2e-6, (k, got[k]["acf"], exp)
+
+    def test_acf_bounds(self, spark):
+        """Cauchy-Schwarz bound: every sample ACF sits in [-1, 1], and
+        the series is non-degenerate (some lag shows real structure).
+        (The 30-day sf0.01 slice is too short for lag-7 weekly-cycle
+        dominance — that diagnostic only emerges on longer windows.)"""
+        got = {
+            r["lag"]: r["acf"]
+            for r in catalog()["ts_acf"].fn(spark, SF_DIR).collect()
+        }
+        assert all(abs(v) <= 1.0 + 1e-6 for v in got.values())
+        assert any(abs(v) > 0.01 for v in got.values())
+
+
+class TestCandidateKeys:
+    def test_key_flags_and_row_conservation(self, spark):
+        li = load(spark, SF_DIR, "lineitem")
+        n = li.count()
+        got = {
+            r["candidate"]: r
+            for r in catalog()["prof_candidate_keys"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        # the 4-column combination is the fixture's true key; the
+        # dbgen-style (orderkey, linenumber) pair is deliberately only a
+        # NEAR-key in the synthetic fixture
+        assert got["l_orderkey+l_linenumber+l_partkey+l_suppkey"]["is_key"] == 1
+        near = got["l_orderkey+l_linenumber"]
+        assert near["is_key"] == 0 and 0.5 < near["uniqueness"] < 1.0
+        for cand in ("l_orderkey", "l_partkey+l_suppkey", "l_shipdate"):
+            assert got[cand]["is_key"] == 0
+            assert got[cand]["n_dup_rows"] > 0
+        for r in got.values():
+            assert r["n_rows"] == n
+            assert r["n_groups"] + r["n_dup_rows"] == n
+            assert 0 < r["uniqueness"] <= 1.0
+
+
+class TestUsageCommitment:
+    def test_python_replay(self, spark):
+        from billing_data_loader_spark.operators.billing_revenue import (
+            _UC_COMMIT_RATE,
+            _UC_OVERAGE_RATE,
+        )
+
+        ev = load(spark, SF_DIR, "events").select("ts", "user_id").collect()
+        used: dict = defaultdict(int)
+        for r in ev:
+            used[(r["ts"].strftime("%Y-%m"), r["user_id"])] += 1
+        exp = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+        for (month, uid), u in used.items():
+            commit = 50 * (1 + uid % 4)
+            e = exp[month]
+            e[0] += 1
+            e[1] += u
+            e[2] += commit * _UC_COMMIT_RATE
+            over = max(u - commit, 0) * _UC_OVERAGE_RATE
+            e[3] += over
+            e[4] += 1 if over > 0 else 0
+            e[5] += max(commit - u, 0)
+        got = {
+            r["month"]: r
+            for r in catalog()["bill_usage_commitment"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(exp)
+        over_total = 0
+        expired_total = 0
+        for month, e in exp.items():
+            g = got[month]
+            assert (
+                g["n_users"],
+                g["used_units"],
+                g["commit_cents"],
+                g["overage_cents"],
+                g["users_over_commit"],
+                g["expired_units"],
+            ) == tuple(e)
+            over_total += g["overage_cents"]
+            expired_total += g["expired_units"]
+        # both contract branches genuinely exercised by the fixture
+        assert over_total > 0 and expired_total > 0
