@@ -1,0 +1,246 @@
+"""Clustering-adjacent curation operators (SURVEY.md §2.10 extensions,
+round 11 continuation): greedy k-center coreset selection and cluster
+purity evaluation — the two steps that sit on either side of
+``ext_kmeans_lite`` in a training-data curation loop (pick a maximally
+diverse subset; audit how well an unsupervised clustering tracks the
+labels).
+
+Scale stance: k-center materializes ONE min-distance column per round
+(the k-center|| shape — every round is a map-side distance against one
+broadcast center plus a top-1 fold; the corpus never self-joins), and
+purity runs entirely on the k x labels assignment-count frame after one
+corpus-sized aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..session import scoped_persist
+from ..tables import load
+from .ann import _as_double, _sq_dist
+
+# --- ext_kcenter_coreset -------------------------------------------------------
+
+#: Coreset size: the seed (vec_id 0) plus 4 greedy farthest-point rounds.
+_KC_ROUNDS = 5
+
+#: DuckDB squared distance between two 64-dim list columns, quantized to
+#: 9dp like the ext_kmeans_lite oracle (DuckDB's list_aggregate is not a
+#: plain left fold; round-9 washes the last-bit noise on both sides).
+_KC_DIST = (
+    "round(list_aggregate(list_transform(range(1, 65),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum'), 9)"
+)
+
+
+def _kc_oracle() -> str:
+    ctes = [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve"
+        " FROM embeddings)",
+        "m1 AS MATERIALIZED (SELECT v.vec_id, v.ve, "
+        + _KC_DIST.format(a="v.ve", b="c.cv")
+        + " AS mind FROM v CROSS JOIN"
+        " (SELECT ve AS cv FROM v WHERE vec_id = 0) c)",
+    ]
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS sel_round, vec_id,"
+        " CAST(0 AS DOUBLE) AS radius_sq FROM v WHERE vec_id = 0"
+    ]
+    for r in range(2, _KC_ROUNDS + 1):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT vec_id, ve, mind FROM m{r - 1}"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, mind FROM p{r}"
+        )
+        if r < _KC_ROUNDS:
+            ctes.append(
+                f"m{r} AS MATERIALIZED (SELECT a.vec_id, a.ve,"
+                " least(a.mind, "
+                + _KC_DIST.format(a="a.ve", b="p.ve")
+                + f") AS mind FROM m{r - 1} a CROSS JOIN p{r} p)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+_KCENTER_ORACLE = _kc_oracle()
+
+
+@query("ext_kcenter_coreset", oracle=_KCENTER_ORACLE, tier=3)
+def ext_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection over the
+    embedding corpus — the diversity-maximizing subset picker behind
+    coreset data pruning and k-center|| seeding (Gonzalez's 2-approx of
+    the k-center objective): seed at vec_id 0, then each round selects
+    the point FARTHEST from every already-chosen center. Output: the
+    selection order, the chosen vec_id, and the covering radius (its
+    min squared distance at selection time — the monotone non-increasing
+    sequence that IS the k-center objective curve).
+
+    Shape: each round is one map-side distance against ONE broadcast
+    center folded into a running min-distance column (`least`), plus a
+    top-1 TakeOrdered fold — the corpus never self-joins and never
+    reshuffles; at 100 TB this is exactly k-center||'s per-round cost
+    (one linear pass, one scalar reduce). Each round's frame is
+    persisted (scoped) because it is referenced twice — by its argmax
+    fold and by the next round's projection — the round-11 RP-tree
+    O(2^level) re-execution lesson. Distances quantize to 9dp on both
+    sides (the ext_kmeans_lite fold-noise stance) and ties break to the
+    lowest vec_id; the numpy greedy replay is pinned in
+    tests/test_round11b.py."""
+    v = scoped_persist(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("ve")
+        )
+    )
+    seed = v.filter(F.col("vec_id") == 0)
+    picks = [
+        seed.select(
+            F.lit(1).cast("long").alias("sel_round"),
+            "vec_id",
+            F.lit(0.0).alias("radius_sq"),
+        )
+    ]
+    cur = scoped_persist(
+        v.crossJoin(F.broadcast(seed.select(F.col("ve").alias("cv")))).select(
+            "vec_id",
+            "ve",
+            F.round(_sq_dist(F.col("ve"), F.col("cv")), 9).alias("mind"),
+        )
+    )
+    for r in range(2, _KC_ROUNDS + 1):
+        pick = scoped_persist(
+            cur.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        )
+        picks.append(
+            pick.select(
+                F.lit(r).cast("long").alias("sel_round"),
+                "vec_id",
+                F.col("mind").alias("radius_sq"),
+            )
+        )
+        if r < _KC_ROUNDS:
+            cur = scoped_persist(
+                cur.crossJoin(
+                    F.broadcast(pick.select(F.col("ve").alias("cv")))
+                ).select(
+                    "vec_id",
+                    "ve",
+                    F.least(
+                        F.col("mind"),
+                        F.round(_sq_dist(F.col("ve"), F.col("cv")), 9),
+                    ).alias("mind"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# --- ext_cluster_purity --------------------------------------------------------
+
+# Purity audit of the ext_kmeans_lite clustering against the labeled
+# fixture: the oracle re-derives the full 2-round Lloyd assignment as a
+# CTE (the kmeans oracle verbatim) and evaluates the same contingency
+# rollup, so the purity numbers bind end to end.
+
+
+def _purity_oracle() -> str:
+    from .ann import _KMEANS_ORACLE
+
+    return f"""
+WITH km AS MATERIALIZED ({_KMEANS_ORACLE}),
+a AS (
+  SELECT km.cluster_id, e.label
+  FROM km JOIN embeddings e ON km.vec_id = e.vec_id
+),
+cl AS (
+  SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM a GROUP BY cluster_id, label
+),
+maj AS (
+  SELECT cluster_id, label AS majority_label, cnt AS majority_cnt
+  FROM (
+    SELECT cluster_id, label, cnt,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY cnt DESC, label) AS rn
+    FROM cl
+  ) WHERE rn = 1
+),
+sz AS (
+  SELECT cluster_id, CAST(SUM(cnt) AS BIGINT) AS size_,
+         CAST(COUNT(*) AS BIGINT) AS n_labels
+  FROM cl GROUP BY cluster_id
+)
+SELECT sz.cluster_id, sz.size_ AS cluster_size, sz.n_labels,
+       CAST(maj.majority_label AS BIGINT) AS majority_label,
+       maj.majority_cnt,
+       CAST(maj.majority_cnt AS DOUBLE) / CAST(sz.size_ AS DOUBLE)
+         AS purity
+FROM sz JOIN maj ON sz.cluster_id = maj.cluster_id
+"""
+
+
+_PURITY_ORACLE = _purity_oracle()
+
+
+@query("ext_cluster_purity", oracle=_PURITY_ORACLE, tier=3)
+def ext_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity audit of the ext_kmeans_lite clustering against
+    the labeled corpus — the evaluation loop of unsupervised curation
+    (SemDeDup-style cluster pruning, mix balancing): per cluster its
+    size, how many distinct labels landed in it, the majority label with
+    its count (ties break to the lowest label), and purity =
+    majority / size. Low purity flags clusters whose members a
+    label-aware sampler should not treat as interchangeable.
+
+    Shape: the clustering itself is ext_kmeans_lite's plan (broadcast
+    centroids, map-side argmin — invoked as a helper, its own key pins
+    the assignment); purity adds ONE (cluster, label) counting aggregate
+    over the assignment (the only corpus-sized exchange, keyed on the
+    k x labels contingency domain) and runs the majority window and
+    size rollup on that model-sized frame. Counts are exact; purity is
+    one shared-text division."""
+    from .ann import ext_kmeans_lite
+
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = (
+        ext_kmeans_lite(spark, sf_dir)
+        .select("vec_id", "cluster_id")
+        .join(lab, "vec_id")
+    )
+    cl = a.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    maj = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("cnt").alias("majority_cnt"),
+        )
+    )
+    sz = cl.groupBy("cluster_id").agg(
+        F.sum("cnt").alias("cluster_size"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    return sz.join(maj, "cluster_id").select(
+        "cluster_id",
+        "cluster_size",
+        "n_labels",
+        "majority_label",
+        "majority_cnt",
+        F.expr(
+            "CAST(majority_cnt AS DOUBLE) / CAST(cluster_size AS DOUBLE)"
+        ).alias("purity"),
+    )

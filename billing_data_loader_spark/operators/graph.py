@@ -297,3 +297,155 @@ def ext_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(wj))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+# --- ext_jaccard_neighbors ----------------------------------------------------
+
+#: Jaccard acceptance threshold as an exact integer cross-multiplication
+#: (jac >= _JN_NUM/_JN_DEN): membership never flips on a float ulp — the
+#: ext_assoc_rules support-floor discipline. 3/25 = 0.12 keeps a few
+#: hundred pairs at sf0.01 on a graph whose max Jaccard is ~0.19.
+_JN_NUM = 3
+_JN_DEN = 25
+
+_JN_ORACLE = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= {_TRI_MAX_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+),
+adj AS (
+  SELECT a AS node, b AS nb FROM pairs
+  UNION ALL SELECT b, a FROM pairs
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+cn AS (
+  SELECT x.nb AS a, y.nb AS b
+  FROM adj x JOIN adj y ON x.node = y.node AND x.nb < y.nb
+),
+cpair AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_cnt
+  FROM cn GROUP BY a, b
+),
+j AS (
+  SELECT c.a, c.b, c.common_cnt, da.d AS deg_a, db.d AS deg_b
+  FROM cpair c
+  JOIN deg da ON da.node = c.a
+  JOIN deg db ON db.node = c.b
+  WHERE {_JN_DEN} * c.common_cnt
+        >= {_JN_NUM} * (da.d + db.d - c.common_cnt)
+)
+SELECT a, b, common_cnt, deg_a, deg_b,
+       CAST(common_cnt AS DOUBLE)
+         / CAST(deg_a + deg_b - common_cnt AS DOUBLE) AS jaccard,
+       CASE WHEN EXISTS (SELECT 1 FROM pairs p
+                         WHERE p.a = j.a AND p.b = j.b)
+            THEN 1 ELSE 0 END AS is_direct
+FROM j
+"""
+
+
+@query("ext_jaccard_neighbors", oracle=_JN_ORACLE, tier=3)
+def ext_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity over the part co-purchase graph —
+    the classic link-prediction / entity-similarity primitive (two parts
+    are similar when their co-purchase NEIGHBORHOODS overlap, whether or
+    not they were ever bought together themselves): for every node pair
+    sharing at least one neighbor, |N(a) ∩ N(b)| / |N(a) ∪ N(b)|,
+    accepted by the exact integer predicate {_JN_DEN}·common >=
+    {_JN_NUM}·(deg_a + deg_b − common) so membership can never flip on a
+    float ulp. ``is_direct`` marks pairs that are also edges — the
+    is_direct=0 survivors are the operator's payoff: strong similarity
+    the raw edge set does not record.
+
+    Shape: the same degree-bounded graph ext_triangle_count censuses
+    (p_size <= {_TRI_MAX_SIZE} support cut); candidate pairs generate
+    MAP-SIDE from each node's sorted neighbor array (the minhash
+    indexed-lambda combinatorics — never an adjacency self-join on
+    Spark's side; the oracle keeps the naive wedge self-join as the
+    independent mirror, the ext_assoc_rules discipline), common counts
+    aggregate keyed on the pair, degrees ride a broadcast node table,
+    and the direct-edge flag is one broadcast left join. At 100 TB the
+    wedge volume is bounded by the same sum-of-squared-degrees argument
+    as the triangle census."""
+    from ..session import scoped_persist
+
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= _TRI_MAX_SIZE)
+        .select("p_partkey")
+    )
+    arrs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    edges = scoped_persist(
+        arrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .distinct()
+        .coalesce(8)
+    )
+    nbrs = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionAll(
+            edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+        )
+        .groupBy("node")
+        .agg(F.sort_array(F.collect_set("nb")).alias("ns"))
+    )
+    deg = nbrs.select("node", F.size("ns").cast("long").alias("d"))
+    cpair = (
+        nbrs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ns, (x, i) -> "
+                    "transform(slice(ns, i + 2, size(ns)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("w")
+        )
+        .select("w.a", "w.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    j = (
+        cpair.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .filter(
+            F.lit(_JN_DEN) * F.col("common_cnt")
+            >= F.lit(_JN_NUM)
+            * (F.col("deg_a") + F.col("deg_b") - F.col("common_cnt"))
+        )
+    )
+    direct = edges.select("a", "b", F.lit(1).alias("is_direct"))
+    return (
+        j.join(F.broadcast(direct), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "common_cnt",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(common_cnt AS DOUBLE)"
+                " / CAST(deg_a + deg_b - common_cnt AS DOUBLE)"
+            ).alias("jaccard"),
+            F.coalesce("is_direct", F.lit(0)).alias("is_direct"),
+        )
+    )

@@ -41,6 +41,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.segmentation",
     "billing_data_loader_spark.operators.dedup_span",
     "billing_data_loader_spark.operators.lakeops",
+    "billing_data_loader_spark.operators.cluster_eval",
     "billing_data_loader_spark.operators.billing_revenue",
     "billing_data_loader_spark.operators.data_quality",
     "billing_data_loader_spark.operators.market_basket",

@@ -243,3 +243,112 @@ class TestUsageCommitment:
             expired_total += g["expired_units"]
         # both contract branches genuinely exercised by the fixture
         assert over_total > 0 and expired_total > 0
+
+
+class TestKcenterCoreset:
+    def test_numpy_greedy_replay(self, spark):
+        import numpy as np
+
+        rows = (
+            load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        ids = np.array([r["vec_id"] for r in rows])
+        X = np.array(
+            [[float(x) for x in r["embedding"]] for r in rows],
+            dtype=np.float64,
+        )
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+
+        def dist_to(c):
+            return np.round(((X - c) ** 2).sum(axis=1), 9)
+
+        seed_idx = int(np.where(ids == 0)[0][0])
+        mind = dist_to(X[seed_idx])
+        exp = [(1, 0, 0.0)]
+        for r in range(2, 6):
+            # argmax with lowest-vec_id tie break
+            best = mind.max()
+            pick_idx = int(np.where(mind == best)[0][0])
+            exp.append((r, int(ids[pick_idx]), float(best)))
+            if r < 5:
+                mind = np.minimum(mind, dist_to(X[pick_idx]))
+
+        got = sorted(
+            (
+                (r["sel_round"], r["vec_id"], r["radius_sq"])
+                for r in catalog()["ext_kcenter_coreset"]
+                .fn(spark, SF_DIR)
+                .collect()
+            )
+        )
+        assert [g[0] for g in got] == [e[0] for e in exp]
+        assert [g[1] for g in got] == [e[1] for e in exp], (got, exp)
+        for g, e in zip(got, exp):
+            assert abs(g[2] - e[2]) < 1e-6
+        # the covering radius is monotone non-increasing from round 2 on
+        radii = [g[2] for g in got][1:]
+        assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+class TestClusterPurity:
+    def test_consistency_with_assignment(self, spark):
+        from collections import Counter
+
+        from billing_data_loader_spark.operators.ann import ext_kmeans_lite
+
+        assigned = {
+            r["vec_id"]: r["cluster_id"]
+            for r in ext_kmeans_lite(spark, SF_DIR).collect()
+        }
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        by_cluster: dict = defaultdict(Counter)
+        for vid, cid in assigned.items():
+            by_cluster[cid][labels[vid]] += 1
+
+        got = {
+            r["cluster_id"]: r
+            for r in catalog()["ext_cluster_purity"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(by_cluster)
+        total = 0
+        for cid, cnt in by_cluster.items():
+            g = got[cid]
+            assert g["cluster_size"] == sum(cnt.values())
+            assert g["n_labels"] == len(cnt)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            assert (g["majority_label"], g["majority_cnt"]) == best
+            assert abs(g["purity"] - best[1] / sum(cnt.values())) < 1e-12
+            total += g["cluster_size"]
+        assert total == len(assigned)
+
+
+class TestJaccardNeighbors:
+    def test_invariants_and_direct_flag(self, spark):
+        from billing_data_loader_spark.operators.graph import (
+            _JN_DEN,
+            _JN_NUM,
+        )
+
+        rows = catalog()["ext_jaccard_neighbors"].fn(spark, SF_DIR).collect()
+        assert rows
+        saw_indirect = False
+        for r in rows:
+            assert r["a"] < r["b"]
+            assert 0 < r["common_cnt"] <= min(r["deg_a"], r["deg_b"])
+            union = r["deg_a"] + r["deg_b"] - r["common_cnt"]
+            assert _JN_DEN * r["common_cnt"] >= _JN_NUM * union
+            assert abs(r["jaccard"] - r["common_cnt"] / union) < 1e-12
+            assert r["jaccard"] <= 1.0
+            saw_indirect = saw_indirect or r["is_direct"] == 0
+        # the payoff class (similar but never co-purchased) is populated
+        assert saw_indirect
