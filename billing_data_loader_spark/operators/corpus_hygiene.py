@@ -582,3 +582,76 @@ def ext_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("lnp", "avg_logprob"),
         F.sum("backed").cast("long").alias("n_backoff"),
     )
+
+
+# --- ext_perplexity_bucket_mix ------------------------------------------------
+
+# CCNet-style quality bucketing: within each language, docs split into
+# head/middle/tail terciles of the unigram-LM score (high mean logprob =
+# low perplexity = head). The LM score is ext_lm_unigram_score's exact
+# davg surface, so the tercile boundaries sit on bit-identical doubles in
+# both engines and the (score DESC, doc_id) order is total.
+_PPX_BUCKET = "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"
+
+
+def _ppx_oracle() -> str:
+    return f"""
+WITH lm AS MATERIALIZED ({_LM_ORACLE}),
+j AS (
+  SELECT d.lang, d.n_chars, lm.doc_id, lm.avg_logprob,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY lm.avg_logprob DESC, lm.doc_id) AS nt
+  FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+)
+SELECT lang, {_PPX_BUCKET} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+       {o_davg("avg_logprob", "mean_logprob")}
+FROM j GROUP BY lang, bucket
+"""
+
+
+_PPX_ORACLE = _ppx_oracle()
+
+
+@query("ext_perplexity_bucket_mix", oracle=_PPX_ORACLE, tier=3)
+def ext_perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each language, documents
+    split into head / middle / tail terciles of their unigram-LM mean
+    logprob (head = most fluent under the corpus's own distribution) —
+    the quality-mix step CCNet/RedPajama pipelines apply per language
+    before sampling, so a curation run can keep the head, downweight the
+    middle, and audit what the tail would have contributed. Output: the
+    (lang, bucket) composition grid with volume and mean score.
+
+    Shape: the score is ext_lm_unigram_score invoked as a helper (its
+    own key pins the LM math; the oracle re-derives it as a CTE so the
+    buckets bind end to end); bucketing is ONE per-language NTILE window
+    over the doc-count-sized score frame on bit-identical doubles with a
+    doc_id tie-break (total order), then a bounded (lang, bucket)
+    rollup. At 100 TB the window input is one row per document — the
+    same model-sized frame every ranking step in the curation family
+    already carries."""
+    from ..functions.determinism import davg
+
+    lm = ext_lm_unigram_score(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    j = lm.join(d, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    bucketed = j.select(
+        "lang",
+        "n_chars",
+        "avg_logprob",
+        F.ntile(3).over(w).alias("nt"),
+    )
+    return bucketed.groupBy(
+        "lang", F.expr(_PPX_BUCKET).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        davg("avg_logprob", "mean_logprob"),
+    )

@@ -954,3 +954,64 @@ def ext_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("epoch", "doc_id", "shard", "pos")
     )
+
+
+# --- ext_stratified_kfold -----------------------------------------------------
+
+#: Fold count and the salt that decorrelates fold assignment from every
+#: other hash-keyed decision in the catalog (the ext_train_split_hash
+#: salt discipline).
+_KFOLD_K = 5
+_KFOLD_SALT = ":bdl-kfold-11"
+
+_KFOLD_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         (ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_KFOLD_SALT}'), doc_id
+          ) - 1) % {_KFOLD_K} AS fold
+  FROM documents
+)
+SELECT fold, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+FROM ranked GROUP BY fold, lang
+"""
+
+
+@query("ext_stratified_kfold", oracle=_KFOLD_ORACLE, tier=3)
+def ext_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified k-fold assignment ({_KFOLD_K} folds,
+    stratified by language) — the cross-validation / ensemble-sharding
+    split a training pipeline derives once and must reproduce on every
+    engine and cluster size: docs rank within their stratum by a salted
+    md5 (cross-engine stable, the ext_train_split_hash discipline; the
+    salt decorrelates fold membership from the train/val/test split and
+    every sampler), and round-robin over the rank gives EXACTLY balanced
+    folds per stratum (|max − min| <= 1 by construction — a plain
+    hash % k split is only multinomially balanced, which is the reason
+    k-fold exists). The declared output is the (fold, lang) audit grid.
+
+    Shape: one window shuffle keyed on the stratum, then the bounded
+    (fold, lang) rollup with full map-side combine. At 100 TB a single
+    giant stratum makes the per-stratum rank the bottleneck; the
+    documented swap is the two-pass rank (per-partition counts → prefix
+    offsets broadcast back — the ext_epoch_shuffle mechanism) which
+    preserves the same (hash, doc_id) total order with no global sort."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_KFOLD_SALT))),
+        "doc_id",
+    )
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % _KFOLD_K).alias("fold"),
+    )
+    return ranked.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_sum"),
+    )

@@ -896,3 +896,106 @@ def ext_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_sketch_in_a",
         "est_containment",
     )
+
+
+# --- ext_url_canonical_dedup --------------------------------------------------
+
+# Synthesized crawl URLs: five deterministic "mirror" decorations of the
+# same logical resource (case-folded host, explicit default port,
+# utm-tracking query with one REAL param interleaved, fragment + trailing
+# slash, and the clean form) keyed on doc_id % 5, with the logical
+# resource id doc_id % 211 so multiple docs genuinely collide onto one
+# canonical URL — the shape a web-crawl frontier dedup actually faces.
+_URLC_RAW = """CASE doc_id % 5
+  WHEN 0 THEN 'https://www.example.com/p/' || CAST(doc_id % 211 AS STRING)
+  WHEN 1 THEN 'HTTPS://WWW.Example.COM/p/' || CAST(doc_id % 211 AS STRING)
+  WHEN 2 THEN 'https://www.example.com:443/p/' || CAST(doc_id % 211 AS STRING)
+  WHEN 3 THEN 'https://www.example.com/p/' || CAST(doc_id % 211 AS STRING)
+       || '?utm_source=feed&lang=' || lang || '&utm_campaign=x'
+  ELSE 'https://www.example.com/p/' || CAST(doc_id % 211 AS STRING)
+       || '/#sec-' || CAST(doc_id AS STRING)
+END"""
+
+#: Canonicalization pipeline as shared SQL text over column ``u``:
+#: lowercase scheme+host (matched case-insensitively), strip the :443
+#: default port, drop the fragment, strip trailing slashes from the
+#: path, remove utm_* tracking params (the '&'-prefix trick makes
+#: first/middle/last positions uniform), and reassemble with the query
+#: only if anything survived. Every regex metachar rides a CHARACTER
+#: CLASS ('[?]'), never a backslash escape: Spark unescapes '\\?' in the
+#: SQL string literal while DuckDB passes both chars to RE2, so the one
+#: shared text would mean different regexes — classes are identical in
+#: both dialects (found live; the scalar-suites oracles dodge this by
+#: not sharing regex text across engines).
+#: ``g``: DuckDB's regexp_replace substitutes only the FIRST match and
+#: needs the explicit ``'g'`` flag for replace-all, while Spark always
+#: replaces all and has no flags argument — a genuine one-token dialect
+#: divergence (like STRING/VARCHAR), parameterized here so the rest of
+#: the pipeline text stays shared verbatim.
+
+
+def _urlc_canon(g: str) -> str:
+    q = (
+        "regexp_replace(concat('&', regexp_extract(u, '[?]([^#]*)', 1)),"
+        f" '&utm_[^&]*', ''{g})"
+    )
+    return (
+        "concat("
+        " lower(regexp_extract(u, '^([a-zA-Z]+)://', 1)), '://',"
+        " regexp_replace(lower(regexp_extract(u,"
+        "                '^[a-zA-Z]+://([^/?#]+)', 1)), ':443$', ''),"
+        " regexp_replace(regexp_extract(u,"
+        "                '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', ''),"
+        f" CASE WHEN length({q}) > 1"
+        f"      THEN concat('?', substr({q}, 2))"
+        "      ELSE '' END)"
+    )
+
+_URLC_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, lang, {_URLC_RAW.replace(" AS STRING", " AS VARCHAR")} AS u
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, {_urlc_canon(", 'g'")} AS canonical_url FROM raw
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM canon GROUP BY canonical_url
+"""
+
+
+@query("ext_url_canonical_dedup", oracle=_URLC_ORACLE, tier=3)
+def ext_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier / CommonCrawl
+    ingest step that collapses mirror spellings of one resource before
+    any content even downloads: lowercase scheme and host, strip the
+    :443 default port, drop fragments (client-side only), strip
+    trailing slashes, and remove utm_* tracking params while PRESERVING
+    real query params interleaved among them (the '&'-prefix rewrite
+    makes first/middle/last utm positions one uniform pattern). Dedup
+    groups by the canonical form keep the lowest doc_id — the
+    dedup_keep_latest discipline with a deterministic winner.
+
+    Shape: canonicalization is pure map-side regexp arithmetic inside
+    the scan stage (zero shuffles — at 100 TB this is scan → project);
+    the dedup is ONE groupBy keyed on the canonical URL, exactly the
+    digest-groupBy cost ext_dedup_hash prices, with full map-side
+    combine on the counting aggregates. The five decoration variants
+    are synthesized per doc (doc_id % 5) over a shared logical resource
+    (doc_id % 211), so collisions are real and every canonicalization
+    rule is load-bearing — break one and group counts shift, which the
+    hash-compare catches."""
+    raw = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URLC_RAW).alias("u")
+    )
+    canon = raw.select(
+        "doc_id", F.expr(_urlc_canon("")).alias("canonical_url")
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

@@ -21,6 +21,7 @@ from ..functions.determinism import (
     o_davg,
     o_dsum,
     o_dsum_expr,
+    quantize_long,
 )
 from ..plans.registry import query
 from ..session import conf_override
@@ -1393,4 +1394,104 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_extendedprice", "sum_price"),
+    )
+
+
+# --- join_range_bucketed ------------------------------------------------------
+
+#: Probe-side slice (the doc_id%97 benchmark-slice idiom): a pure-range
+#: join's output is per-probe, so the declared result stays bounded while
+#: the build side remains the FULL view stream.
+_RB_SLICE = 97
+
+#: Bucket width in seconds == the range width, so a probe's window spans
+#: at most two buckets and each (probe, view) candidate pair meets in
+#: EXACTLY one bucket (a view lives in one bucket; the probe explodes).
+_RB_BUCKET_S = 3600
+
+_RANGE_BUCKETED_ORACLE = f"""
+WITH p AS (
+  SELECT event_id, ts FROM events
+  WHERE event_type = 'purchase' AND event_id % {_RB_SLICE} = 0
+),
+v AS (
+  SELECT ts, value FROM events WHERE event_type = 'view'
+),
+m AS (
+  SELECT p.event_id,
+         COUNT(v.ts) AS n_views,
+         COALESCE(SUM(CAST(floor(v.value * 1e2 + CAST(0.5 AS DOUBLE))
+                           AS BIGINT)), 0) AS cents
+  FROM p LEFT JOIN v
+    ON v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+  GROUP BY p.event_id
+)
+SELECT event_id,
+       CAST(n_views AS BIGINT) AS n_views_1h,
+       CAST(cents AS BIGINT) AS view_cents_1h
+FROM m
+"""
+
+
+@query("join_range_bucketed", oracle=_RANGE_BUCKETED_ORACLE, tier=2)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE-range interval join (no equi key at all — unlike
+    join_interval, whose orderkey carries the hash join) decomposed into
+    an EQUI-join via time bucketing — the mechanism that keeps an
+    any-to-any temporal join off the BNLJ/cartesian path at scale: how
+    many views (across ALL users) preceded each sampled purchase within
+    one hour, and their value volume. Views bucket once by
+    floor(epoch/{_RB_BUCKET_S}); each probe explodes to its own bucket
+    and the previous one (bucket width == range width, so the window
+    spans at most two buckets and every candidate pair meets in exactly
+    one — no post-join dedup); the exact (p.ts − 1h, p.ts] predicate
+    runs as a residual filter on the equi-matched pairs.
+
+    Shape: ONE equi shuffle keyed on the bucket (Spark plans a hash
+    join — the no-BNLJ pin lives in tests/test_round11b.py) plus the
+    2x probe-side explode; the naive form is a nested-loop scan of
+    every view per probe, which is exactly what a planner does with a
+    pure theta join at 100 TB. Bucket skew (a flash-crowd hour)
+    inherits the AQE skew-split story join_skew_aqe pins. Zero-match
+    probes survive via the final left join against the probe list
+    (declared output is per-probe, COALESCEd to 0)."""
+    ev = load(spark, sf_dir, "events")
+    probes = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("event_id") % _RB_SLICE == 0)
+    ).select("event_id", F.col("ts").alias("p_ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("ts").alias("v_ts"),
+        quantize_long("value", 2).alias("v_cents"),
+        F.floor(F.col("ts").cast("long") / _RB_BUCKET_S).alias("bkt"),
+    )
+    pb = probes.select(
+        "event_id",
+        "p_ts",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_ts").cast("long") / _RB_BUCKET_S),
+                F.floor(F.col("p_ts").cast("long") / _RB_BUCKET_S) - 1,
+            )
+        ).alias("bkt"),
+    )
+    matched = (
+        pb.join(views, "bkt")
+        .filter(
+            F.expr("v_ts > p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts")
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum("v_cents").alias("cents"),
+        )
+    )
+    return (
+        probes.select("event_id")
+        .join(matched, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_views", F.lit(0)).alias("n_views_1h"),
+            F.coalesce("cents", F.lit(0)).alias("view_cents_1h"),
+        )
     )

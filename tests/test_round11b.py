@@ -352,3 +352,174 @@ class TestJaccardNeighbors:
             saw_indirect = saw_indirect or r["is_direct"] == 0
         # the payoff class (similar but never co-purchased) is populated
         assert saw_indirect
+
+
+class TestUrlCanonicalDedup:
+    def test_urllib_replay(self, spark):
+        """Independent canonicalization via urllib.parse (different
+        machinery from the shared regex pipeline) must induce the same
+        dedup groups."""
+        from urllib.parse import parse_qsl, urlencode, urlsplit
+
+        rows = (
+            load(spark, SF_DIR, "documents")
+            .selectExpr(
+                "doc_id",
+                "lang",
+            )
+            .collect()
+        )
+
+        def raw_url(doc_id: int, lang: str) -> str:
+            k = doc_id % 211
+            v = doc_id % 5
+            if v == 0:
+                return f"https://www.example.com/p/{k}"
+            if v == 1:
+                return f"HTTPS://WWW.Example.COM/p/{k}"
+            if v == 2:
+                return f"https://www.example.com:443/p/{k}"
+            if v == 3:
+                return (
+                    f"https://www.example.com/p/{k}"
+                    f"?utm_source=feed&lang={lang}&utm_campaign=x"
+                )
+            return f"https://www.example.com/p/{k}/#sec-{doc_id}"
+
+        def canon(u: str) -> str:
+            sp = urlsplit(u)
+            host = sp.netloc.lower()
+            if host.endswith(":443"):
+                host = host[: -len(":443")]
+            path = sp.path.rstrip("/")
+            q = [
+                (k, v)
+                for k, v in parse_qsl(sp.query, keep_blank_values=True)
+                if not k.startswith("utm_")
+            ]
+            qs = "?" + urlencode(q) if q else ""
+            return f"{sp.scheme.lower()}://{host}{path}{qs}"
+
+        exp_groups: dict = defaultdict(list)
+        for r in rows:
+            exp_groups[canon(raw_url(r["doc_id"], r["lang"]))].append(
+                r["doc_id"]
+            )
+
+        got = {
+            r["canonical_url"]: r
+            for r in catalog()["ext_url_canonical_dedup"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(exp_groups)
+        for cu, members in exp_groups.items():
+            g = got[cu]
+            assert g["n_docs"] == len(members)
+            assert g["keep_doc_id"] == min(members)
+            assert g["n_dropped"] == len(members) - 1
+        # genuine collapse happened (mirror variants merged)
+        assert sum(g["n_dropped"] for g in got.values()) > 0
+
+
+class TestRangeBucketed:
+    def test_bruteforce_replay_and_plan(self, spark):
+        from datetime import timedelta
+
+        ev = (
+            load(spark, SF_DIR, "events")
+            .select("event_id", "ts", "event_type", "value")
+            .collect()
+        )
+        views = [
+            (r["ts"], int(math.floor(r["value"] * 100 + 0.5)))
+            for r in ev
+            if r["event_type"] == "view"
+        ]
+        exp = {}
+        for r in ev:
+            if r["event_type"] != "purchase" or r["event_id"] % 97 != 0:
+                continue
+            lo = r["ts"] - timedelta(hours=1)
+            n = c = 0
+            for vts, cents in views:
+                if lo < vts <= r["ts"]:
+                    n += 1
+                    c += cents
+            exp[r["event_id"]] = (n, c)
+
+        df = catalog()["join_range_bucketed"].fn(spark, SF_DIR)
+        rows = df.collect()
+        got = {
+            r["event_id"]: (r["n_views_1h"], r["view_cents_1h"])
+            for r in rows
+        }
+        assert got == exp
+        # the decomposition's point: the executed plan must carry NO
+        # nested-loop / cartesian join
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestStratifiedKfold:
+    def test_balance_and_replay(self, spark):
+        import hashlib
+
+        from billing_data_loader_spark.operators.corpus_ops import (
+            _KFOLD_K,
+            _KFOLD_SALT,
+        )
+
+        rows = (
+            load(spark, SF_DIR, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .collect()
+        )
+        by_lang: dict = defaultdict(list)
+        for r in rows:
+            h = hashlib.md5(
+                f"{r['doc_id']}{_KFOLD_SALT}".encode()
+            ).hexdigest()
+            by_lang[r["lang"]].append((h, r["doc_id"], r["n_chars"]))
+        exp = defaultdict(lambda: [0, 0])
+        for lang, members in by_lang.items():
+            members.sort()
+            for i, (_, _, nc) in enumerate(members):
+                e = exp[(i % _KFOLD_K, lang)]
+                e[0] += 1
+                e[1] += nc
+        got = {
+            (r["fold"], r["lang"]): (r["n_docs"], r["n_chars_sum"])
+            for r in catalog()["ext_stratified_kfold"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert got == {k: tuple(v) for k, v in exp.items()}
+        # exact balance: per lang, fold sizes differ by at most 1
+        for lang in by_lang:
+            sizes = [
+                got[(f, lang)][0] for f in range(_KFOLD_K) if (f, lang) in got
+            ]
+            assert max(sizes) - min(sizes) <= 1
+
+
+class TestPerplexityBucketMix:
+    def test_tercile_balance_and_ordering(self, spark):
+        rows = catalog()["ext_perplexity_bucket_mix"].fn(spark, SF_DIR).collect()
+        by_lang: dict = defaultdict(dict)
+        for r in rows:
+            by_lang[r["lang"]][r["bucket"]] = r
+        n_docs_total = 0
+        for lang, buckets in by_lang.items():
+            assert set(buckets) == {"head", "middle", "tail"}
+            sizes = [buckets[b]["n_docs"] for b in ("head", "middle", "tail")]
+            assert max(sizes) - min(sizes) <= 1  # NTILE balance
+            # head is the most fluent tercile by construction
+            assert (
+                buckets["head"]["mean_logprob"]
+                >= buckets["middle"]["mean_logprob"]
+                >= buckets["tail"]["mean_logprob"]
+            )
+            n_docs_total += sum(sizes)
+        assert n_docs_total == load(spark, SF_DIR, "documents").count()
