@@ -368,34 +368,73 @@ def prof_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     grades, so is_key, dup volume, and the worst collision group all
     exercise both branches.
 
-    Shape: ONE scan for ALL candidates (the prof_fd_discovery map-side
-    candidate explode — bounded by candidate count), one (candidate,
-    value) counting aggregate whose shuffle key space is the candidates'
-    value domains with full map-side combine, and a model-sized rollup.
-    At 100 TB a near-key candidate's value domain is ~row-scale — the
-    same cost profile as the dedup_exact_rows digest groupBy, which is
-    exactly the operation uniqueness profiling prices out. Counts are
-    exact longs; uniqueness is one shared-text division of identical
-    integers."""
-    structs = ", ".join(
-        f"struct('{n}' AS candidate, {_ck_val(exprs)} AS v)"
-        for n, exprs in _CK_CANDIDATES
+    Shape: ONE scan for ALL candidates via native GROUPING SETS — the
+    Expand operator emits one row per (row, candidate) like the FD
+    explode, but the group keys stay the NATIVE int/date columns
+    (measured min-of-4 at sf0.1: 2.56 s vs 4.43 s for the string-encode
+    groupBy and 4.00 s for an xxhash64-keyed variant — per-row string
+    building was the cost, not the shuffle width), the counting
+    aggregate partial-combines map-side, and the rollup runs per
+    grouping_id. The oracle keeps the string-encode UNION ALL form as
+    the independent mirror (different plan, same algebra — the
+    ext_assoc_rules discipline). At 100 TB a near-key candidate's value
+    domain is ~row-scale — the same cost profile as the
+    dedup_exact_rows digest groupBy, which is exactly the operation
+    uniqueness profiling prices out. Counts are exact longs; uniqueness
+    is one shared-text division of identical integers."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("l_shipdate_d"),
     )
-    cand = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.expr(f"explode(array({structs}))").alias("c"))
-        .select("c.*")
+    li.createOrReplaceTempView("ck_lineitem")
+    # grouping_id bits follow the GROUP BY column order below: bit set =
+    # column NOT in the grouping set
+    gid_name = {
+        15: "l_orderkey",
+        7: "l_orderkey+l_linenumber",
+        1: "l_orderkey+l_linenumber+l_partkey+l_suppkey",
+        25: "l_partkey+l_suppkey",
+        30: "l_shipdate",
+    }
+    grp = spark.sql(
+        """
+        SELECT CAST(grouping_id() AS BIGINT) AS gid, COUNT(*) AS cnt
+        FROM ck_lineitem
+        GROUP BY GROUPING SETS (
+          (l_orderkey),
+          (l_orderkey, l_linenumber),
+          (l_orderkey, l_linenumber, l_partkey, l_suppkey),
+          (l_partkey, l_suppkey),
+          (l_shipdate_d))
+        """
     )
-    grp = cand.groupBy("candidate", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    return grp.groupBy("candidate").agg(
-        F.sum("cnt").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_groups"),
-        (F.sum("cnt") - F.count(F.lit(1))).alias("n_dup_rows"),
-        F.max("cnt").alias("max_group_rows"),
-        F.expr(
-            "CASE WHEN SUM(cnt) = COUNT(*) THEN 1 ELSE 0 END"
-        ).alias("is_key"),
-        F.expr(
-            "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)"
-        ).alias("uniqueness"),
+    name = F.create_map(
+        *[F.lit(x) for kv in gid_name.items() for x in kv]
+    )[F.col("gid")]
+    return (
+        grp.groupBy("gid")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            (F.sum("cnt") - F.count(F.lit(1))).alias("n_dup_rows"),
+            F.max("cnt").alias("max_group_rows"),
+            F.expr(
+                "CASE WHEN SUM(cnt) = COUNT(*) THEN 1 ELSE 0 END"
+            ).alias("is_key"),
+            F.expr(
+                "CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)"
+            ).alias("uniqueness"),
+        )
+        .select(
+            name.alias("candidate"),
+            "n_rows",
+            "n_groups",
+            "n_dup_rows",
+            "max_group_rows",
+            "is_key",
+            "uniqueness",
+        )
     )

@@ -363,15 +363,18 @@ def ext_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw edge set does not record.
 
     Shape: the same degree-bounded graph ext_triangle_count censuses
-    (p_size <= {_TRI_MAX_SIZE} support cut); candidate pairs generate
-    MAP-SIDE from each node's sorted neighbor array (the minhash
-    indexed-lambda combinatorics — never an adjacency self-join on
-    Spark's side; the oracle keeps the naive wedge self-join as the
-    independent mirror, the ext_assoc_rules discipline), common counts
-    aggregate keyed on the pair, degrees ride a broadcast node table,
-    and the direct-edge flag is one broadcast left join. At 100 TB the
-    wedge volume is bounded by the same sum-of-squared-degrees argument
-    as the triangle census."""
+    (p_size <= {_TRI_MAX_SIZE} support cut); wedge pairs generate via an
+    EQUI self-join of the persisted adjacency on the shared node — an
+    A/B against the minhash indexed-lambda array combinatorics measured
+    the join 2.4x FASTER here (1.84 vs 4.34 s min-of-4 at sf0.1):
+    higher-order lambdas evaluate interpreted, and allocating 2M wedge
+    structs per pass costs more than one codegen hash join on a 134k-row
+    cached frame — the combinatorics pattern wins when pairs-per-row are
+    few and rows are many (shingle tables), not on a dense small node
+    table. Common counts aggregate keyed on the pair, degrees ride a
+    broadcast node table, and the direct-edge flag is one broadcast left
+    join. At 100 TB the wedge volume is bounded by the same
+    sum-of-squared-degrees argument as the triangle census."""
     from ..session import scoped_persist
 
     li = load(spark, sf_dir, "lineitem")
@@ -399,26 +402,22 @@ def ext_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .coalesce(8)
     )
-    nbrs = (
+    adj = scoped_persist(
         edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
         .unionAll(
             edges.select(F.col("b").alias("node"), F.col("a").alias("nb"))
         )
-        .groupBy("node")
-        .agg(F.sort_array(F.collect_set("nb")).alias("ns"))
+        # co-partition on the wedge key once; both the degree count and
+        # the self-join reuse the cached partitioning (the triangle-census
+        # cache-layout win)
+        .repartition(8, "node")
     )
-    deg = nbrs.select("node", F.size("ns").cast("long").alias("d"))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = adj.select("node", F.col("nb").alias("a"))
+    y = adj.select("node", F.col("nb").alias("b"))
     cpair = (
-        nbrs.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ns, (x, i) -> "
-                    "transform(slice(ns, i + 2, size(ns)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("w")
-        )
-        .select("w.a", "w.b")
+        x.join(y, "node")
+        .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common_cnt"))
     )

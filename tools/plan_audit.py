@@ -275,6 +275,27 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # frame — inherently one partition. Documented 100 TB alternative in
     # each operator's docstring (bucketed two-pass prefix sums).
     "single_partition": {
+        # round-11 continuation
+        "ext_vacuum_plan": (
+            "1-row head fold + 3-row class rollup over the O(files) "
+            "manifest (never data rows)"
+        ),
+        "ext_incremental_read": (
+            "1-row head fold over the O(files) manifest (never data rows)"
+        ),
+        "ts_acf": (
+            "row_number + 1-row moment fold over the O(days) daily frame "
+            "(model-sized at any corpus; the ts_cusum_changepoint "
+            "two-pass swap applies)"
+        ),
+        "ext_cluster_purity": (
+            "inherited from ext_kmeans_lite: 1-row centroid-array folds "
+            "(O(tasks) partials)"
+        ),
+        "ext_perplexity_bucket_mix": (
+            "inherited from ext_lm_unigram_score: 1-row global "
+            "token-total aggregate"
+        ),
         # round 3: win_running_sum / win_moving_avg_range / win_ntile_pctrank
         # were REMOVED from this list — they now decompose into per-bucket /
         # per-range-partition windows and must never flag again.
@@ -431,6 +452,28 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
     "bnlj": {
+        # round-11 continuation: 1-row crossJoin(broadcast(...)) folds
+        "ext_vacuum_plan": "1-row head-version fold over the O(files) manifest",
+        "ext_incremental_read": (
+            "1-row head-version fold over the O(files) manifest (shared "
+            "by both snapshot reconstructions)"
+        ),
+        "ts_acf": (
+            "1-row global moment fold (n/sx/sxx) broadcast onto the "
+            "7-row per-lag frame"
+        ),
+        "ext_kcenter_coreset": (
+            "1-row broadcast center vector per greedy round (the "
+            "ext_knn_cosine query-vector pattern; corpus never self-joins)"
+        ),
+        "ext_cluster_purity": (
+            "inherited from the ext_kmeans_lite helper: 1-row broadcast "
+            "centroid-array folds per Lloyd round"
+        ),
+        "ext_perplexity_bucket_mix": (
+            "inherited from the ext_lm_unigram_score helper: 1-row "
+            "token-total fold broadcast onto the token stream"
+        ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
         "ext_knn_cosine": "1-row broadcast query vector",
