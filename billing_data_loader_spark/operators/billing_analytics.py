@@ -931,3 +931,142 @@ def ext_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_cents",
         "last_cents",
     )
+
+
+# --- ext_rfm_features ---------------------------------------------------------
+
+#: RFM quintile boundaries as exact interpolated percentiles of the
+#: per-user metric distributions, rounded to 4dp on both sides (the
+#: ext_outlier_clip quantile-parity stance). Scoring compares exact
+#: integer metrics against the broadcast boundaries — no global NTILE
+#: window, so the scoring pass stays fully map-side at any user count.
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+
+_RFM_SEGMENT = """CASE
+  WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+  WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+  WHEN r_score <= 2 THEN 'hibernating'
+  WHEN f_score >= 4 THEN 'loyal'
+  WHEN m_score >= 4 THEN 'big_spender'
+  ELSE 'regular' END"""
+
+
+def _rfm_score(col: str, qcols: list[str]) -> str:
+    """1 + number of quintile boundaries strictly below the metric —
+    identical comparisons on identical values in both engines."""
+    terms = " + ".join(
+        f"(CASE WHEN {col} > {q} THEN 1 ELSE 0 END)" for q in qcols
+    )
+    return f"(1 + {terms})"
+
+
+_RFM_ORACLE = f"""
+WITH pur AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS monetary_cents,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+asof_ AS (SELECT MAX(last_day) AS g_day FROM pur),
+u AS (
+  SELECT user_id, freq, monetary_cents,
+         CAST(g_day - last_day AS BIGINT) AS recency_days
+  FROM pur, asof_
+),
+b AS (
+  SELECT
+    {", ".join(f"round(quantile_cont(CAST(recency_days AS DOUBLE), {q}), 4) AS rq{i}" for i, q in enumerate(_RFM_QS))},
+    {", ".join(f"round(quantile_cont(CAST(freq AS DOUBLE), {q}), 4) AS fq{i}" for i, q in enumerate(_RFM_QS))},
+    {", ".join(f"round(quantile_cont(CAST(monetary_cents AS DOUBLE), {q}), 4) AS mq{i}" for i, q in enumerate(_RFM_QS))}
+  FROM u
+),
+scored AS (
+  SELECT user_id, freq, monetary_cents, recency_days,
+         6 - {_rfm_score("recency_days", ["rq0", "rq1", "rq2", "rq3"])} AS r_score,
+         {_rfm_score("freq", ["fq0", "fq1", "fq2", "fq3"])} AS f_score,
+         {_rfm_score("monetary_cents", ["mq0", "mq1", "mq2", "mq3"])} AS m_score
+  FROM u, b
+)
+SELECT {_RFM_SEGMENT} AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(freq) AS BIGINT) AS n_purchases,
+       CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents,
+       CAST(SUM(recency_days) AS BIGINT) AS recency_days_sum
+FROM scored GROUP BY segment
+"""
+
+
+@query("ext_rfm_features", oracle=_RFM_ORACLE, tier=2)
+def ext_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value feature block behind churn models and lifecycle
+    campaigns: per user the days since last purchase (against the
+    deterministic global as-of — the bill_dunning_aging no-wall-clock
+    rule), purchase count, and exact cent volume; each metric scores
+    1-5 against its own quintile boundaries (recency INVERTED: recent =
+    5), and the (r, f, m) triple maps to a named segment. Declared
+    output is the per-segment rollup a campaign planner reads.
+
+    Shape: ONE user-keyed aggregate collapses the stream (the
+    agg_retention_cohort discipline); the quintile boundaries are a
+    1-row percentile fold BROADCAST back, so scoring is pure map-side
+    comparison — deliberately NOT a global NTILE window, which would
+    single-partition the full user frame at 100 TB (the boundary fold
+    carries t-digest-style partials instead; same swap as
+    ext_outlier_clip). Metrics are exact integers; boundaries round to
+    4dp on both sides (the agg_percentiles interpolation-parity
+    precedent), and every comparison is int-vs-identical-double."""
+    ev = load(spark, sf_dir, "events")
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(quantize_long("value", 2)).alias("monetary_cents"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+    )
+    asof = pur.agg(F.max("last_day").alias("g_day"))
+    u = pur.crossJoin(F.broadcast(asof)).select(
+        "user_id",
+        "freq",
+        "monetary_cents",
+        F.datediff("g_day", "last_day").cast("long").alias("recency_days"),
+    )
+    b = u.agg(
+        *[
+            F.round(
+                F.expr(
+                    f"percentile(CAST({c} AS DOUBLE), {q})"
+                ),
+                4,
+            ).alias(f"{p}q{i}")
+            for c, p in [
+                ("recency_days", "r"),
+                ("freq", "f"),
+                ("monetary_cents", "m"),
+            ]
+            for i, q in enumerate(_RFM_QS)
+        ]
+    )
+    scored = u.crossJoin(F.broadcast(b)).selectExpr(
+        "user_id",
+        "freq",
+        "monetary_cents",
+        "recency_days",
+        f"6 - {_rfm_score('recency_days', ['rq0', 'rq1', 'rq2', 'rq3'])}"
+        " AS r_score",
+        f"{_rfm_score('freq', ['fq0', 'fq1', 'fq2', 'fq3'])} AS f_score",
+        f"{_rfm_score('monetary_cents', ['mq0', 'mq1', 'mq2', 'mq3'])}"
+        " AS m_score",
+    )
+    return scored.groupBy(
+        F.expr(_RFM_SEGMENT).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("freq").alias("n_purchases"),
+        F.sum("monetary_cents").alias("monetary_cents"),
+        F.sum("recency_days").alias("recency_days_sum"),
+    )

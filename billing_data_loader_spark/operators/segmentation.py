@@ -557,3 +557,134 @@ def ext_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges = _bpe_train(vocab, _BPE_ROUNDS)
         _BPE_MERGE_CACHE[memo_key] = merges
     return _bpe_apply(vocab, merges)
+
+
+# --- ext_span_mask ------------------------------------------------------------
+
+#: Span-corruption geometry: a 3-token span is masked at every 11th
+#: position, phase-shifted per document by doc_id % 11 — fixed spacing
+#: means spans can never overlap (11 > 3), so no run-merging pass is
+#: needed and the whole corruption is closed-form per position. ~27%
+#: corruption rate, deterministic on any engine and cluster size (T5
+#: samples its spans; a data pipeline wants the replayable variant).
+_SM_PERIOD = 11
+_SM_SPAN = 3
+
+#: Portable non-negative modulus: both engines' % is C-style
+#: (sign-of-dividend), so the shared text wraps it once.
+_SM_PMOD = f"((({{i}}) % {_SM_PERIOD}) + {_SM_PERIOD}) % {_SM_PERIOD}"
+
+_SPAN_MASK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(doc_id % {_SM_PERIOD} AS BIGINT) AS off
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id, t, off, len(t) AS n,
+         list_filter(range(0, len(t)),
+                     i -> {_SM_PMOD.format(i="i - off")} = 0
+                          AND i + {_SM_SPAN} <= len(t)) AS a
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(a) AS BIGINT) AS n_spans,
+       CAST(len(a) * {_SM_SPAN} AS BIGINT) AS n_masked,
+       COALESCE(array_to_string(
+         list_filter(
+           list_transform(range(0, n), i ->
+             CASE WHEN NOT ({_SM_PMOD.format(i="i - off")} < {_SM_SPAN}
+                            AND i - {_SM_PMOD.format(i="i - off")} >= 0
+                            AND i - {_SM_PMOD.format(i="i - off")} +
+                                {_SM_SPAN} <= n)
+                  THEN t[i + 1]
+                  WHEN {_SM_PMOD.format(i="i - off")} = 0
+                  THEN '<extra_id_' ||
+                       CAST(list_position(a, i) - 1 AS VARCHAR) || '>'
+                  ELSE NULL END),
+           x -> x IS NOT NULL), ' '), '') AS input_text,
+       COALESCE(array_to_string(
+         list_transform(a, x ->
+           '<extra_id_' || CAST(list_position(a, x) - 1 AS VARCHAR) ||
+           '> ' || array_to_string(t[x + 1:x + {_SM_SPAN}], ' ')),
+         ' '), '') AS target_text
+FROM anchors
+"""
+
+
+@query("ext_span_mask", oracle=_SPAN_MASK_ORACLE, tier=3)
+def ext_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (the denoising-objective prep step):
+    every {_SM_PERIOD}th token position (phase-shifted per doc) anchors
+    a {_SM_SPAN}-token masked span; the input text replaces each span
+    with its ordinal ``<extra_id_k>`` sentinel and the target text
+    emits ``<extra_id_k>`` followed by the masked tokens — exactly the
+    (inputs, labels) pair a seq2seq denoiser trains on. Fixed spacing
+    makes spans non-overlapping by construction, so the corruption is a
+    CLOSED FORM per position — no run-merging scan, no sampling state —
+    and deterministically replayable on any engine (T5 samples span
+    lengths; a 100 TB data pipeline wants the audit-stable variant).
+
+    Shape: entirely map-side array arithmetic inside the scan stage
+    (scan → project → sink; zero shuffles at any corpus size). Both
+    engines share the algebra with dialect-local array builtins
+    (transform/slice vs list_transform/[a:b]) and the portable
+    non-negative modulus idiom (both engines' % is C-style). The
+    sentinel numbering, masked-token recovery round-trip, and
+    input+target token conservation are pinned in
+    tests/test_round11b.py — which caught the launch bug the shared
+    oracle text could NOT (both engines agreed): positions before the
+    first anchor in high-phase docs masked against a NEGATIVE anchor
+    until the explicit anchor >= 0 guard landed (the round-11
+    LEAST/GREATEST lesson: every shared closed form needs an
+    independent replay)."""
+    d = load(spark, sf_dir, "documents")
+    pmod = _SM_PMOD.format(i="i - off")
+    return d.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.expr(f"CAST(doc_id % {_SM_PERIOD} AS BIGINT)").alias("off"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(t) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"""CAST(size(filter(sequence(0, size(t) - 1),
+                 i -> {pmod} = 0 AND i + {_SM_SPAN} <= size(t)))
+               AS BIGINT)"""
+        ).alias("n_spans"),
+        F.expr(
+            f"""CAST(size(filter(sequence(0, size(t) - 1),
+                 i -> {pmod} = 0 AND i + {_SM_SPAN} <= size(t)))
+               * {_SM_SPAN} AS BIGINT)"""
+        ).alias("n_masked"),
+        F.expr(
+            f"""array_join(
+              filter(
+                transform(sequence(0, size(t) - 1), i ->
+                  CASE WHEN NOT ({pmod} < {_SM_SPAN}
+                                 AND i - ({pmod}) >= 0
+                                 AND i - ({pmod}) + {_SM_SPAN} <= size(t))
+                       THEN t[i]
+                       WHEN {pmod} = 0
+                       THEN concat('<extra_id_',
+                            CAST(array_position(
+                              filter(sequence(0, size(t) - 1),
+                                j -> {_SM_PMOD.format(i="j - off")} = 0
+                                     AND j + {_SM_SPAN} <= size(t)),
+                              i) - 1 AS STRING), '>')
+                       ELSE NULL END),
+                x -> x IS NOT NULL), ' ')"""
+        ).alias("input_text"),
+        F.expr(
+            f"""array_join(
+              transform(
+                filter(sequence(0, size(t) - 1),
+                  j -> {_SM_PMOD.format(i="j - off")} = 0
+                       AND j + {_SM_SPAN} <= size(t)),
+                (x, k) -> concat('<extra_id_', CAST(k AS STRING), '> ',
+                                 array_join(slice(t, x + 1, {_SM_SPAN}),
+                                            ' '))),
+              ' ')"""
+        ).alias("target_text"),
+    )

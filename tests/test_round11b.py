@@ -523,3 +523,131 @@ class TestPerplexityBucketMix:
             )
             n_docs_total += sum(sizes)
         assert n_docs_total == load(spark, SF_DIR, "documents").count()
+
+
+class TestSpanMask:
+    def test_roundtrip_and_replay(self, spark):
+        from billing_data_loader_spark.operators.segmentation import (
+            _SM_PERIOD,
+            _SM_SPAN,
+        )
+
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in load(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        got = {
+            r["doc_id"]: r
+            for r in catalog()["ext_span_mask"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(docs)
+        saw_masked = saw_unmasked = False
+        for doc_id, text in docs.items():
+            toks = text.split(" ")
+            off = doc_id % _SM_PERIOD
+            anchors = [
+                i
+                for i in range(len(toks))
+                if (i - off) % _SM_PERIOD == 0 and i + _SM_SPAN <= len(toks)
+            ]
+            g = got[doc_id]
+            assert g["n_tokens"] == len(toks)
+            assert g["n_spans"] == len(anchors)
+            assert g["n_masked"] == len(anchors) * _SM_SPAN
+            # independent reconstruction
+            masked = {
+                p for a in anchors for p in range(a, a + _SM_SPAN)
+            }
+            inp = []
+            for i, t in enumerate(toks):
+                if i in anchors:
+                    inp.append(f"<extra_id_{anchors.index(i)}>")
+                elif i not in masked:
+                    inp.append(t)
+            tgt = " ".join(
+                f"<extra_id_{k}> " + " ".join(toks[a : a + _SM_SPAN])
+                for k, a in enumerate(anchors)
+            )
+            assert g["input_text"] == " ".join(inp)
+            assert g["target_text"] == tgt
+            # round-trip: splicing targets back into input recovers text
+            recovered = g["input_text"]
+            for k, a in enumerate(anchors):
+                recovered = recovered.replace(
+                    f"<extra_id_{k}>",
+                    " ".join(toks[a : a + _SM_SPAN]),
+                    1,
+                )
+            assert recovered == text
+            saw_masked = saw_masked or bool(anchors)
+            saw_unmasked = saw_unmasked or not anchors
+        assert saw_masked  # corruption actually fires on the fixture
+
+
+class TestRfmFeatures:
+    def test_numpy_replay(self, spark):
+        import numpy as np
+
+        ev = (
+            load(spark, SF_DIR, "events")
+            .filter("event_type = 'purchase'")
+            .select("user_id", "ts", "value")
+            .collect()
+        )
+        per_user: dict = {}
+        for r in ev:
+            u = per_user.setdefault(r["user_id"], [0, 0, None])
+            u[0] += 1
+            u[1] += int(math.floor(r["value"] * 100 + 0.5))
+            d = r["ts"].date()
+            u[2] = d if u[2] is None or d > u[2] else u[2]
+        g_day = max(u[2] for u in per_user.values())
+        rows = [
+            (freq, cents, (g_day - last).days)
+            for freq, cents, last in per_user.values()
+        ]
+        rec = np.array([r[2] for r in rows], dtype=float)
+        frq = np.array([r[0] for r in rows], dtype=float)
+        mon = np.array([r[1] for r in rows], dtype=float)
+        qs = [0.2, 0.4, 0.6, 0.8]
+        rb = [round(float(np.quantile(rec, q)), 4) for q in qs]
+        fb = [round(float(np.quantile(frq, q)), 4) for q in qs]
+        mb = [round(float(np.quantile(mon, q)), 4) for q in qs]
+
+        def seg(r_s, f_s, m_s):
+            if r_s >= 4 and f_s >= 4 and m_s >= 4:
+                return "champion"
+            if r_s <= 2 and f_s >= 4:
+                return "at_risk"
+            if r_s <= 2:
+                return "hibernating"
+            if f_s >= 4:
+                return "loyal"
+            if m_s >= 4:
+                return "big_spender"
+            return "regular"
+
+        exp = defaultdict(lambda: [0, 0, 0, 0])
+        for freq, cents, rdays in rows:
+            r_s = 6 - (1 + sum(rdays > b for b in rb))
+            f_s = 1 + sum(freq > b for b in fb)
+            m_s = 1 + sum(cents > b for b in mb)
+            e = exp[seg(r_s, f_s, m_s)]
+            e[0] += 1
+            e[1] += freq
+            e[2] += cents
+            e[3] += rdays
+        got = {
+            r["segment"]: (
+                r["n_users"],
+                r["n_purchases"],
+                r["monetary_cents"],
+                r["recency_days_sum"],
+            )
+            for r in catalog()["ext_rfm_features"].fn(spark, SF_DIR).collect()
+        }
+        assert got == {k: tuple(v) for k, v in exp.items()}
+        assert sum(v[0] for v in got.values()) == len(per_user)
+        assert len(got) >= 3  # a real segment spread, not one bucket

@@ -276,6 +276,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # each operator's docstring (bucketed two-pass prefix sums).
     "single_partition": {
         # round-11 continuation
+        "ext_rfm_features": (
+            "1-row percentile-boundary fold (O(tasks) partials; the "
+            "ext_outlier_clip quantile pattern)"
+        ),
         "ext_vacuum_plan": (
             "1-row head fold + 3-row class rollup over the O(files) "
             "manifest (never data rows)"
@@ -453,6 +457,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
     "bnlj": {
         # round-11 continuation: 1-row crossJoin(broadcast(...)) folds
+        "ext_rfm_features": (
+            "1-row as-of + 1-row quintile-boundary folds broadcast onto "
+            "the user frame (deliberately NOT a global NTILE window)"
+        ),
         "ext_vacuum_plan": "1-row head-version fold over the O(files) manifest",
         "ext_incremental_read": (
             "1-row head-version fold over the O(files) manifest (shared "
