@@ -244,3 +244,132 @@ def ext_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(majority_cnt AS DOUBLE) / CAST(cluster_size AS DOUBLE)"
         ).alias("purity"),
     )
+
+
+# --- ext_knn_label_spread -----------------------------------------------------
+
+# Confident-learning label-noise screen over the exact kNN graph: a point
+# whose neighborhood unanimously disagrees with its own label is the
+# canonical mislabeling suspect (Northcutt's confident-learning /
+# kNN-agreement family). On the ISOTROPIC fixture the labels are
+# independent of geometry, so most points are suspects — the fixture
+# exercises the algebra, not a claim about the data (the
+# ext_ann_rptree recall stance).
+
+
+def _spread_oracle() -> str:
+    from .ann import _KNNG_ORACLE
+
+    return f"""
+WITH g AS MATERIALIZED ({_KNNG_ORACLE}),
+j AS (
+  SELECT g.vec_id, e.label AS own_label,
+         n.label AS nbr_label, g.same_label
+  FROM g
+  JOIN embeddings e ON g.vec_id = e.vec_id
+  JOIN embeddings n ON g.nbr_id = n.vec_id
+),
+votes AS (
+  SELECT vec_id, own_label, nbr_label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM j GROUP BY vec_id, own_label, nbr_label
+),
+maj AS (
+  SELECT vec_id, nbr_label AS nbr_majority_label, cnt AS majority_cnt
+  FROM (
+    SELECT vec_id, nbr_label, cnt,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cnt DESC, nbr_label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT vec_id, own_label,
+         CAST(SUM(same_label) AS BIGINT) AS n_agree,
+         CAST(COUNT(*) AS BIGINT) AS n_nbrs
+  FROM j GROUP BY vec_id, own_label
+)
+SELECT agg.vec_id,
+       CAST(agg.own_label AS BIGINT) AS own_label,
+       agg.n_nbrs, agg.n_agree,
+       CAST(maj.nbr_majority_label AS BIGINT) AS nbr_majority_label,
+       maj.majority_cnt,
+       CASE WHEN agg.n_agree = 0 THEN 1 ELSE 0 END AS is_suspect
+FROM agg JOIN maj ON agg.vec_id = maj.vec_id
+"""
+
+
+_SPREAD_ORACLE = _spread_oracle()
+
+
+@query("ext_knn_label_spread", oracle=_SPREAD_ORACLE, tier=3)
+def ext_knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement screen (the confident-learning mislabeling
+    detector): for every point, how many of its 3 exact nearest
+    neighbors share its label, the neighborhood's majority label (ties
+    to the lowest label id), and the suspect flag — a point whose
+    neighborhood UNANIMOUSLY disagrees is the canonical label-noise
+    candidate a curation pipeline routes to review. Composes
+    ext_knn_graph (invoked as a helper; its own key pins the graph, and
+    the oracle re-derives the full exact-kNN CTE so the screen binds
+    end to end) the way ext_cluster_purity composes ext_kmeans_lite.
+    On the isotropic fixture labels are independent of geometry, so
+    most points flag — the fixture exercises the algebra (the
+    ext_ann_rptree recall stance); on a real embedding space the
+    suspects ARE the review queue.
+
+    Shape: the graph build dominates (136 blocked BLAS tiles — see
+    ext_knn_graph); the screen itself adds one broadcast label join
+    onto the 3n edge frame, one (vec, nbr_label) vote aggregate keyed
+    on the point, and the majority window partitioned per point. All
+    counts exact; no doubles anywhere."""
+    from .ann import ext_knn_graph
+
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    g = ext_knn_graph(spark, sf_dir).select("vec_id", "nbr_id", "same_label")
+    j = (
+        g.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("o_id"),
+                    F.col("label").alias("own_label"),
+                )
+            ),
+            F.col("vec_id") == F.col("o_id"),
+        )
+        .join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("n_id"),
+                    F.col("label").alias("nbr_label"),
+                )
+            ),
+            F.col("nbr_id") == F.col("n_id"),
+        )
+        .select("vec_id", "own_label", "nbr_label", "same_label")
+    )
+    votes = j.groupBy("vec_id", "own_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cnt"), F.asc("nbr_label"))
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("m_id"),
+            F.col("nbr_label").cast("long").alias("nbr_majority_label"),
+            F.col("cnt").alias("majority_cnt"),
+        )
+    )
+    agg = j.groupBy("vec_id", "own_label").agg(
+        F.sum("same_label").cast("long").alias("n_agree"),
+        F.count(F.lit(1)).alias("n_nbrs"),
+    )
+    return agg.join(maj, agg.vec_id == maj.m_id).select(
+        "vec_id",
+        F.col("own_label").cast("long").alias("own_label"),
+        "n_nbrs",
+        "n_agree",
+        "nbr_majority_label",
+        "majority_cnt",
+        F.when(F.col("n_agree") == 0, 1).otherwise(0).alias("is_suspect"),
+    )

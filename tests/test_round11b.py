@@ -651,3 +651,44 @@ class TestRfmFeatures:
         assert got == {k: tuple(v) for k, v in exp.items()}
         assert sum(v[0] for v in got.values()) == len(per_user)
         assert len(got) >= 3  # a real segment spread, not one bucket
+
+
+class TestKnnLabelSpread:
+    def test_consistency_with_graph(self, spark):
+        from collections import Counter
+
+        from billing_data_loader_spark.operators.ann import ext_knn_graph
+
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        nbrs: dict = defaultdict(list)
+        for r in ext_knn_graph(spark, SF_DIR).collect():
+            nbrs[r["vec_id"]].append(r["nbr_id"])
+
+        got = {
+            r["vec_id"]: r
+            for r in catalog()["ext_knn_label_spread"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(nbrs)
+        n_suspects = 0
+        for vid, ns in nbrs.items():
+            own = labels[vid]
+            votes = Counter(labels[n] for n in ns)
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            g = got[vid]
+            assert g["own_label"] == own
+            assert g["n_nbrs"] == len(ns) == 3
+            assert g["n_agree"] == sum(
+                1 for n in ns if labels[n] == own
+            )
+            assert (g["nbr_majority_label"], g["majority_cnt"]) == best
+            assert g["is_suspect"] == (1 if g["n_agree"] == 0 else 0)
+            n_suspects += g["is_suspect"]
+        # the screen genuinely fires on the isotropic fixture
+        assert 0 < n_suspects < len(nbrs)
