@@ -2529,3 +2529,141 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("same_label"),
         )
     )
+
+
+# --- ext_matryoshka_recall ----------------------------------------------------
+
+#: Truncation prefix length (the Matryoshka "nested" dim) and the top-k
+#: depth audited. Cosine runs on the truncated vectors with their OWN
+#: norms — truncation changes both dot products and norms, which is
+#: exactly the retrieval-quality question the audit answers.
+_MRL_DIM = 16
+_MRL_K = 10
+
+_MRL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+full_ AS (
+  SELECT vec_id,
+         round(list_dot_product(v.ve, q.qv)
+           / (sqrt(list_dot_product(v.ve, v.ve))
+              * sqrt(list_dot_product(q.qv, q.qv))), 9) AS cos_full
+  FROM v, q WHERE vec_id <> 0
+),
+tr AS (
+  SELECT vec_id,
+         round(list_dot_product(v.ve[1:{_MRL_DIM}], q.qv[1:{_MRL_DIM}])
+           / (sqrt(list_dot_product(v.ve[1:{_MRL_DIM}], v.ve[1:{_MRL_DIM}]))
+              * sqrt(list_dot_product(q.qv[1:{_MRL_DIM}],
+                                      q.qv[1:{_MRL_DIM}]))), 9) AS cos_tr
+  FROM v, q WHERE vec_id <> 0
+),
+topf AS MATERIALIZED (
+  SELECT vec_id, cos_full,
+         ROW_NUMBER() OVER (ORDER BY cos_full DESC, vec_id) AS rnk
+  FROM full_ QUALIFY rnk <= {_MRL_K}
+),
+topt AS MATERIALIZED (
+  SELECT vec_id, cos_tr,
+         ROW_NUMBER() OVER (ORDER BY cos_tr DESC, vec_id) AS rnk
+  FROM tr QUALIFY rnk <= {_MRL_K}
+)
+SELECT t.rnk,
+       t.vec_id AS trunc_id, t.cos_tr,
+       f.vec_id AS full_id, f.cos_full,
+       CASE WHEN EXISTS (SELECT 1 FROM topf x WHERE x.vec_id = t.vec_id)
+            THEN 1 ELSE 0 END AS trunc_hit_in_full_topk
+FROM topt t JOIN topf f ON t.rnk = f.rnk
+"""
+
+
+@query("ext_matryoshka_recall", oracle=_MRL_ORACLE, tier=3)
+def ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: the retrieval-quality check a
+    pipeline runs before serving the cheap {_MRL_DIM}-dim PREFIX of its
+    {64}-dim embeddings (the nested-representation trick behind
+    adaptive-retrieval stacks): exact cosine top-{_MRL_K} for the
+    benchmark query under the full dim and under the truncated prefix
+    (with its own norms — truncation changes dot AND norm, which is the
+    question), aligned rank by rank, with a membership flag that makes
+    recall@{_MRL_K} readable off the output (sum of the flag / k).
+
+    Shape: both scoring passes are ONE map-side fold each against the
+    broadcast 1-row query vector (the ext_knn_cosine pattern — the
+    truncated pass folds only the prefix via slice), both top-k's are
+    TakeOrdered folds, and the rank alignment joins two k-row frames.
+    At 100 TB this is two linear scans — and the truncated one is the
+    one you'd actually serve, at {_MRL_DIM}/64 of the FLOP cost.
+    Cosines quantize to 9dp (the kmeans fold-noise stance); ties break
+    on vec_id."""
+    from ..session import scoped_persist
+    from pyspark.sql import Window
+
+    v = scoped_persist(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("ve")
+        )
+    )
+    q = v.filter(F.col("vec_id") == 0).select(F.col("ve").alias("qv"))
+
+    def topk(expr_col, alias):
+        scored = (
+            v.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", expr_col.alias(alias))
+        )
+        w = Window.orderBy(F.desc(alias), F.asc("vec_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _MRL_K)
+        )
+
+    cos_full = F.round(
+        _dot(F.col("ve"), F.col("qv"))
+        / (
+            F.sqrt(_dot(F.col("ve"), F.col("ve")))
+            * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        ),
+        9,
+    )
+    tslice = lambda c: F.slice(c, 1, _MRL_DIM)  # noqa: E731
+    cos_tr = F.round(
+        _dot(tslice(F.col("ve")), tslice(F.col("qv")))
+        / (
+            F.sqrt(_dot(tslice(F.col("ve")), tslice(F.col("ve"))))
+            * F.sqrt(_dot(tslice(F.col("qv")), tslice(F.col("qv"))))
+        ),
+        9,
+    )
+    topf = scoped_persist(topk(cos_full, "cos_full"))
+    topt = topk(cos_tr, "cos_tr")
+    hit = topf.select(F.col("vec_id").alias("h_id"), F.lit(1).alias("hit"))
+    return (
+        topt.select(
+            "rnk",
+            F.col("vec_id").alias("trunc_id"),
+            "cos_tr",
+        )
+        .join(
+            F.broadcast(
+                topf.select(
+                    F.col("rnk").alias("f_rnk"),
+                    F.col("vec_id").alias("full_id"),
+                    "cos_full",
+                )
+            ),
+            F.col("rnk") == F.col("f_rnk"),
+        )
+        .join(F.broadcast(hit), F.col("trunc_id") == F.col("h_id"), "left")
+        .select(
+            "rnk",
+            "trunc_id",
+            "cos_tr",
+            "full_id",
+            "cos_full",
+            F.coalesce("hit", F.lit(0)).alias("trunc_hit_in_full_topk"),
+        )
+    )

@@ -771,3 +771,104 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.expr(_ACF_EXPR).alias("acf"),
     )
+
+
+# --- ts_trend_by_type ---------------------------------------------------------
+
+#: Grouped OLS closed forms from exact integer moments (x = epoch day,
+#: y = daily cents): slope/intercept/R² as textually-shared IEEE
+#: expressions, quantized 6dp via the tie-free floor form. Products
+#: widen to DECIMAL(38,0)/HUGEINT (the prof_corr_matrix overflow
+#: stance): day indexes ~1e4 x cents ~1e9 reach ~1e13 per row and
+#: Syy reaches ~1e18 per row.
+_TREND_SLOPE = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_TREND_ICEPT = (
+    f"((CAST(sy AS DOUBLE) - {_TREND_SLOPE} * CAST(sx AS DOUBLE))"
+    " / CAST(n AS DOUBLE))"
+)
+_TREND_R2 = (
+    "(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+
+def _trend_q6(expr: str) -> str:
+    return f"floor(({expr}) * 1e6 + CAST(0.5 AS DOUBLE)) / 1e6"
+
+
+_TREND_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '1992-01-01', CAST(ts AS DATE)) AS x,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY event_type, x
+), m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       {_trend_q6(_TREND_SLOPE)} AS slope_cents_per_day,
+       {_trend_q6(_TREND_ICEPT)} AS intercept_cents,
+       {_trend_q6(_TREND_R2)} AS r2
+FROM m
+"""
+
+
+@query("ts_trend_by_type", oracle=_TREND_ORACLE, tier=2)
+def ts_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily revenue vs calendar day:
+    slope (cents/day), intercept, and R² — the "is this stream growing,
+    and how confidently" read a revenue dashboard puts next to the
+    seasonal index, and the grouped complement of win_rolling_slope's
+    windowed form. x is the epoch-day integer, y the exact daily cents.
+
+    Shape: one (type, day) aggregate with full map-side combine
+    collapses the stream, then a per-type moment aggregate — keyed on
+    event_type, so unlike the global-fold profiling keys there is NO
+    single-partition exchange anywhere. Moments are exact integers
+    widened to DECIMAL(38,0)/HUGEINT (the prof_corr_matrix overflow
+    stance), and the three closed forms are textually-shared IEEE
+    expressions over those integers, quantized 6dp; numpy polyfit
+    replay pinned in tests/test_round11b.py."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1992-01-01")).alias("x"),
+        )
+        .agg(F.sum(quantize_long("value", 2)).alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(_trend_q6(_TREND_SLOPE)).alias("slope_cents_per_day"),
+        F.expr(_trend_q6(_TREND_ICEPT)).alias("intercept_cents"),
+        F.expr(_trend_q6(_TREND_R2)).alias("r2"),
+    )

@@ -692,3 +692,102 @@ class TestKnnLabelSpread:
             n_suspects += g["is_suspect"]
         # the screen genuinely fires on the isotropic fixture
         assert 0 < n_suspects < len(nbrs)
+
+
+class TestTrendByType:
+    def test_numpy_replay(self, spark):
+        import numpy as np
+
+        ev = (
+            load(spark, SF_DIR, "events")
+            .select("event_type", "ts", "value")
+            .collect()
+        )
+        from datetime import date
+
+        epoch = date(1992, 1, 1)
+        daily: dict = defaultdict(int)
+        for r in ev:
+            x = (r["ts"].date() - epoch).days
+            daily[(r["event_type"], x)] += int(
+                math.floor(r["value"] * 100 + 0.5)
+            )
+        series: dict = defaultdict(list)
+        for (et, x), y in daily.items():
+            series[et].append((x, y))
+        got = {
+            r["event_type"]: r
+            for r in catalog()["ts_trend_by_type"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(series)
+        for et, pts in series.items():
+            xs = np.array([p[0] for p in pts], dtype=float)
+            ys = np.array([p[1] for p in pts], dtype=float)
+            slope, icept = np.polyfit(xs, ys, 1)
+            r = np.corrcoef(xs, ys)[0, 1]
+            g = got[et]
+            assert g["n_days"] == len(pts)
+            assert abs(g["slope_cents_per_day"] - slope) < max(
+                2e-6, abs(slope) * 1e-9
+            )
+            assert abs(g["intercept_cents"] - icept) < max(
+                2e-6, abs(icept) * 1e-9
+            )
+            assert abs(g["r2"] - r * r) < 2e-6
+
+
+class TestMatryoshkaRecall:
+    def test_numpy_replay(self, spark):
+        import numpy as np
+
+        rows = (
+            load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        vecs = {
+            r["vec_id"]: np.array(
+                [float(x) for x in r["embedding"]], dtype=np.float64
+            )
+            for r in rows
+        }
+        q = vecs[0]
+
+        def topk(dim):
+            scored = []
+            for vid, v in vecs.items():
+                if vid == 0:
+                    continue
+                a, b = v[:dim], q[:dim]
+                c = round(
+                    float(
+                        a.dot(b)
+                        / (math.sqrt(a.dot(a)) * math.sqrt(b.dot(b)))
+                    ),
+                    9,
+                )
+                scored.append((-c, vid))
+            scored.sort()
+            return [(vid, -negc) for negc, vid in scored[:10]]
+
+        full = topk(64)
+        trunc = topk(16)
+        full_set = {vid for vid, _ in full}
+
+        got = sorted(
+            catalog()["ext_matryoshka_recall"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["rnk"],
+        )
+        assert len(got) == 10
+        for i, g in enumerate(got):
+            assert g["rnk"] == i + 1
+            assert g["full_id"] == full[i][0]
+            assert g["trunc_id"] == trunc[i][0]
+            assert abs(g["cos_full"] - full[i][1]) < 1e-6
+            assert abs(g["cos_tr"] - trunc[i][1]) < 1e-6
+            assert g["trunc_hit_in_full_topk"] == (
+                1 if trunc[i][0] in full_set else 0
+            )
+        # recall@10 is readable off the flag column and is a real number
+        recall = sum(g["trunc_hit_in_full_topk"] for g in got) / 10
+        assert 0.0 <= recall <= 1.0

@@ -461,6 +461,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row as-of + 1-row quintile-boundary folds broadcast onto "
             "the user frame (deliberately NOT a global NTILE window)"
         ),
+        "ext_matryoshka_recall": (
+            "1-row broadcast query vector per scoring pass (the "
+            "ext_knn_cosine pattern, full-dim and truncated)"
+        ),
         "ext_vacuum_plan": "1-row head-version fold over the O(files) manifest",
         "ext_incremental_read": (
             "1-row head-version fold over the O(files) manifest (shared "
