@@ -1,9 +1,10 @@
 """Runnable demo: the lakehouse-maintenance surface a deployment runs
 BETWEEN queries — Z-order layout planning with its skipping index, a
-digest-level snapshot diff before promoting a new corpus version, the PSI
-drift monitor on the fresh batch, the AR aging report, and exact
-re-aggregatable distinct counts via bitmap state — all through the same
-declared operators the driver grades.
+digest-level snapshot diff before promoting a new corpus version, the
+transaction-log trio (time-travel snapshot read, VACUUM planning,
+incremental CDC catch-up), the PSI drift monitor on the fresh batch, the
+AR aging report, and exact re-aggregatable distinct counts via bitmap
+state — all through the same declared operators the driver grades.
 
     python examples/lake_maintenance_demo.py [sf_dir]
 """
@@ -25,7 +26,10 @@ from billing_data_loader_spark.operators.billing_analytics import (
 )
 from billing_data_loader_spark.operators.lakeops import (
     ext_dataset_diff,
+    ext_incremental_read,
+    ext_vacuum_plan,
     ext_zorder_layout,
+    scan_txn_log_snapshot,
 )
 from billing_data_loader_spark.operators.profiling import prof_psi_drift
 from billing_data_loader_spark.session import get_spark
@@ -46,6 +50,21 @@ def main(sf_dir: str) -> None:
 
     print("== snapshot diff (corpus v1 -> v2) ==")
     ext_dataset_diff(spark, sf_dir).orderBy("status").show()
+
+    print("== txn log: live snapshot at head-6 (time travel) ==")
+    scan_txn_log_snapshot(spark, sf_dir).orderBy("added_version").limit(
+        6
+    ).show(truncate=False)
+
+    print("== txn log: VACUUM plan (live / retained / vacuum) ==")
+    ext_vacuum_plan(spark, sf_dir).orderBy("status").show()
+
+    print("== txn log: incremental CDC read plan (head-18 -> head-6) ==")
+    inc = ext_incremental_read(spark, sf_dir)
+    inc.groupBy("status").count().orderBy("status").show()
+    inc.filter(F.col("status") == "added").orderBy("path").limit(4).show(
+        truncate=False
+    )
 
     print("== PSI drift monitor (1997 ref vs 1998 cur) ==")
     psi = prof_psi_drift(spark, sf_dir)
