@@ -677,3 +677,106 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
     )
+
+
+# --- ext_skyline_dominance ----------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sp
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT n_name AS nation, c_custkey AS cust,
+         COALESCE(sp, 0) AS spend_cents,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS bal_cents
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  LEFT JOIN spend ON c_custkey = ck
+)
+SELECT nation, cust, spend_cents, bal_cents
+FROM base b
+WHERE NOT EXISTS (
+  SELECT 1 FROM base o
+  WHERE o.nation = b.nation
+    AND o.spend_cents >= b.spend_cents
+    AND o.bal_cents >= b.bal_cents
+    AND (o.spend_cents > b.spend_cents OR o.bal_cents > b.bal_cents)
+)
+"""
+
+
+@query("ext_skyline_dominance", oracle=_SKYLINE_ORACLE, tier=2)
+def ext_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation 2-D skyline (Pareto frontier) of customers over
+    (lifetime spend, account balance), both maximized: the classic
+    dominance operator (Borzsony/Kossmann SKYLINE OF) — "which accounts
+    are not strictly worse than some other account on BOTH axes" — used
+    for candidate shortlists (pricing outliers, whale screens) where a
+    single weighted score would hide the frontier's shape.
+
+    A point is dominated iff some same-nation point is >= on both axes
+    and > on at least one; exact duplicates dominate neither and both
+    survive (strict dominance). The ORACLE states the textbook quadratic
+    NOT EXISTS definition; the Spark plan proves the O(n log n) sort-scan
+    identity against it: sorted by spend DESC, a point is dominated
+    exactly when (a) the running MAX of balance over strictly-higher
+    spend rows reaches its balance (RANGE .. 1 PRECEDING on integer
+    cents makes "strictly higher" exact), or (b) a same-spend row has
+    strictly higher balance (MAX over the (nation, spend) peer group).
+    Both tests ride ONE nation-keyed exchange — no self-join anywhere.
+
+    Exactness: both axes are floor-quantized integer cents; zero-order
+    customers enter at exact spend 0 (they can still make the frontier
+    on balance — excluding them would fabricate dominance). All
+    comparisons are integer; no doubles in the decision path.
+
+    Shape at 100 TB: one map-side-combined custkey aggregate, a
+    broadcast nation dim, then the window exchange keyed on nation. A
+    skewed partition key (25 nations) swaps to the distributed-skyline
+    form: per-partition LOCAL skylines first (the same window over a
+    salted key collapses ~all points — skyline of uniform n is O(log n))
+    then the global pass over the model-sized union of local frontiers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(quantize_long("o_totalprice", 2)).cast("long").alias("sp")
+    )
+    base = (
+        c.join(
+            F.broadcast(n),
+            c.c_nationkey == n.n_nationkey,
+        )
+        .join(spend, c.c_custkey == F.col("ck"), "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("cust"),
+            F.coalesce("sp", F.lit(0).cast("long")).alias("spend_cents"),
+            quantize_long("c_acctbal", 2).cast("long").alias("bal_cents"),
+        )
+    )
+    flagged = base.select(
+        "nation",
+        "cust",
+        "spend_cents",
+        "bal_cents",
+        F.expr(
+            "MAX(bal_cents) OVER (PARTITION BY nation ORDER BY spend_cents"
+            " DESC RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ).alias("m_higher"),
+        F.expr(
+            "MAX(bal_cents) OVER (PARTITION BY nation, spend_cents)"
+        ).alias("m_peer"),
+    )
+    return flagged.filter(
+        ~(
+            F.coalesce(
+                F.col("m_higher") >= F.col("bal_cents"), F.lit(False)
+            )
+            | (F.col("m_peer") > F.col("bal_cents"))
+        )
+    ).select("nation", "cust", "spend_cents", "bal_cents")

@@ -1057,3 +1057,206 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+# --- ext_neardup_incremental --------------------------------------------------
+
+#: Batch doc ids live far above both the corpus ids and the planted-copy
+#: offset so the two id spaces can never collide.
+_INC_OFFSET = 3_000_000
+
+_INC_BATCH_SQL = f"""
+  SELECT doc_id + {_INC_OFFSET} AS batch_id,
+         regexp_replace(text, '^[^ ]+ ', '') AS text, lang
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + {_INC_OFFSET} AS batch_id, text, lang
+  FROM documents WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id + {_INC_OFFSET} AS batch_id,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+           AS text, lang
+  FROM documents WHERE doc_id % 9 = 2
+"""
+
+_INC_ORACLE = f"""
+WITH batch AS ({_INC_BATCH_SQL}),
+btoks AS (SELECT batch_id, lang, string_split(text, ' ') AS t FROM batch),
+btok AS (
+  SELECT DISTINCT batch_id, lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS token
+  FROM btoks
+),
+ctoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+ctok AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS token
+  FROM ctoks
+),
+bsz AS (SELECT batch_id, COUNT(*) AS bn FROM btok GROUP BY batch_id),
+csz AS (SELECT doc_id, COUNT(*) AS cn FROM ctok GROUP BY doc_id),
+pairs AS (
+  SELECT b.batch_id, c.doc_id, COUNT(*) AS n_common
+  FROM btok b JOIN ctok c ON b.token = c.token AND b.lang = c.lang
+  GROUP BY b.batch_id, c.doc_id
+),
+jac AS (
+  SELECT batch_id, doc_id,
+         CAST(n_common AS DOUBLE) / (bn + cn - n_common) AS j
+  FROM pairs JOIN bsz USING (batch_id) JOIN csz USING (doc_id)
+  WHERE CAST(n_common AS DOUBLE) / (bn + cn - n_common) >= 0.6
+),
+best AS (
+  SELECT batch_id, doc_id, j
+  FROM (
+    SELECT batch_id, doc_id, j,
+           ROW_NUMBER() OVER (
+             PARTITION BY batch_id ORDER BY j DESC, doc_id ASC) AS rn
+    FROM jac
+  ) WHERE rn = 1
+)
+SELECT b.batch_id, b.lang,
+       COALESCE(best.doc_id, -1) AS match_id,
+       COALESCE(best.j, 0.0) AS best_jaccard,
+       CASE WHEN best.doc_id IS NULL THEN 'novel' ELSE 'duplicate' END
+         AS verdict
+FROM batch b LEFT JOIN best USING (batch_id)
+"""
+
+
+@query("ext_neardup_incremental", oracle=_INC_ORACLE, tier=3)
+def ext_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: a new ingest batch screened against the
+    standing corpus — the daily-crawl shape (GPT-3/RefinedWeb dedup
+    loops), where yesterday's corpus is a persisted MinHash index and
+    only batch x corpus pairs are ever candidates (never corpus x corpus
+    — that audit already ran; ext_dedup_incremental is the exact-digest
+    twin of this key). The synthesized batch exercises all three
+    verdicts deterministically: one slice drops its first token (high-
+    Jaccard near-dup), one re-ingests verbatim (J = 1), one reverses its
+    token order (same vocabulary, disjoint shingles — novel).
+
+    Declared output: per batch doc, the best standing-corpus match at
+    Jaccard >= 0.6 within its language block (ties: lowest corpus id) or
+    the (-1, 0.0, 'novel') sentinel. The oracle is the exact batch x
+    corpus shingle join; the LSH path's banding (32 bands x 2, the
+    sibling ext_neardup_minhash_lsh recall budget) surfaces every >= 0.6
+    pair on the fixtures, so the exact oracle applies verbatim and a
+    banding recall regression breaks the hash.
+
+    100 TB shape: the corpus signature frame is built here but IS the
+    persisted index in production (one corpus shuffle, amortized across
+    batches); each batch then costs: batch shingles (map-side), the
+    band-bucket equi-join with the BATCH side broadcast (the corpus band
+    table never reshuffles — it is bucketed by band_sig on disk), and
+    exact verification on O(candidates). Nothing scales with
+    corpus x corpus."""
+    d = load(spark, sf_dir, "documents")
+    near = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + _INC_OFFSET).alias("doc_id"),
+        F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
+        "lang",
+    )
+    exact = d.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + _INC_OFFSET).alias("doc_id"), "text", "lang"
+    )
+    novel = d.filter(F.col("doc_id") % 9 == 2).select(
+        (F.col("doc_id") + _INC_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split("text", " "))).alias("text"),
+        "lang",
+    )
+    batch = near.unionAll(exact).unionAll(novel)
+
+    def sig_of(frame: DataFrame) -> DataFrame:
+        tok = _hashed_shingle_tokens(frame, distinct=False)
+        return scoped_persist(
+            tok.groupBy("doc_id", "lang").agg(
+                F.collect_set("th").alias("ths"),
+                *[
+                    F.min(F.xxhash64("th", F.lit(s))).alias(f"h{s}")
+                    for s in range(_N_HASHES)
+                ],
+            )
+        )
+
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_sigs = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"h{b * _BAND_SIZE + r}")
+                        for r in range(_BAND_SIZE)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+    csig = sig_of(d.select("doc_id", "text", "lang"))
+    bsig = sig_of(batch)
+    cbands = csig.select(
+        F.col("doc_id").alias("corpus_id"),
+        "lang",
+        F.posexplode(band_sigs).alias("band", "band_sig"),
+    )
+    bbands = bsig.select(
+        F.col("doc_id").alias("batch_id"),
+        "lang",
+        F.posexplode(band_sigs).alias("band", "band_sig"),
+    )
+    candidates = (
+        cbands.join(F.broadcast(bbands), ["lang", "band", "band_sig"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    bsets = bsig.select(
+        F.col("doc_id").alias("batch_id"),
+        F.col("ths").alias("b_ths"),
+        F.size("ths").alias("bn"),
+    )
+    csets = csig.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("ths").alias("c_ths"),
+        F.size("ths").alias("cn"),
+    )
+    n_common = F.size(F.array_intersect(F.col("b_ths"), F.col("c_ths")))
+    jac = n_common.cast("double") / (
+        F.col("bn") + F.col("cn") - n_common
+    )
+    matched = (
+        candidates.join(F.broadcast(bsets), "batch_id")
+        .join(csets, "corpus_id")
+        .select("batch_id", "corpus_id", jac.alias("j"))
+        .filter(F.col("j") >= 0.6)
+    )
+    best = matched.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("batch_id").orderBy(
+                F.desc("j"), F.asc("corpus_id")
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"), "lang")
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            "lang",
+            F.coalesce("corpus_id", F.lit(-1).cast("long")).alias(
+                "match_id"
+            ),
+            F.coalesce("j", F.lit(0.0)).alias("best_jaccard"),
+            F.when(F.col("corpus_id").isNull(), F.lit("novel"))
+            .otherwise(F.lit("duplicate"))
+            .alias("verdict"),
+        )
+    )

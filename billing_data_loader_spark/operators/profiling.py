@@ -679,3 +679,140 @@ def prof_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("max_us")
     )
+
+
+# --- prof_gini_concentration --------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sp
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT c_mktsegment AS segment, c_custkey AS cust, COALESCE(sp, 0) AS x
+  FROM customer LEFT JOIN spend ON c_custkey = ck
+),
+ranked AS (
+  SELECT segment, x,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY segment ORDER BY x ASC, cust ASC) AS BIGINT) AS rn,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY segment ORDER BY x DESC, cust ASC) AS BIGINT) AS rd,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM base
+),
+agg AS (
+  SELECT segment,
+         MAX(n) AS n_customers,
+         CAST(SUM(x) AS BIGINT) AS total_cents,
+         CAST(SUM(CAST(rn AS HUGEINT) * x) AS DOUBLE) AS wsum_d,
+         MAX((n + 9) // 10) AS top_decile_n,
+         CAST(SUM(CASE WHEN rd <= (n + 9) // 10 THEN x ELSE 0 END)
+              AS BIGINT) AS top_decile_cents
+  FROM ranked GROUP BY segment
+)
+SELECT segment, n_customers, total_cents, top_decile_n, top_decile_cents,
+       (2.0 * wsum_d
+        - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(total_cents AS DOUBLE))
+       / (CAST(n_customers AS DOUBLE)
+          * CAST(NULLIF(total_cents, 0) AS DOUBLE)) AS gini,
+       CAST(top_decile_cents AS DOUBLE)
+       / CAST(NULLIF(total_cents, 0) AS DOUBLE) AS top_decile_share
+FROM agg
+"""
+
+
+@query("prof_gini_concentration", oracle=_GINI_ORACLE, tier=2)
+def prof_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile per market segment: the Gini
+    coefficient of lifetime customer spend plus the top-decile share —
+    the whale-dependence read (is 80% of a segment's revenue on 10 whale
+    accounts?) finance puts next to the RFM grid, and the skew diagnosis
+    a pipeline owner reads before hash-partitioning on the customer key
+    (Gini near 1 on spend usually means the EVENT volume is skewed too —
+    prof_skew_report finds the hot keys, this scores the inequality).
+
+    Exactness: spend is floor-quantized integer cents summed per customer
+    (zero-order customers enter as exact 0 via the left join — excluding
+    them would overstate equality); the Gini numerator uses the rank
+    identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over x sorted
+    ascending, which is invariant to tie order among equal x (equal
+    values at consecutive ranks contribute the same sum under any
+    permutation), so the custkey tie-break only pins the top-decile
+    MEMBERSHIP, where it genuinely decides. rn*x widens to
+    DECIMAL(38,0)/HUGEINT BEFORE the multiply (the prof_corr_matrix
+    overflow stance); the final Gini/share are shared-text IEEE
+    divisions over integers < 2^53, with NULLIF guarding an all-zero
+    segment.
+
+    Shape: one map-side-combined custkey aggregate, a broadcast-sized
+    customer frame, then both rank windows and the count ride ONE
+    segment-keyed exchange (two sort orders, one shuffle) into a 5-row
+    rollup. At 100 TB the per-segment rank window is the pressure point
+    (5 partitions for the whole customer frame): the documented swap is
+    the two-pass distributed rank — per-partition counts broadcast as
+    prefix offsets, rank = local rank + offset (the ext_epoch_shuffle /
+    ext_stratified_kfold mechanism) — or t-digest partials if an
+    approximate decile suffices (the ext_outlier_clip stance)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(quantize_long("o_totalprice", 2)).cast("long").alias("sp")
+    )
+    base = (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("cust"),
+        )
+        .join(spend, F.col("cust") == F.col("ck"), "left")
+        .select(
+            "segment",
+            "cust",
+            F.coalesce("sp", F.lit(0).cast("long")).alias("x"),
+        )
+    )
+    seg = W.partitionBy("segment")
+    ranked = base.select(
+        "segment",
+        "x",
+        F.row_number()
+        .over(seg.orderBy(F.asc("x"), F.asc("cust")))
+        .cast("long")
+        .alias("rn"),
+        F.row_number()
+        .over(seg.orderBy(F.desc("x"), F.asc("cust")))
+        .cast("long")
+        .alias("rd"),
+        F.count(F.lit(1)).over(seg).alias("n"),
+    )
+    agg = ranked.groupBy("segment").agg(
+        F.max("n").alias("n_customers"),
+        F.sum("x").alias("total_cents"),
+        F.sum(F.col("rn").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("wsum_d"),
+        F.max(F.expr("(n + 9) DIV 10")).alias("top_decile_n"),
+        F.sum(
+            F.expr("CASE WHEN rd <= (n + 9) DIV 10 THEN x ELSE 0 END")
+        ).alias("top_decile_cents"),
+    )
+    return agg.select(
+        "segment",
+        "n_customers",
+        "total_cents",
+        "top_decile_n",
+        "top_decile_cents",
+        F.expr(
+            "(2.0 * wsum_d"
+            " - (CAST(n_customers AS DOUBLE) + 1.0)"
+            " * CAST(total_cents AS DOUBLE))"
+            " / (CAST(n_customers AS DOUBLE)"
+            " * CAST(NULLIF(total_cents, 0) AS DOUBLE))"
+        ).alias("gini"),
+        F.expr(
+            "CAST(top_decile_cents AS DOUBLE)"
+            " / CAST(NULLIF(total_cents, 0) AS DOUBLE)"
+        ).alias("top_decile_share"),
+    )

@@ -1131,3 +1131,154 @@ def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy("term")).alias("df"),
         gaps.alias("gaps_csv"),
     )
+
+
+# --- ext_calibration_ece ------------------------------------------------------
+
+#: Reliability-diagram bins over the classifier's NORMALIZED linear score
+#: s = (w_sum + 1000*n_tok) / (2000*n_tok)  in [0, 1] — monotone in the
+#: logit, so binning by s is binning by predicted confidence, but the bin
+#: id is pure INTEGER arithmetic (no transcendental sigmoid whose last
+#: ulp could flip a boundary doc between engines).
+_ECE_BINS = 10
+
+_ECE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % {_QCLS_BUCKETS}
+           AS bucket
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tok,
+         CAST(SUM((bucket * {_QCLS_KNUTH}) % 2001 - 1000) AS BIGINT)
+           AS w_sum
+  FROM feat GROUP BY doc_id
+),
+lab AS (SELECT doc_id, lang = 'en' AS truth FROM documents),
+perdoc AS (
+  SELECT LEAST(CAST((10 * (w_sum + 1000 * n_tok)) // (2000 * n_tok)
+                    AS BIGINT), 9) AS bin,
+         CAST(floor(CAST(w_sum + 1000 * n_tok AS DOUBLE)
+                    / CAST(2000 * n_tok AS DOUBLE)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS s_q,
+         CASE WHEN truth THEN 1 ELSE 0 END AS y
+  FROM scored JOIN lab USING (doc_id)
+),
+bins AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS pos_docs,
+         CAST(SUM(s_q) AS BIGINT) AS ssum
+  FROM perdoc GROUP BY bin
+),
+derived AS (
+  SELECT bin, n_docs, pos_docs,
+         CAST(ssum AS DOUBLE)
+           / (1000000000.0 * CAST(n_docs AS DOUBLE)) AS mean_score,
+         CAST(pos_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate
+  FROM bins
+),
+g AS (
+  SELECT *,
+         CAST(floor(ABS(mean_score - pos_rate) * 1000000000.0 + 0.5)
+              AS BIGINT) AS gap_q
+  FROM derived
+)
+SELECT bin, n_docs, pos_docs, mean_score, pos_rate,
+       ABS(mean_score - pos_rate) AS gap,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER () AS DOUBLE) AS bin_share,
+       CAST(SUM(gap_q * n_docs) OVER () AS DOUBLE)
+         / (1000000000.0 * CAST(SUM(n_docs) OVER () AS DOUBLE)) AS ece
+FROM g
+"""
+
+
+@query("ext_calibration_ece", oracle=_ECE_ORACLE, tier=3)
+def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for
+    ``ext_quality_classifier`` against a deterministic gold label (doc is
+    English) — the audit a filtering pipeline runs before TRUSTING a
+    cheap classifier's scores as probabilities (Guo et al. 2017): bin
+    docs by predicted confidence, compare each bin's mean score against
+    its empirical positive rate, and weight the gaps into one scalar.
+    A well-calibrated scorer tracks the diagonal; this stand-in scorer's
+    gaps ARE the finding (it was never trained on language ID) — the
+    audit exists to expose exactly that.
+
+    Exactness: the bin id is pure integer arithmetic on (w_sum, n_tok)
+    (see the constant's note); each doc's score is ONE IEEE division of
+    exact integers, floor-quantized to a 1e-9 grid BEFORE the per-bin
+    sum (cross-row double accumulation is order-sensitive; integer sums
+    are not — the ts_acf stance), and the ECE fold quantizes each bin's
+    gap the same way before the weighted sum, so every cross-row
+    reduction in the plan is an integer sum.
+
+    Shape: the classifier's scan -> explode -> one doc-keyed aggregate,
+    one doc-keyed join for the label, ONE bounded groupBy (<= 10 bins),
+    then the ECE fold as windows over the 10-row frame (model-sized
+    SinglePartition — EXPECTED_FLAGS). At 100 TB nothing after the
+    per-doc aggregate scales with the corpus."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("truth")
+    )
+    perdoc = (
+        ext_quality_classifier(spark, sf_dir)
+        .join(lab, "doc_id")
+        .select(
+            F.expr(
+                "LEAST(CAST((10 * (w_sum + 1000 * n_tok))"
+                " DIV (2000 * n_tok) AS BIGINT), 9)"
+            ).alias("bin"),
+            F.expr(
+                "CAST(FLOOR(CAST(w_sum + 1000 * n_tok AS DOUBLE)"
+                " / CAST(2000 * n_tok AS DOUBLE)"
+                " * 1000000000.0 + 0.5) AS BIGINT)"
+            ).alias("s_q"),
+            F.expr("CASE WHEN truth THEN 1 ELSE 0 END").alias("y"),
+        )
+    )
+    bins = perdoc.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").alias("pos_docs"),
+        F.sum("s_q").alias("ssum"),
+    )
+    derived = bins.select(
+        "bin",
+        "n_docs",
+        "pos_docs",
+        F.expr(
+            "CAST(ssum AS DOUBLE)"
+            " / (1000000000.0 * CAST(n_docs AS DOUBLE))"
+        ).alias("mean_score"),
+        F.expr(
+            "CAST(pos_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        ).alias("pos_rate"),
+    ).withColumn(
+        "gap_q",
+        F.expr(
+            "CAST(FLOOR(ABS(mean_score - pos_rate)"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    return derived.select(
+        "bin",
+        "n_docs",
+        "pos_docs",
+        "mean_score",
+        "pos_rate",
+        F.expr("ABS(mean_score - pos_rate)").alias("gap"),
+        F.expr(
+            "CAST(n_docs AS DOUBLE)"
+            " / CAST(SUM(n_docs) OVER () AS DOUBLE)"
+        ).alias("bin_share"),
+        F.expr(
+            "CAST(SUM(gap_q * n_docs) OVER () AS DOUBLE)"
+            " / (1000000000.0 * CAST(SUM(n_docs) OVER () AS DOUBLE))"
+        ).alias("ece"),
+    )

@@ -276,6 +276,11 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # each operator's docstring (bucketed two-pass prefix sums).
     "single_partition": {
         # round-11 continuation
+        "ext_calibration_ece": (
+            "ECE fold: windows over the <= 10-row reliability-bin frame "
+            "(model-sized at any corpus; every cross-row reduction "
+            "upstream is a keyed integer sum)"
+        ),
         "ext_rfm_features": (
             "1-row percentile-boundary fold (O(tasks) partials; the "
             "ext_outlier_clip quantile pattern)"
