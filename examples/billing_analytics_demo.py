@@ -24,6 +24,10 @@ from billing_data_loader_spark.operators.billing_analytics import (
 from billing_data_loader_spark.operators.billing_history import (
     join_point_in_time,
 )
+from billing_data_loader_spark.operators.extras import ext_skyline_dominance
+from billing_data_loader_spark.operators.profiling import (
+    prof_gini_concentration,
+)
 from billing_data_loader_spark.session import get_spark
 
 
@@ -50,6 +54,27 @@ def main(sf_dir: str) -> None:
 
     print("== point-in-time status enrichment (sample) ==")
     join_point_in_time(spark, sf_dir).orderBy("o_orderkey").limit(5).show()
+
+    print("== revenue concentration per segment (Gini + top decile) ==")
+    (
+        prof_gini_concentration(spark, sf_dir)
+        .select(
+            "segment",
+            "n_customers",
+            F.round("gini", 4).alias("gini"),
+            F.round("top_decile_share", 4).alias("top_decile_share"),
+        )
+        .orderBy("segment")
+        .show()
+    )
+
+    print("== skyline accounts (spend/balance Pareto frontier, sample) ==")
+    (
+        ext_skyline_dominance(spark, sf_dir)
+        .orderBy("nation", F.desc("spend_cents"))
+        .limit(8)
+        .show()
+    )
 
 
 if __name__ == "__main__":

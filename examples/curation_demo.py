@@ -26,9 +26,11 @@ from billing_data_loader_spark.operators.curation import (
     ext_seq_pack,
 )
 from billing_data_loader_spark.operators.llm_pipeline import (
+    ext_neardup_incremental,
     ext_neardup_minhash_lsh,
 )
 from billing_data_loader_spark.operators.text_analysis import (
+    ext_calibration_ece,
     ext_quality_score,
 )
 from billing_data_loader_spark.session import get_spark
@@ -59,6 +61,19 @@ def main(sf_dir: str) -> None:
     # 4. pack the survivors into training bins
     print("== packing summary ==")
     ext_seq_pack(spark, sf_dir).orderBy("lang").show()
+
+    # 5. the daily-ingest loop: screen a new batch against the standing
+    # corpus (near-dup index reuse) and read the verdict mix
+    print("== incremental batch screen ==")
+    ext_neardup_incremental(spark, sf_dir).groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("best_jaccard"), 3).alias("avg_jaccard"),
+    ).orderBy("verdict").show()
+
+    # 6. is the cheap keep/drop classifier calibrated? (reliability
+    # diagram + one ECE scalar — read before trusting its scores)
+    print("== classifier calibration audit ==")
+    ext_calibration_ece(spark, sf_dir).orderBy("bin").show()
 
 
 if __name__ == "__main__":

@@ -264,6 +264,37 @@ AUDITED = {
         "(fd, lhs, rhs) with full partial aggregation, and the "
         "majority/rollup stages run on value-domain-sized frames."
     ),
+    "prof_gini_concentration": (
+        "Gini concentration (round 11c): one map-side-combined custkey "
+        "aggregate, then BOTH rank windows and the count ride a single "
+        "segment-keyed exchange (two sorts, one shuffle) into the 5-row "
+        "rollup; rn*x widens to decimal(38,0) before the multiply and "
+        "the final divisions are shared-text IEEE over exact integers."
+    ),
+    "ext_skyline_dominance": (
+        "2-D skyline (round 11c): the quadratic NOT-EXISTS definition "
+        "never appears in the plan — dominance resolves via two window "
+        "functions (running MAX over a RANGE .. 1 PRECEDING frame on "
+        "integer cents + a peer-group MAX) on ONE nation-keyed "
+        "exchange; the nation dim broadcasts and the spend aggregate "
+        "is map-side combined. No self-join, no BNLJ."
+    ),
+    "ext_calibration_ece": (
+        "Calibration ECE (round 11c): the classifier's scan -> explode "
+        "-> one doc-keyed aggregate, a doc-keyed label join, one "
+        "bounded (<= 10 bins) groupBy, then the ECE fold as windows "
+        "over the 10-row frame — the only SinglePartition in the plan "
+        "carries bin rows, never docs (EXPECTED_FLAGS)."
+    ),
+    "ext_neardup_incremental": (
+        "Incremental near-dup (round 11c): the standing corpus "
+        "signature frame is built with ONE shuffle (collect_set + 64 "
+        "parallel min() aggregates — the persisted index in "
+        "production); candidates come from the band-bucket equi-join "
+        "with the BATCH side broadcast, so the corpus band table never "
+        "reshuffles; exact verification joins only O(candidates) rows "
+        "with the batch sets broadcast again."
+    ),
 }
 
 
