@@ -1015,3 +1015,90 @@ def ext_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_sum"),
     )
+
+
+# --- ext_class_balance_resample -------------------------------------------------
+
+#: Salt decorrelating the balancing draw from every other hash-keyed
+#: decision (kfold, train-split, samplers) — the _KFOLD_SALT discipline.
+_CBAL_SALT = ":bdl-classbal-11c"
+
+_CBAL_ORACLE = f"""
+WITH sizes AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before
+  FROM embeddings GROUP BY label
+),
+m AS (SELECT MIN(n_before) AS m FROM sizes),
+ranked AS (
+  SELECT label, vec_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR) || '{_CBAL_SALT}'), vec_id
+         ) AS BIGINT) AS rn
+  FROM embeddings
+)
+SELECT r.label,
+       s.n_before,
+       CAST(SUM(CASE WHEN rn <= m THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(s.n_before
+            - SUM(CASE WHEN rn <= m THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rn <= m THEN vec_id ELSE 0 END) AS BIGINT)
+         AS kept_vecid_sum
+FROM ranked r JOIN sizes s USING (label) CROSS JOIN m
+GROUP BY r.label, s.n_before
+"""
+
+
+@query("ext_class_balance_resample", oracle=_CBAL_ORACLE, tier=3)
+def ext_class_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balancing undersample over the labeled vector
+    table: every label keeps exactly min-class-size rows, chosen by
+    salted-md5 rank within the label — the imbalanced-training fix a
+    classifier-data pipeline derives once and must reproduce bit-for-bit
+    on any engine or cluster size (no RNG; the ext_stratified_kfold /
+    ext_train_split_hash hash-rank discipline, salted so the balancing
+    draw is independent of every other hash-keyed split). The declared
+    output is the per-label audit grid with ``kept_vecid_sum`` binding
+    the EXACT kept membership, not just its size — a sampler that keeps
+    the right COUNT of the wrong rows still breaks the hash.
+
+    Shape: one label-keyed counting aggregate (full map-side combine),
+    the 1-row min fold over the O(labels) size frame broadcast back
+    (EXPECTED_FLAGS), and one label-keyed rank window; the rollup output
+    is O(labels). At 100 TB the per-label rank is the pressure point
+    (10 partitions for the corpus): the two-pass distributed rank
+    (per-partition counts -> prefix offsets, the ext_epoch_shuffle
+    mechanism) is the documented swap, and an approximate variant can
+    bound m by per-label reservoir counts without ranking at all."""
+    e = load(spark, sf_dir, "embeddings")
+    sizes = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    m = sizes.agg(F.min("n_before").alias("m"))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("label").orderBy(
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(_CBAL_SALT))
+            ),
+            F.col("vec_id").asc(),
+        )
+    ).cast("long")
+    ranked = e.select("label", "vec_id", rn.alias("rn"))
+    joined = ranked.join(F.broadcast(sizes), "label").crossJoin(
+        F.broadcast(m)
+    )
+    return joined.groupBy("label", "n_before").agg(
+        F.sum(F.expr("CASE WHEN rn <= m THEN 1 ELSE 0 END")).alias(
+            "n_kept"
+        ),
+        F.expr(
+            "CAST(FIRST(n_before)"
+            " - SUM(CASE WHEN rn <= m THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_dropped"),
+        F.sum(
+            F.expr("CASE WHEN rn <= m THEN vec_id ELSE 0 END")
+        ).alias("kept_vecid_sum"),
+    )

@@ -819,3 +819,119 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.percentile("cents", F.lit(0.5)).over(w).alias("med7"),
     )
+
+
+# --- win_pareto_abc -----------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey AS ck,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sp
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT c_mktsegment AS segment, c_custkey AS cust, COALESCE(sp, 0) AS x
+  FROM customer LEFT JOIN spend ON c_custkey = ck
+),
+ranked AS (
+  SELECT segment, cust, x,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         CAST(SUM(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(x) OVER (PARTITION BY segment) AS BIGINT) AS total
+  FROM base
+  WINDOW w AS (PARTITION BY segment ORDER BY x DESC, cust ASC)
+),
+classed AS (
+  SELECT segment, x, cum, total,
+         CASE WHEN rn = 1 OR 5 * cum <= 4 * total THEN 'A'
+              WHEN 20 * cum <= 19 * total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT segment, abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(x) AS BIGINT) AS class_cents,
+       CAST(SUM(x) AS DOUBLE) / CAST(NULLIF(MAX(total), 0) AS DOUBLE)
+         AS class_share,
+       CAST(MAX(cum) AS DOUBLE) / CAST(NULLIF(MAX(total), 0) AS DOUBLE)
+         AS cum_share_end
+FROM classed
+GROUP BY segment, abc_class
+"""
+
+
+@query("win_pareto_abc", oracle=_ABC_ORACLE, tier=2)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) classification of customers by lifetime spend
+    within each market segment — the inventory-analytics staple applied
+    to accounts: class A = the prefix of the spend-ranked list covering
+    the first 80% of segment revenue, B = to 95%, C = the tail. The
+    per-class rollup (count, revenue, share, cumulative boundary) is the
+    "how many accounts fund this segment" read next to
+    prof_gini_concentration's single inequality score.
+
+    Exactness: membership is decided by INTEGER cross-multiplication
+    (5*cum <= 4*total, 20*cum <= 19*total) on floor-quantized cents, so
+    a boundary account can never flip on a ulp; rank 1 is always A
+    (a dominant account exceeding 80% alone must not leave class A
+    empty); ties rank deterministically by custkey. Classes are rank
+    prefixes by construction (cum is monotone within the segment).
+    Shares are shared-text IEEE divisions over exact integers.
+
+    Shape: one map-side-combined custkey aggregate, then the rank, the
+    running sum and the segment total all ride ONE segment-keyed
+    exchange (one sort), into a <= 15-row rollup. The 5-partition window
+    swap at 100 TB is the two-pass distributed rank + prefix-offset
+    cumsum (the prof_gini_concentration note)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(quantize_long("o_totalprice", 2)).cast("long").alias("sp")
+    )
+    base = (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("cust"),
+        )
+        .join(spend, F.col("cust") == F.col("ck"), "left")
+        .select(
+            "segment",
+            "cust",
+            F.coalesce("sp", F.lit(0).cast("long")).alias("x"),
+        )
+    )
+    w = W.partitionBy("segment").orderBy(F.desc("x"), F.asc("cust"))
+    ranked = base.select(
+        "segment",
+        "x",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("x")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("x").over(W.partitionBy("segment")).alias("total"),
+    )
+    classed = ranked.select(
+        "segment",
+        "x",
+        "cum",
+        "total",
+        F.expr(
+            "CASE WHEN rn = 1 OR 5 * cum <= 4 * total THEN 'A'"
+            " WHEN 20 * cum <= 19 * total THEN 'B'"
+            " ELSE 'C' END"
+        ).alias("abc_class"),
+    )
+    return classed.groupBy("segment", "abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("class_cents"),
+        F.expr(
+            "CAST(SUM(x) AS DOUBLE)"
+            " / CAST(NULLIF(MAX(total), 0) AS DOUBLE)"
+        ).alias("class_share"),
+        F.expr(
+            "CAST(MAX(cum) AS DOUBLE)"
+            " / CAST(NULLIF(MAX(total), 0) AS DOUBLE)"
+        ).alias("cum_share_end"),
+    )

@@ -261,3 +261,93 @@ class TestNeardupIncremental:
         assert verdicts[(1, "duplicate")] > 0
         assert verdicts[(0, "duplicate")] > 0
         assert verdicts[(2, "novel")] > 0
+
+
+class TestParetoAbc:
+    def test_python_replay(self, spark):
+        """Exact integer replay of the 80/95 prefix classification and
+        the per-class rollup."""
+        by_seg: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        for _nation, seg, cust, sp, _bal in _base_points(spark):
+            by_seg[seg].append((sp, cust))
+
+        exp: dict[tuple[str, str], list] = {}
+        for seg, xs in by_seg.items():
+            desc = sorted(xs, key=lambda t: (-t[0], t[1]))
+            total = sum(x for x, _ in desc)
+            cum = 0
+            rollup: dict[str, list] = defaultdict(lambda: [0, 0, 0])
+            for rn, (x, _cust) in enumerate(desc, start=1):
+                cum += x
+                if rn == 1 or 5 * cum <= 4 * total:
+                    cls = "A"
+                elif 20 * cum <= 19 * total:
+                    cls = "B"
+                else:
+                    cls = "C"
+                rollup[cls][0] += 1
+                rollup[cls][1] += x
+                rollup[cls][2] = cum  # monotone: last seen == max
+            for cls, (n, cents, cum_end) in rollup.items():
+                exp[(seg, cls)] = [n, cents, cents / total, cum_end / total]
+
+        got = {
+            (r["segment"], r["abc_class"]): r
+            for r in catalog()["win_pareto_abc"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(exp)
+        for key, (n, cents, share, cum_end) in exp.items():
+            g = got[key]
+            assert g["n_customers"] == n
+            assert g["class_cents"] == cents
+            assert abs(g["class_share"] - share) < 1e-12
+            assert abs(g["cum_share_end"] - cum_end) < 1e-12
+        # per segment: classes partition the customers, shares sum to 1,
+        # and class A is never empty
+        for seg, xs in by_seg.items():
+            seg_rows = [g for (s, _), g in got.items() if s == seg]
+            assert sum(g["n_customers"] for g in seg_rows) == len(xs)
+            assert abs(sum(g["class_share"] for g in seg_rows) - 1.0) < 1e-9
+            assert (seg, "A") in got
+
+
+class TestClassBalanceResample:
+    def test_md5_replay_and_exact_balance(self, spark):
+        """hashlib-md5 replay of the salted per-label rank draw; every
+        label keeps exactly the min class size and the kept-membership
+        checksum binds WHICH rows were kept."""
+        import hashlib
+
+        rows = (
+            load(spark, SF_DIR, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        )
+        by_label: dict[int, list[int]] = defaultdict(list)
+        for r in rows:
+            by_label[r["label"]].append(r["vec_id"])
+        m = min(len(v) for v in by_label.values())
+
+        def h(vid: int) -> str:
+            return hashlib.md5(
+                f"{vid}:bdl-classbal-11c".encode()
+            ).hexdigest()
+
+        exp = {}
+        for label, vids in by_label.items():
+            kept = sorted(vids, key=lambda v: (h(v), v))[:m]
+            exp[label] = (len(vids), m, len(vids) - m, sum(kept))
+
+        got = {
+            r["label"]: r
+            for r in catalog()["ext_class_balance_resample"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(exp)
+        for label, (before, kept_n, dropped, ksum) in exp.items():
+            g = got[label]
+            assert g["n_before"] == before
+            assert g["n_kept"] == kept_n == m
+            assert g["n_dropped"] == dropped
+            assert g["kept_vecid_sum"] == ksum

@@ -286,6 +286,20 @@ AUDITED = {
         "over the 10-row frame — the only SinglePartition in the plan "
         "carries bin rows, never docs (EXPECTED_FLAGS)."
     ),
+    "win_pareto_abc": (
+        "ABC classification (round 11c): rank, running sum and segment "
+        "total all ride ONE segment-keyed exchange (single sort) after "
+        "the map-side-combined custkey aggregate; class membership is "
+        "integer cross-multiplication, and the rollup output is <= 15 "
+        "rows at any corpus size."
+    ),
+    "ext_class_balance_resample": (
+        "Class-balancing undersample (round 11c): one label-keyed "
+        "counting aggregate, the 1-row min fold broadcast back (the "
+        "only SinglePartition/BNLJ, both O(labels)), and one "
+        "label-keyed rank window — the corpus shuffles once for the "
+        "rank, and the audit output is O(labels)."
+    ),
     "ext_neardup_incremental": (
         "Incremental near-dup (round 11c): the standing corpus "
         "signature frame is built with ONE shuffle (collect_set + 64 "
@@ -311,6 +325,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "ECE fold: windows over the <= 10-row reliability-bin frame "
             "(model-sized at any corpus; every cross-row reduction "
             "upstream is a keyed integer sum)"
+        ),
+        "ext_class_balance_resample": (
+            "1-row min fold over the O(labels) size frame (O(tasks) "
+            "partials, never data rows)"
         ),
         "ext_rfm_features": (
             "1-row percentile-boundary fold (O(tasks) partials; the "
@@ -493,6 +511,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
     "bnlj": {
         # round-11 continuation: 1-row crossJoin(broadcast(...)) folds
+        "ext_class_balance_resample": (
+            "1-row min-class-size fold broadcast onto the ranked frame "
+            "(the prof_skew_report scalar-fold pattern)"
+        ),
         "ext_rfm_features": (
             "1-row as-of + 1-row quintile-boundary folds broadcast onto "
             "the user frame (deliberately NOT a global NTILE window)"
