@@ -27,6 +27,7 @@ from billing_data_loader_spark.operators.corpus_hygiene import (
     ext_char_entropy,
 )
 from billing_data_loader_spark.operators.corpus_ops import (
+    ext_class_balance_resample,
     ext_tokenize_to_ids,
     ext_train_split_hash,
 )
@@ -81,6 +82,11 @@ def main(sf_dir: str) -> None:
     sample = ext_sample_weighted(spark, sf_dir)
     print("priority-weighted sample (per-lang top draws):")
     sample.orderBy("lang", "rn").show(8, truncate=False)
+
+    # 6. balance the labeled vector table for classifier training:
+    # every label undersamples to the min class size, deterministically
+    print("class-balanced resample audit:")
+    ext_class_balance_resample(spark, sf_dir).orderBy("label").show()
 
     spark.stop()
 
