@@ -419,3 +419,108 @@ def test_substring_dedup_recovers_any_long_planted_run(spark, tmp_path, case):
     assert len(spans) == 2 and sorted(got) == [1, 2]
     assert got[1] == (p1 + 1, p1 + run_len)
     assert got[2] == (p2 + 1, p2 + run_len)
+
+
+# --- round-11c algebra pins ---------------------------------------------------
+
+_SPENDS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),  # cents
+        st.integers(min_value=0, max_value=10**6),  # tie-break key
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(_SPENDS)
+@settings(max_examples=200, deadline=None)
+def test_gini_rank_identity_equals_mad_definition(xs):
+    """prof_gini_concentration's rank identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending x must
+    equal the mean-absolute-difference definition
+    G = sum_{i,j} |x_i - x_j| / (2*n*sum(x)) on arbitrary non-negative
+    integer inputs — including ties, where the identity's tie-order
+    invariance is the load-bearing claim."""
+    vals = [x for x, _ in xs]
+    total = sum(vals)
+    if total == 0:
+        return  # the operator NULLIF-guards this case
+    n = len(vals)
+    asc = sorted(xs)
+    rank_form = (
+        2.0 * sum((i + 1) * x for i, (x, _) in enumerate(asc))
+        - (n + 1.0) * total
+    ) / (n * float(total))
+    mad_form = sum(
+        abs(a - b) for a in vals for b in vals
+    ) / (2.0 * n * float(total))
+    assert abs(rank_form - mad_form) < 1e-9
+
+
+_POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # spend (small domain
+        st.integers(min_value=-20, max_value=20),  # bal    forces ties)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_POINTS)
+@settings(max_examples=200, deadline=None)
+def test_skyline_sort_scan_identity(points):
+    """ext_skyline_dominance's window algebra — dominated iff the max
+    bal over strictly-higher spends reaches yours OR a same-spend peer
+    strictly beats you — must equal the quadratic strict-dominance
+    definition on arbitrary integer points, ties and duplicates
+    included."""
+    pts = list(enumerate(points))  # (id, (spend, bal)) — ids break ties
+
+    def brute(p):
+        (pid, (sp, bal)) = p
+        return not any(
+            q_sp >= sp and q_bal >= bal and (q_sp > sp or q_bal > bal)
+            for qid, (q_sp, q_bal) in pts
+            if qid != pid
+        )
+
+    def window(p):
+        (pid, (sp, bal)) = p
+        higher = [q_bal for _, (q_sp, q_bal) in pts if q_sp > sp]
+        m_higher = max(higher) if higher else None
+        m_peer = max(
+            q_bal for _, (q_sp, q_bal) in pts if q_sp == sp
+        )
+        dominated = (
+            m_higher is not None and m_higher >= bal
+        ) or m_peer > bal
+        return not dominated
+
+    for p in pts:
+        assert brute(p) == window(p)
+
+
+@given(_SPENDS)
+@settings(max_examples=200, deadline=None)
+def test_pareto_abc_classes_are_rank_prefixes(xs):
+    """win_pareto_abc's integer predicates must always produce classes
+    that are rank prefixes (every A before every B before every C in
+    the cum order), a non-empty A, and a partition of the rows."""
+    desc = sorted(xs, key=lambda t: (-t[0], t[1]))
+    total = sum(x for x, _ in desc)
+    cum = 0
+    seen = []
+    for rn, (x, _) in enumerate(desc, start=1):
+        cum += x
+        if rn == 1 or 5 * cum <= 4 * total:
+            seen.append("A")
+        elif 20 * cum <= 19 * total:
+            seen.append("B")
+        else:
+            seen.append("C")
+    assert seen[0] == "A"
+    assert "".join(seen) == "".join(sorted(seen))  # A* B* C* prefix order
+    assert len(seen) == len(xs)
