@@ -1,0 +1,226 @@
+"""Round-12 pre-build tests (branch r12-new-keys): independent replays
+for the n-gram novelty audit, the confusion matrix, the mutual-information
+profile, the Zipf fit, and monthly churn."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from billing_data_loader_spark.plans.catalog import catalog
+from billing_data_loader_spark.tables import load
+
+from .conftest import SF_DIR
+
+
+def _split_of(doc_id: int) -> str:
+    h = hashlib.md5(f"{doc_id}:bdl-split-7".encode()).hexdigest()[0]
+    if h < "c":
+        return "train"
+    if h < "e":
+        return "val"
+    return "test"
+
+
+def _shingles(text: str) -> list[str]:
+    t = text.split(" ")
+    return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+
+
+class TestNgramNovelty:
+    def test_python_replay(self, spark):
+        docs = (
+            load(spark, SF_DIR, "documents")
+            .select("doc_id", "text", "lang")
+            .collect()
+        )
+        train_types: dict[str, set] = defaultdict(set)
+        val_grams: dict[str, list] = defaultdict(list)
+        for r in docs:
+            s = _split_of(r["doc_id"])
+            if s == "train":
+                train_types[r["lang"]].update(_shingles(r["text"]))
+            elif s == "val":
+                val_grams[r["lang"]].extend(_shingles(r["text"]))
+
+        got = {
+            r["lang"]: r
+            for r in catalog()["ext_ngram_novelty"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == {k for k, v in val_grams.items() if v}
+        for lang, grams in val_grams.items():
+            if not grams:
+                continue
+            novel = [g for g in grams if g not in train_types[lang]]
+            types = set(grams)
+            novel_types = {g for g in types if g not in train_types[lang]}
+            g = got[lang]
+            assert g["n_val_instances"] == len(grams)
+            assert g["n_novel_instances"] == len(novel)
+            assert g["n_val_types"] == len(types)
+            assert g["n_novel_types"] == len(novel_types)
+            assert abs(g["instance_novelty"] - len(novel) / len(grams)) < 1e-12
+            assert abs(g["type_novelty"] - len(novel_types) / len(types)) < 1e-12
+
+
+class TestConfusionMatrix:
+    def test_python_replay(self, spark):
+        cls_rows = (
+            catalog()["ext_quality_classifier"].fn(spark, SF_DIR).collect()
+        )
+        lang = {
+            r["doc_id"]: r["lang"]
+            for r in load(spark, SF_DIR, "documents")
+            .select("doc_id", "lang")
+            .collect()
+        }
+        cells = Counter()
+        for r in cls_rows:
+            cells[(r["w_sum"] > 0, lang[r["doc_id"]] == "en")] += 1
+        tp = cells[(True, True)]
+        fp = cells[(True, False)]
+        fn = cells[(False, True)]
+        tn = cells[(False, False)]
+        total = tp + fp + fn + tn
+
+        got = {
+            (r["pred_keep"], r["actual_en"]): r
+            for r in catalog()["ext_confusion_matrix"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == {k for k, v in cells.items() if v}
+        for key, n in cells.items():
+            if not n:
+                continue
+            g = got[key]
+            assert g["n"] == n
+            assert abs(g["cell_share"] - n / total) < 1e-12
+            assert abs(g["precision_keep"] - tp / (tp + fp)) < 1e-12
+            assert abs(g["recall_keep"] - tp / (tp + fn)) < 1e-12
+            assert abs(g["f1_keep"] - 2 * tp / (2 * tp + fp + fn)) < 1e-12
+            assert abs(g["accuracy"] - (tp + tn) / total) < 1e-12
+
+
+class TestMutualInfo:
+    def test_python_replay_and_bounds(self, spark):
+        docs = (
+            load(spark, SF_DIR, "documents")
+            .select("lang", "source")
+            .collect()
+        )
+        nxy = Counter((r["lang"], r["source"]) for r in docs)
+        nx = Counter(r["lang"] for r in docs)
+        ny = Counter(r["source"] for r in docs)
+        n = len(docs)
+        mi = sum(
+            (c / n) * math.log(n * c / (nx[x] * ny[y]))
+            for (x, y), c in nxy.items()
+        )
+        hx = -sum((c / n) * math.log(c / n) for c in nx.values())
+        hy = -sum((c / n) * math.log(c / n) for c in ny.values())
+
+        rows = catalog()["prof_mutual_info"].fn(spark, SF_DIR).collect()
+        got = {(r["lang"], r["source"]): r for r in rows}
+        assert set(got) == set(nxy)
+        any_row = rows[0]
+        assert abs(any_row["mi"] - mi) < 1e-5
+        assert abs(any_row["h_lang"] - hx) < 1e-5
+        assert abs(any_row["h_source"] - hy) < 1e-5
+        assert abs(any_row["nmi"] - mi / math.sqrt(hx * hy)) < 1e-5
+        # information-theory bounds: 0 <= MI <= min(H); NMI in [0, 1]
+        assert -1e-6 <= any_row["mi"] <= min(hx, hy) + 1e-6
+        assert -1e-6 <= any_row["nmi"] <= 1 + 1e-6
+        for (x, y), c in nxy.items():
+            g = got[(x, y)]
+            assert g["n_xy"] == c
+            assert abs(g["p_xy"] - c / n) < 1e-12
+
+
+class TestZipfFit:
+    def test_numpy_replay(self, spark):
+        import numpy as np
+
+        docs = load(spark, SF_DIR, "documents").select("text").collect()
+        freq = Counter()
+        for r in docs:
+            freq.update(r["text"].split(" "))
+        top = sorted(freq.items(), key=lambda t: (-t[1], t[0]))[:200]
+        # the operator's exact quantized moments
+        lr = np.array(
+            [math.floor(math.log(i + 1) * 1e6 + 0.5) for i in range(len(top))]
+        )
+        lf = np.array(
+            [math.floor(math.log(f) * 1e6 + 0.5) for _, f in top]
+        )
+        nn = len(top)
+        # Python ints: num**2 overflows numpy int64 (the operator computes
+        # the ratio in doubles, exactly as mirrored below)
+        sx, sy = int(lr.sum()), int(lf.sum())
+        sxx = int((lr * lr).sum())
+        sxy = int((lr * lf).sum())
+        syy = int((lf * lf).sum())
+        num, den = nn * sxy - sx * sy, nn * sxx - sx * sx
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / (nn * 1e6)
+        r2 = (float(num) * float(num)) / (
+            float(den) * float(nn * syy - sy * sy)
+        )
+
+        rows = catalog()["ext_zipf_fit"].fn(spark, SF_DIR).collect()
+        assert len(rows) == 20
+        by_rank = {r["rank"]: r for r in rows}
+        for i in range(1, 21):
+            assert by_rank[i]["token"] == top[i - 1][0]
+            assert by_rank[i]["f"] == top[i - 1][1]
+        g = rows[0]
+        assert g["n_fit"] == nn
+        assert abs(g["zipf_slope"] - slope) < 1e-5
+        assert abs(g["intercept_ln"] - intercept) < 1e-5
+        assert abs(g["r2"] - r2) < 1e-5
+        # a frequency-ranked list always fits with negative slope; R2 in [0,1]
+        assert g["zipf_slope"] < 0
+        assert 0.0 <= g["r2"] <= 1.0
+
+
+class TestChurnRate:
+    def test_python_replay_and_identities(self, spark):
+        orders = (
+            load(spark, SF_DIR, "orders")
+            .selectExpr(
+                "o_custkey AS cust",
+                "CAST(EXTRACT(year FROM o_orderdate) * 12"
+                " + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi",
+            )
+            .collect()
+        )
+        active = {(r["cust"], r["mi"]) for r in orders}
+        months = defaultdict(set)
+        first = {}
+        for cust, mi in active:
+            months[mi].add(cust)
+            if cust not in first or mi < first[cust]:
+                first[cust] = mi
+        max_mi = max(months)
+
+        got = {
+            r["month_idx"]: r
+            for r in catalog()["bill_churn_rate"].fn(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(months)
+        total_new = 0
+        for mi, custs in months.items():
+            retained = sum(1 for c in custs if (c, mi + 1) in active)
+            new = sum(1 for c in custs if first[c] == mi)
+            g = got[mi]
+            assert g["n_active"] == len(custs)
+            assert g["n_retained"] == retained
+            assert g["n_churned"] == len(custs) - retained
+            assert g["n_new"] == new
+            assert g["n_retained"] + g["n_churned"] == g["n_active"]
+            assert g["is_censored"] == (mi == max_mi)
+            assert abs(g["retention_rate"] - retained / len(custs)) < 1e-12
+            total_new += new
+        # every customer is new exactly once
+        assert total_new == len(first)
