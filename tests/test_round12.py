@@ -224,3 +224,63 @@ class TestChurnRate:
             total_new += new
         # every customer is new exactly once
         assert total_new == len(first)
+
+
+class TestCsvMultiline:
+    def test_roundtrip_identity(self, spark):
+        """The multiline CSV round trip must reconstruct every column of
+        every row bit-for-bit (a shredded quoted record breaks ids,
+        counts or values)."""
+        orig = {
+            r["doc_id"]: (r["lang"], r["text"], r["source"])
+            for r in load(spark, SF_DIR, "documents")
+            .select("doc_id", "lang", "text", "source")
+            .collect()
+        }
+        got = {
+            r["doc_id"]: (r["lang"], r["text"], r["source"])
+            for r in catalog()["scan_csv_multiline"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert got == orig
+
+
+class TestReachCurve:
+    def test_python_replay_and_identities(self, spark):
+        events = (
+            load(spark, SF_DIR, "events")
+            .selectExpr(
+                "user_id",
+                "CAST(unix_micros(ts) DIV 86400000000 AS BIGINT) AS d",
+            )
+            .collect()
+        )
+        act = {(r["user_id"], r["d"]) for r in events}
+        first = {}
+        days = defaultdict(set)
+        for u, d in act:
+            days[d].add(u)
+            if u not in first or d < first[u]:
+                first[u] = d
+        n_users = len(first)
+
+        rows = sorted(
+            catalog()["ts_reach_curve"].fn(spark, SF_DIR).collect(),
+            key=lambda r: r["day_idx"],
+        )
+        assert [r["day_idx"] for r in rows] == sorted(days)
+        cum = 0
+        for r in rows:
+            d = r["day_idx"]
+            new = sum(1 for u in days[d] if first[u] == d)
+            cum += new
+            assert r["n_active_users"] == len(days[d])
+            assert r["n_new_users"] == new
+            assert r["cum_users"] == cum
+            assert abs(r["reach_share"] - cum / n_users) < 1e-12
+            # reach is monotone and active <= cumulative reach
+            assert r["n_active_users"] <= r["cum_users"]
+        # the curve ends at the full audience
+        assert rows[-1]["cum_users"] == n_users
+        assert abs(rows[-1]["reach_share"] - 1.0) < 1e-12

@@ -337,6 +337,11 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row max-month horizon fold (O(tasks) partials, never "
             "data rows)"
         ),
+        "ts_reach_curve": (
+            "cumulative window + 1-row audience fold over the O(days) "
+            "daily frame (the ts_cusum_changepoint two-pass swap "
+            "applies)"
+        ),
         # round-11 continuation
         "ext_calibration_ece": (
             "ECE fold: windows over the <= 10-row reliability-bin frame "
@@ -543,6 +548,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "bill_churn_rate": (
             "1-row max-month horizon fold broadcast onto the activity "
             "frame (right-censor flag)"
+        ),
+        "ts_reach_curve": (
+            "1-row total-audience fold broadcast onto the O(days) "
+            "daily frame"
         ),
         # round-11 continuation: 1-row crossJoin(broadcast(...)) folds
         "ext_class_balance_resample": (
