@@ -770,3 +770,82 @@ def bill_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mi") == F.col("max_mi")).alias("is_censored"),
         )
     )
+
+
+# --- bill_return_rate_monthly ---------------------------------------------------
+
+_RETRATE_ORACLE = """
+WITH li AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+         (l_returnflag = 'R') AS returned,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS price_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT mi AS month_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(price_cents) AS BIGINT) AS gross_cents,
+       CAST(SUM(CASE WHEN returned THEN price_cents ELSE 0 END) AS BIGINT)
+         AS returned_cents,
+       CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS return_rate_items,
+       CAST(SUM(CASE WHEN returned THEN price_cents ELSE 0 END) AS DOUBLE)
+         / CAST(NULLIF(SUM(price_cents), 0) AS DOUBLE)
+         AS return_rate_value
+FROM li
+GROUP BY mi
+"""
+
+
+@query("bill_return_rate_monthly", oracle=_RETRATE_ORACLE, tier=2)
+def bill_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate by item count AND by value — the
+    revenue-quality metric finance reads next to the churn panel (a
+    value rate far above the item rate means the EXPENSIVE items are
+    the ones coming back): lineitems attribute to their order's month,
+    returned = the 'R' return flag, and both rates are exact-count /
+    exact-cent ratios.
+
+    Exactness: the month key is the integer year*12+month index (the
+    bill_churn_rate discipline); prices floor-quantize to integer
+    cents; the two rates are shared-text IEEE divisions, NULLIF-guarded.
+
+    Shape: the lineitem-orders join is the fact-to-fact equi-join on
+    the order key (co-partitioned at 100 TB via the join_bucketed
+    layout); the rollup key space is the calendar with full map-side
+    combine — partial aggregation collapses essentially everything
+    before the one exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr(
+            "CAST(EXTRACT(year FROM o_orderdate) * 12"
+            " + EXTRACT(month FROM o_orderdate) AS BIGINT)"
+        ).alias("mi"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+        quantize_long("l_extendedprice", 2).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return j.groupBy(F.col("mi").alias("month_idx")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.expr("CASE WHEN returned THEN 1 ELSE 0 END")).alias(
+            "n_returned"
+        ),
+        F.sum("price_cents").alias("gross_cents"),
+        F.sum(
+            F.expr("CASE WHEN returned THEN price_cents ELSE 0 END")
+        ).alias("returned_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("return_rate_items"),
+        F.expr(
+            "CAST(SUM(CASE WHEN returned THEN price_cents ELSE 0 END)"
+            " AS DOUBLE)"
+            " / CAST(NULLIF(SUM(price_cents), 0) AS DOUBLE)"
+        ).alias("return_rate_value"),
+    )

@@ -1562,3 +1562,150 @@ def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_fit"),
         )
     )
+
+
+# --- prof_heaps_law -------------------------------------------------------------
+
+#: Checkpoint stride (every k-th doc in doc_id order) and the 1e-6 ln
+#: quantization shared with ext_zipf_fit (same int64 bounds argument).
+_HEAPS_STRIDE = 25
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+),
+firsts AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+),
+curve AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.n_tok) OVER (
+           ORDER BY c.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(COALESCE(f.n_new, 0)) OVER (
+           ORDER BY c.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_vocab
+  FROM counted c
+  LEFT JOIN (
+    SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY first_doc
+  ) f ON f.first_doc = c.doc_id
+),
+pts AS (
+  SELECT doc_id, cum_tokens, cum_vocab,
+         CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS lx,
+         CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS ly
+  FROM curve WHERE doc_id % {_HEAPS_STRIDE} = 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT p.doc_id, p.cum_tokens, p.cum_vocab,
+       round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6)
+         AS heaps_beta,
+       round((CAST(m.sy AS DOUBLE)
+              - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+                * CAST(m.sx AS DOUBLE))
+             / (CAST(m.n AS DOUBLE) * 1e6), 6) AS ln_k,
+       m.n AS n_checkpoints
+FROM pts p CROSS JOIN m
+"""
+
+
+@query("prof_heaps_law", oracle=_HEAPS_ORACLE, tier=3)
+def prof_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: distinct-type count V vs
+    cumulative token count N sampled at every 25th document in doc_id
+    order, with the OLS fit of ln V on ln N (V ≈ k·N^beta; natural text
+    sits around beta 0.4-0.6, a template corpus saturates early and a
+    boilerplate-free crawl stays near-linear) — the companion read to
+    ext_zipf_fit for corpus-health review, and the capacity planner's
+    estimate of how the token vocabulary (and any vocab-keyed state)
+    grows with another 10x of corpus.
+
+    Exactness: the growth curve uses the first-seen identity
+    (ts_reach_curve: cumulative distinct == cumsum of first-occurrence
+    counts — one scan, never a per-checkpoint distinct); both ln values
+    quantize to the 1e-6 grid (ext_zipf_fit's int64 bounds argument), so
+    the OLS moments divide bit-identical integers.
+
+    Shape: one token explode feeding two keyed aggregates (per-doc
+    token counts; per-token first doc), then everything runs on the
+    O(docs) curve frame — the cumulative windows and the 1-row moment
+    fold are EXPECTED_FLAGS model-sized (two-pass prefix-sum swap
+    documented at ts_cusum_changepoint)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counted = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    news = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    curve = counted.join(
+        news, counted.doc_id == news.first_doc, "left"
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(SUM(n_tok) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS BIGINT)"
+        ).alias("cum_tokens"),
+        F.expr(
+            "CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS BIGINT)"
+        ).alias("cum_vocab"),
+    )
+    pts = curve.filter(F.col("doc_id") % _HEAPS_STRIDE == 0).select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.expr(
+            "CAST(FLOOR(ln(CAST(cum_tokens AS DOUBLE)) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("ly"),
+    )
+    pts = scoped_persist(pts)
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+    )
+    return pts.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.expr(
+            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE), 6)"
+        ).alias("heaps_beta"),
+        F.expr(
+            "round((CAST(sy AS DOUBLE)"
+            " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * CAST(sx AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * 1e6), 6)"
+        ).alias("ln_k"),
+        F.col("n").alias("n_checkpoints"),
+    )

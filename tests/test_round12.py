@@ -284,3 +284,90 @@ class TestReachCurve:
         # the curve ends at the full audience
         assert rows[-1]["cum_users"] == n_users
         assert abs(rows[-1]["reach_share"] - 1.0) < 1e-12
+
+
+class TestHeapsLaw:
+    def test_python_replay(self, spark):
+        docs = sorted(
+            load(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
+        seen: set = set()
+        cum_tok = 0
+        pts = []
+        for r in docs:
+            toks = r["text"].split(" ")
+            cum_tok += len(toks)
+            seen.update(toks)
+            if r["doc_id"] % 25 == 0:
+                pts.append((r["doc_id"], cum_tok, len(seen)))
+        lx = [math.floor(math.log(t) * 1e6 + 0.5) for _, t, _ in pts]
+        ly = [math.floor(math.log(v) * 1e6 + 0.5) for _, _, v in pts]
+        n = len(pts)
+        sx, sy = sum(lx), sum(ly)
+        sxx = sum(a * a for a in lx)
+        sxy = sum(a * b for a, b in zip(lx, ly))
+        beta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        ln_k = (float(sy) - beta * float(sx)) / (n * 1e6)
+
+        rows = catalog()["prof_heaps_law"].fn(spark, SF_DIR).collect()
+        got = {r["doc_id"]: r for r in rows}
+        assert set(got) == {d for d, _, _ in pts}
+        for d, t, v in pts:
+            g = got[d]
+            assert g["cum_tokens"] == t
+            assert g["cum_vocab"] == v
+            assert g["n_checkpoints"] == n
+            assert abs(g["heaps_beta"] - beta) < 1e-5
+            assert abs(g["ln_k"] - ln_k) < 1e-5
+        # sublinear growth: 0 < beta < 1 on any natural-ish corpus
+        assert 0.0 < rows[0]["heaps_beta"] < 1.0
+
+
+class TestReturnRate:
+    def test_python_replay_and_identities(self, spark):
+        li = (
+            load(spark, SF_DIR, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_extendedprice")
+            .collect()
+        )
+        omonth = {
+            r["o_orderkey"]: r["mi"]
+            for r in load(spark, SF_DIR, "orders")
+            .selectExpr(
+                "o_orderkey",
+                "CAST(EXTRACT(year FROM o_orderdate) * 12"
+                " + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi",
+            )
+            .collect()
+        }
+        agg = defaultdict(lambda: [0, 0, 0, 0])
+        for r in li:
+            mi = omonth[r["l_orderkey"]]
+            cents = math.floor(r["l_extendedprice"] * 100.0 + 0.5)
+            ret = r["l_returnflag"] == "R"
+            a = agg[mi]
+            a[0] += 1
+            a[1] += 1 if ret else 0
+            a[2] += cents
+            a[3] += cents if ret else 0
+
+        got = {
+            r["month_idx"]: r
+            for r in catalog()["bill_return_rate_monthly"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(agg)
+        for mi, (n, nr, gross, retc) in agg.items():
+            g = got[mi]
+            assert g["n_lineitems"] == n
+            assert g["n_returned"] == nr
+            assert g["gross_cents"] == gross
+            assert g["returned_cents"] == retc
+            assert abs(g["return_rate_items"] - nr / n) < 1e-12
+            assert abs(g["return_rate_value"] - retc / gross) < 1e-12
+            # returned value can never exceed gross
+            assert 0 <= g["returned_cents"] <= g["gross_cents"]

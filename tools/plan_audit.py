@@ -342,6 +342,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "daily frame (the ts_cusum_changepoint two-pass swap "
             "applies)"
         ),
+        "prof_heaps_law": (
+            "cumulative growth windows + 1-row moment fold over the "
+            "O(docs) curve frame (two-pass prefix-sum swap documented)"
+        ),
         # round-11 continuation
         "ext_calibration_ece": (
             "ECE fold: windows over the <= 10-row reliability-bin frame "
@@ -552,6 +556,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ts_reach_curve": (
             "1-row total-audience fold broadcast onto the O(days) "
             "daily frame"
+        ),
+        "prof_heaps_law": (
+            "1-row OLS moment fold broadcast onto the O(docs/25) "
+            "checkpoint frame"
         ),
         # round-11 continuation: 1-row crossJoin(broadcast(...)) folds
         "ext_class_balance_resample": (
