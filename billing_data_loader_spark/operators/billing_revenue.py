@@ -640,3 +640,212 @@ def bill_usage_commitment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("users_over_commit"),
         F.sum("expired_units").alias("expired_units"),
     )
+
+
+# --- bill_churn_rate ------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT o_custkey AS cust,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi
+  FROM orders
+),
+firsts AS (SELECT cust, MIN(mi) AS first_mi FROM active GROUP BY cust),
+horizon AS (SELECT MAX(mi) AS max_mi FROM active),
+marked AS (
+  SELECT a.cust, a.mi,
+         (n.cust IS NOT NULL) AS retained,
+         (f.first_mi = a.mi) AS is_new
+  FROM active a
+  LEFT JOIN active n ON a.cust = n.cust AND n.mi = a.mi + 1
+  JOIN firsts f ON a.cust = f.cust
+)
+SELECT m.mi AS month_idx,
+       CAST(m.mi // 12 AS BIGINT) AS year,
+       CAST(m.mi % 12 AS BIGINT) AS month0,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN m.retained THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN m.retained THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_churned,
+       CAST(SUM(CASE WHEN m.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN m.retained THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS retention_rate,
+       CAST(SUM(CASE WHEN m.retained THEN 0 ELSE 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS churn_rate,
+       (m.mi = h.max_mi) AS is_censored
+FROM marked m CROSS JOIN horizon h
+GROUP BY m.mi, h.max_mi
+"""
+
+
+@query("bill_churn_rate", oracle=_CHURN_ORACLE, tier=2)
+def bill_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly customer churn / retention / acquisition over the order
+    stream — the subscription-health trio finance tracks month over
+    month: a customer active in month m is RETAINED if they order again
+    in m+1, CHURNED otherwise, and NEW if m is their first-ever active
+    month. The final data month is flagged ``is_censored`` rather than
+    silently reported as total churn (no m+1 exists to observe — the
+    bill_dso_fifo right-censoring stance).
+
+    Exactness: the month key is the integer year*12+month index (exact
+    calendar arithmetic, no date formatting or timezone surface), every
+    count is exact, and the two rates are shared-text IEEE divisions.
+
+    Shape: one distinct over (cust, month) collapses the stream (the
+    only data-sized exchange — activity grain, not order grain); the
+    adjacency test is a cust-keyed equi self-join on mi+1 (co-keyed,
+    hash join, never a band BNLJ); first-month is one cust-keyed MIN;
+    the rollup key space is the calendar and the horizon fold is 1-row
+    (EXPECTED_FLAGS)."""
+    o = load(spark, sf_dir, "orders")
+    active = (
+        o.select(
+            F.col("o_custkey").alias("cust"),
+            F.expr(
+                "CAST(EXTRACT(year FROM o_orderdate) * 12"
+                " + EXTRACT(month FROM o_orderdate) AS BIGINT)"
+            ).alias("mi"),
+        )
+        .distinct()
+    )
+    from ..session import scoped_persist
+
+    active = scoped_persist(active)
+    firsts = active.groupBy("cust").agg(F.min("mi").alias("first_mi"))
+    horizon = active.agg(F.max("mi").alias("max_mi"))
+    nxt = active.select(
+        F.col("cust").alias("n_cust"), F.col("mi").alias("n_mi")
+    )
+    marked = (
+        active.join(
+            nxt,
+            (F.col("cust") == F.col("n_cust"))
+            & (F.col("n_mi") == F.col("mi") + 1),
+            "left",
+        )
+        .join(firsts, "cust")
+        .select(
+            "cust",
+            "mi",
+            F.col("n_cust").isNotNull().alias("retained"),
+            (F.col("first_mi") == F.col("mi")).alias("is_new"),
+        )
+    )
+    return (
+        marked.crossJoin(F.broadcast(horizon))
+        .groupBy("mi", "max_mi")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.expr("CASE WHEN retained THEN 1 ELSE 0 END")).alias(
+                "n_retained"
+            ),
+            F.sum(F.expr("CASE WHEN retained THEN 0 ELSE 1 END")).alias(
+                "n_churned"
+            ),
+            F.sum(F.expr("CASE WHEN is_new THEN 1 ELSE 0 END")).alias(
+                "n_new"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE)"
+            ).alias("retention_rate"),
+            F.expr(
+                "CAST(SUM(CASE WHEN retained THEN 0 ELSE 1 END) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE)"
+            ).alias("churn_rate"),
+        )
+        .select(
+            F.col("mi").alias("month_idx"),
+            F.expr("CAST(mi DIV 12 AS BIGINT)").alias("year"),
+            F.expr("CAST(mi % 12 AS BIGINT)").alias("month0"),
+            "n_active",
+            "n_retained",
+            "n_churned",
+            "n_new",
+            "retention_rate",
+            "churn_rate",
+            (F.col("mi") == F.col("max_mi")).alias("is_censored"),
+        )
+    )
+
+
+# --- bill_return_rate_monthly ---------------------------------------------------
+
+_RETRATE_ORACLE = """
+WITH li AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+         (l_returnflag = 'R') AS returned,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS price_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT mi AS month_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(price_cents) AS BIGINT) AS gross_cents,
+       CAST(SUM(CASE WHEN returned THEN price_cents ELSE 0 END) AS BIGINT)
+         AS returned_cents,
+       CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS return_rate_items,
+       CAST(SUM(CASE WHEN returned THEN price_cents ELSE 0 END) AS DOUBLE)
+         / CAST(NULLIF(SUM(price_cents), 0) AS DOUBLE)
+         AS return_rate_value
+FROM li
+GROUP BY mi
+"""
+
+
+@query("bill_return_rate_monthly", oracle=_RETRATE_ORACLE, tier=2)
+def bill_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return rate by item count AND by value — the
+    revenue-quality metric finance reads next to the churn panel (a
+    value rate far above the item rate means the EXPENSIVE items are
+    the ones coming back): lineitems attribute to their order's month,
+    returned = the 'R' return flag, and both rates are exact-count /
+    exact-cent ratios.
+
+    Exactness: the month key is the integer year*12+month index (the
+    bill_churn_rate discipline); prices floor-quantize to integer
+    cents; the two rates are shared-text IEEE divisions, NULLIF-guarded.
+
+    Shape: the lineitem-orders join is the fact-to-fact equi-join on
+    the order key (co-partitioned at 100 TB via the join_bucketed
+    layout); the rollup key space is the calendar with full map-side
+    combine — partial aggregation collapses essentially everything
+    before the one exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr(
+            "CAST(EXTRACT(year FROM o_orderdate) * 12"
+            " + EXTRACT(month FROM o_orderdate) AS BIGINT)"
+        ).alias("mi"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+        quantize_long("l_extendedprice", 2).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    return j.groupBy(F.col("mi").alias("month_idx")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.expr("CASE WHEN returned THEN 1 ELSE 0 END")).alias(
+            "n_returned"
+        ),
+        F.sum("price_cents").alias("gross_cents"),
+        F.sum(
+            F.expr("CASE WHEN returned THEN price_cents ELSE 0 END")
+        ).alias("returned_cents"),
+        F.expr(
+            "CAST(SUM(CASE WHEN returned THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("return_rate_items"),
+        F.expr(
+            "CAST(SUM(CASE WHEN returned THEN price_cents ELSE 0 END)"
+            " AS DOUBLE)"
+            " / CAST(NULLIF(SUM(price_cents), 0) AS DOUBLE)"
+        ).alias("return_rate_value"),
+    )

@@ -1102,3 +1102,127 @@ def ext_class_balance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN rn <= m THEN vec_id ELSE 0 END")
         ).alias("kept_vecid_sum"),
     )
+
+
+# --- ext_ngram_novelty ----------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH assigned AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN substr(h, 1, 1) < 'c' THEN 'train'
+              WHEN substr(h, 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, lang, text,
+           md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}') AS h
+    FROM documents
+  )
+),
+toks AS (
+  SELECT doc_id, lang, split, string_split(text, ' ') AS t FROM assigned
+),
+gram AS (
+  SELECT doc_id, lang, split,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS g
+  FROM toks
+),
+train_types AS (
+  SELECT DISTINCT lang, g FROM gram WHERE split = 'train'
+),
+val_marked AS (
+  SELECT v.lang, v.g, (t.g IS NULL) AS novel
+  FROM (SELECT lang, g FROM gram WHERE split = 'val') v
+  LEFT JOIN train_types t ON v.lang = t.lang AND v.g = t.g
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_val_instances,
+       CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_instances,
+       CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS instance_novelty,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_val_types,
+       CAST(COUNT(DISTINCT CASE WHEN novel THEN g END) AS BIGINT)
+         AS n_novel_types,
+       CAST(COUNT(DISTINCT CASE WHEN novel THEN g END) AS DOUBLE)
+         / CAST(COUNT(DISTINCT g) AS DOUBLE) AS type_novelty
+FROM val_marked
+GROUP BY lang
+"""
+
+
+@query("ext_ngram_novelty", oracle=_NOVELTY_ORACLE, tier=3)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty: the fraction of the val split's 3-gram
+    instances (and distinct types) NEVER seen in the train split, per
+    language — the generalization/memorization audit run before trusting
+    held-out perplexity (a val set whose grams are all in train measures
+    memorization, not generalization; conversely near-total novelty
+    flags a broken split or domain shift). Composes the
+    ext_train_split_hash assignment (same salt, re-derived map-side) so
+    the audit binds to the EXACT split training will use.
+
+    Shape: one scan explodes grams with the split CASE attached
+    map-side; the train TYPE set is one distinct (gram-keyed shuffle of
+    the train slice), and val instances mark novelty via one
+    (lang, gram)-keyed left join — at 100 TB both sides of that join
+    are gram-hash-partitioned and co-keyed, and the output is one row
+    per language. The two COUNT(DISTINCT) ride the same lang-keyed
+    final aggregate. Exact integer counts; the two rates are
+    shared-text IEEE divisions."""
+    d = load(spark, sf_dir, "documents")
+    first = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))),
+        1,
+        1,
+    )
+    split = (
+        F.when(first < "c", "train").when(first < "e", "val").otherwise("test")
+    )
+    toks = d.select(
+        split.alias("split"), "lang", F.split("text", " ").alias("t")
+    ).filter(F.col("split").isin("train", "val"))
+    gram = toks.select(
+        "split",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN "
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    train_types = (
+        gram.filter(F.col("split") == "train").select("lang", "g").distinct()
+    )
+    val_marked = (
+        gram.filter(F.col("split") == "val")
+        .select("lang", "g")
+        .join(
+            train_types.withColumn("seen", F.lit(1)),
+            ["lang", "g"],
+            "left",
+        )
+        .select("lang", "g", F.col("seen").isNull().alias("novel"))
+    )
+    return val_marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_val_instances"),
+        F.sum(F.expr("CASE WHEN novel THEN 1 ELSE 0 END")).alias(
+            "n_novel_instances"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("instance_novelty"),
+        F.countDistinct("g").alias("n_val_types"),
+        F.countDistinct(
+            F.expr("CASE WHEN novel THEN g END")
+        ).alias("n_novel_types"),
+        F.expr(
+            "CAST(COUNT(DISTINCT CASE WHEN novel THEN g END) AS DOUBLE)"
+            " / CAST(COUNT(DISTINCT g) AS DOUBLE)"
+        ).alias("type_novelty"),
+    )

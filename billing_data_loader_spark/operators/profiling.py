@@ -816,3 +816,133 @@ def prof_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(NULLIF(total_cents, 0) AS DOUBLE)"
         ).alias("top_decile_share"),
     )
+
+
+# --- prof_mutual_info -----------------------------------------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM documents GROUP BY lang, source
+),
+mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY lang),
+my AS (
+  SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+terms AS (
+  SELECT c.lang, c.source, c.n_xy, mx.n_x, my.n_y, tot.n,
+         (CAST(c.n_xy AS DOUBLE) / CAST(tot.n AS DOUBLE))
+           * ln((CAST(tot.n AS DOUBLE) * CAST(c.n_xy AS DOUBLE))
+                / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+           AS term
+  FROM cells c
+  JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot
+),
+ents AS (
+  SELECT
+    -SUM(DISTINCT_TERM_X) AS h_x, -SUM(DISTINCT_TERM_Y) AS h_y
+  FROM (
+    SELECT DISTINCT lang, NULL AS source,
+           (CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+             AS DISTINCT_TERM_X,
+           0.0 AS DISTINCT_TERM_Y
+    FROM terms
+    UNION ALL
+    SELECT DISTINCT NULL AS lang, source, 0.0,
+           (CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+    FROM terms
+  )
+)
+SELECT t.lang, t.source, t.n_xy,
+       CAST(t.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE) AS p_xy,
+       round(t.term, 6) AS mi_term,
+       round(s.mi, 6) AS mi,
+       round(e.h_x, 6) AS h_lang,
+       round(e.h_y, 6) AS h_source,
+       round(s.mi / sqrt(e.h_x * e.h_y), 6) AS nmi
+FROM terms t
+CROSS JOIN (SELECT SUM(term) AS mi FROM terms) s
+CROSS JOIN ents e
+"""
+
+
+@query("prof_mutual_info", oracle=_MI_ORACLE, tier=2)
+def prof_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (lang x
+    source) plus both marginal entropies and the normalized MI — the
+    dependence screen a profiler runs before assuming two dimensions
+    are independent (near-zero NMI says source composition is the same
+    in every language; high NMI says per-language source skew and any
+    stratified sampler must key on BOTH). The skip-gram PMI key
+    (ext_cooccurrence_pmi) scores token pairs; this scores METADATA
+    columns, cell by cell, with the aggregate MI readable off any row.
+
+    Exactness: all counts are exact integers; each cell's MI term is
+    built from shared-text IEEE divisions and ONE ln over bit-identical
+    operands, summed over the <= |langs|x|sources| model-sized frame and
+    rounded to 6dp AFTER the sum (the prof_entropy_profile discipline:
+    the cross-row double sum's ~1e-12 order noise sits far inside the
+    1e-6 quantum). Observed cells only — absent cells contribute
+    0*ln(0) = 0 by convention and never materialize.
+
+    Shape: ONE (lang, source) counting aggregate is the only data-sized
+    exchange; marginals, the MI fold and the entropy folds all run on
+    the <= 100-row cell frame (EXPECTED_FLAGS 1-row folds)."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    mx = cells.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = cells.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").alias("n"))
+    terms = (
+        cells.join(mx, "lang")
+        .join(my, "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            F.expr(
+                "(CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * ln((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))"
+                " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))"
+            ),
+        )
+    )
+    mi = terms.agg(F.sum("term").alias("mi"))
+    h_x = (
+        terms.select("lang", "n_x", "n").distinct().agg(
+            F.expr(
+                "-SUM((CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE)))"
+            ).alias("h_x")
+        )
+    )
+    h_y = (
+        terms.select("source", "n_y", "n").distinct().agg(
+            F.expr(
+                "-SUM((CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)))"
+            ).alias("h_y")
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(h_x))
+        .crossJoin(F.broadcast(h_y))
+        .select(
+            "lang",
+            "source",
+            "n_xy",
+            F.expr("CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)").alias(
+                "p_xy"
+            ),
+            F.round("term", 6).alias("mi_term"),
+            F.round("mi", 6).alias("mi"),
+            F.round("h_x", 6).alias("h_lang"),
+            F.round("h_y", 6).alias("h_source"),
+            F.expr("round(mi / sqrt(h_x * h_y), 6)").alias("nmi"),
+        )
+    )

@@ -1282,3 +1282,430 @@ def ext_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (1000000000.0 * CAST(SUM(n_docs) OVER () AS DOUBLE))"
         ).alias("ece"),
     )
+
+
+# --- ext_confusion_matrix -------------------------------------------------------
+
+_CONF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT % {_QCLS_BUCKETS}
+           AS bucket
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM((bucket * {_QCLS_KNUTH}) % 2001 - 1000) AS BIGINT)
+           AS w_sum
+  FROM feat GROUP BY doc_id
+),
+cells AS (
+  SELECT (w_sum > 0) AS pred_keep, lang = 'en' AS actual_en,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM scored JOIN documents USING (doc_id)
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN pred_keep AND actual_en THEN n ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN pred_keep AND NOT actual_en THEN n ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT pred_keep AND actual_en THEN n ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT pred_keep AND NOT actual_en THEN n ELSE 0 END)
+         AS BIGINT) AS tn,
+    CAST(SUM(n) AS BIGINT) AS total
+  FROM cells
+)
+SELECT c.pred_keep, c.actual_en, c.n,
+       CAST(c.n AS DOUBLE) / CAST(m.total AS DOUBLE) AS cell_share,
+       CAST(m.tp AS DOUBLE)
+         / CAST(NULLIF(m.tp + m.fp, 0) AS DOUBLE) AS precision_keep,
+       CAST(m.tp AS DOUBLE)
+         / CAST(NULLIF(m.tp + m.fn, 0) AS DOUBLE) AS recall_keep,
+       CAST(2 * m.tp AS DOUBLE)
+         / CAST(NULLIF(2 * m.tp + m.fp + m.fn, 0) AS DOUBLE) AS f1_keep,
+       CAST(m.tp + m.tn AS DOUBLE) / CAST(m.total AS DOUBLE) AS accuracy
+FROM cells c CROSS JOIN m
+"""
+
+
+@query("ext_confusion_matrix", oracle=_CONF_ORACLE, tier=3)
+def ext_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy for
+    ``ext_quality_classifier`` against the deterministic gold label (doc
+    is English) — the discrimination half of the classifier audit next
+    to ``ext_calibration_ece``'s calibration half (a filter can be sharp
+    but miscalibrated, or calibrated but useless; a pipeline owner reads
+    both before wiring the keep decision into curation). Emits the 2x2
+    grid with the derived metrics as constant columns so every number a
+    model card quotes reads off one frame.
+
+    Exactness: the keep decision compares the INTEGER weight sum against
+    zero (the classifier's own decision path — no float anywhere in cell
+    membership); cell counts are exact; every metric is one shared-text
+    IEEE division over exact integers, NULLIF-guarded for degenerate
+    corpora. F1 uses the 2tp/(2tp+fp+fn) form — one division, no
+    compounding of two already-divided doubles.
+
+    Shape: the classifier's scan -> explode -> one doc-keyed aggregate,
+    a doc-keyed label join, a <= 4-row cell aggregate, and the 1-row
+    metric fold cross-joined back (EXPECTED_FLAGS: both O(cells), never
+    docs)."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("actual_en")
+    )
+    cells = (
+        ext_quality_classifier(spark, sf_dir)
+        .join(lab, "doc_id")
+        .groupBy("pred_keep", "actual_en")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = cells.agg(
+        F.sum(
+            F.expr("CASE WHEN pred_keep AND actual_en THEN n ELSE 0 END")
+        ).alias("tp"),
+        F.sum(
+            F.expr(
+                "CASE WHEN pred_keep AND NOT actual_en THEN n ELSE 0 END"
+            )
+        ).alias("fp"),
+        F.sum(
+            F.expr(
+                "CASE WHEN NOT pred_keep AND actual_en THEN n ELSE 0 END"
+            )
+        ).alias("fn"),
+        F.sum(
+            F.expr(
+                "CASE WHEN NOT pred_keep AND NOT actual_en"
+                " THEN n ELSE 0 END"
+            )
+        ).alias("tn"),
+        F.sum("n").alias("total"),
+    )
+    return cells.crossJoin(F.broadcast(m)).select(
+        "pred_keep",
+        "actual_en",
+        "n",
+        F.expr("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)").alias(
+            "cell_share"
+        ),
+        F.expr(
+            "CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fp, 0) AS DOUBLE)"
+        ).alias("precision_keep"),
+        F.expr(
+            "CAST(tp AS DOUBLE) / CAST(NULLIF(tp + fn, 0) AS DOUBLE)"
+        ).alias("recall_keep"),
+        F.expr(
+            "CAST(2 * tp AS DOUBLE)"
+            " / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE)"
+        ).alias("f1_keep"),
+        F.expr(
+            "CAST(tp + tn AS DOUBLE) / CAST(total AS DOUBLE)"
+        ).alias("accuracy"),
+    )
+
+
+# --- ext_zipf_fit ---------------------------------------------------------------
+
+#: Fit window and display cut. ln values quantize to a 1e-6 grid so every
+#: moment is an exact BIGINT (max |term| ~5.3e6, squares ~2.8e13, sums
+#: ~5.6e15, cross products ~2.2e18 — all inside int64), and the closed
+#: forms divide identical integers.
+_ZIPF_FIT_K = 200
+_ZIPF_SHOW_K = 20
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+),
+top AS (
+  SELECT token, f,
+         CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS BIGINT)
+           AS rank
+  FROM freq
+  ORDER BY f DESC, token ASC
+  LIMIT {_ZIPF_FIT_K}
+),
+q AS (
+  SELECT token, f, rank,
+         CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lr,
+         CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lf
+  FROM top
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lr) AS BIGINT) AS sx, CAST(SUM(lf) AS BIGINT) AS sy,
+         CAST(SUM(lr * lr) AS BIGINT) AS sxx,
+         CAST(SUM(lr * lf) AS BIGINT) AS sxy,
+         CAST(SUM(lf * lf) AS BIGINT) AS syy
+  FROM q
+),
+fit AS (
+  SELECT n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den,
+         n * syy - sy * sy AS deny,
+         sx, sy
+  FROM m
+)
+SELECT q.rank, q.token, q.f,
+       round(CAST(fit.num AS DOUBLE) / CAST(fit.den AS DOUBLE), 6)
+         AS zipf_slope,
+       round((CAST(fit.sy AS DOUBLE)
+              - (CAST(fit.num AS DOUBLE) / CAST(fit.den AS DOUBLE))
+                * CAST(fit.sx AS DOUBLE))
+             / (CAST(fit.n AS DOUBLE) * 1e6), 6) AS intercept_ln,
+       round((CAST(fit.num AS DOUBLE) * CAST(fit.num AS DOUBLE))
+             / (CAST(fit.den AS DOUBLE) * CAST(fit.deny AS DOUBLE)), 6)
+         AS r2,
+       fit.n AS n_fit
+FROM q CROSS JOIN fit
+WHERE q.rank <= {_ZIPF_SHOW_K}
+"""
+
+
+@query("ext_zipf_fit", oracle=_ZIPF_ORACLE, tier=3)
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus vocabulary: OLS of ln(freq) on
+    ln(rank) over the top-200 terms — slope (the Zipf exponent; natural
+    text sits near -1), intercept and R² — the corpus-statistics
+    sanity read next to ext_vocab_coverage (a synthetic or
+    template-heavy corpus shows up immediately as a flat slope or a low
+    R²; the fixture's small uniform-ish vocabulary is exactly such a
+    finding). Declared output: the top-20 rank/term/frequency rows with
+    the fit constants readable off any row.
+
+    Exactness: term frequencies and ranks are exact integers; both ln
+    values floor-quantize to a 1e-6 grid per TERM (see the constant's
+    bound note), so all five OLS moments are exact BIGINT sums and the
+    num/den cross terms stay inside int64 — the closed forms then
+    divide bit-identical integers (intercept rescales by the 1e6
+    quantum in shared text). The only transcendental is ln over
+    identical integer-derived operands (the prof_entropy_profile
+    discipline), rounded 6dp after all folds.
+
+    Shape: one token-keyed counting aggregate (the vocabulary frame),
+    TakeOrdered top-200, then every window/fold runs on the 200-row
+    frame (EXPECTED_FLAGS model-sized SinglePartition). At 100 TB the
+    vocab aggregate is the only data-sized exchange."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("token")).limit(_ZIPF_FIT_K)
+    q = top.select(
+        "token",
+        "f",
+        F.expr(
+            "CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token ASC)"
+            " AS BIGINT)"
+        ).alias("rank"),
+    ).select(
+        "rank",
+        "token",
+        "f",
+        F.expr(
+            "CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("lr"),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+        ).alias("lf"),
+    )
+    from ..session import scoped_persist
+
+    q = scoped_persist(q)
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lr").alias("sx"),
+        F.sum("lf").alias("sy"),
+        F.sum(F.expr("lr * lr")).alias("sxx"),
+        F.sum(F.expr("lr * lf")).alias("sxy"),
+        F.sum(F.expr("lf * lf")).alias("syy"),
+    )
+    fit = m.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+        F.expr("n * syy - sy * sy").alias("deny"),
+    )
+    return (
+        q.filter(F.col("rank") <= _ZIPF_SHOW_K)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "rank",
+            "token",
+            "f",
+            F.expr(
+                "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)"
+            ).alias("zipf_slope"),
+            F.expr(
+                "round((CAST(sy AS DOUBLE)"
+                " - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))"
+                " * CAST(sx AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * 1e6), 6)"
+            ).alias("intercept_ln"),
+            F.expr(
+                "round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))"
+                " / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)), 6)"
+            ).alias("r2"),
+            F.col("n").alias("n_fit"),
+        )
+    )
+
+
+# --- prof_heaps_law -------------------------------------------------------------
+
+#: Checkpoint stride (every k-th doc in doc_id order) and the 1e-6 ln
+#: quantization shared with ext_zipf_fit (same int64 bounds argument).
+_HEAPS_STRIDE = 25
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+),
+firsts AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY token
+),
+curve AS (
+  SELECT c.doc_id,
+         CAST(SUM(c.n_tok) OVER (
+           ORDER BY c.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(COALESCE(f.n_new, 0)) OVER (
+           ORDER BY c.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_vocab
+  FROM counted c
+  LEFT JOIN (
+    SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY first_doc
+  ) f ON f.first_doc = c.doc_id
+),
+pts AS (
+  SELECT doc_id, cum_tokens, cum_vocab,
+         CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS lx,
+         CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+           AS ly
+  FROM curve WHERE doc_id % {_HEAPS_STRIDE} = 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+         CAST(SUM(lx * ly) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT p.doc_id, p.cum_tokens, p.cum_vocab,
+       round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6)
+         AS heaps_beta,
+       round((CAST(m.sy AS DOUBLE)
+              - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+                * CAST(m.sx AS DOUBLE))
+             / (CAST(m.n AS DOUBLE) * 1e6), 6) AS ln_k,
+       m.n AS n_checkpoints
+FROM pts p CROSS JOIN m
+"""
+
+
+@query("prof_heaps_law", oracle=_HEAPS_ORACLE, tier=3)
+def prof_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: distinct-type count V vs
+    cumulative token count N sampled at every 25th document in doc_id
+    order, with the OLS fit of ln V on ln N (V ≈ k·N^beta; natural text
+    sits around beta 0.4-0.6, a template corpus saturates early and a
+    boilerplate-free crawl stays near-linear) — the companion read to
+    ext_zipf_fit for corpus-health review, and the capacity planner's
+    estimate of how the token vocabulary (and any vocab-keyed state)
+    grows with another 10x of corpus.
+
+    Exactness: the growth curve uses the first-seen identity
+    (ts_reach_curve: cumulative distinct == cumsum of first-occurrence
+    counts — one scan, never a per-checkpoint distinct); both ln values
+    quantize to the 1e-6 grid (ext_zipf_fit's int64 bounds argument), so
+    the OLS moments divide bit-identical integers.
+
+    Shape: one token explode feeding two keyed aggregates (per-doc
+    token counts; per-token first doc), then everything runs on the
+    O(docs) curve frame — the cumulative windows and the 1-row moment
+    fold are EXPECTED_FLAGS model-sized (two-pass prefix-sum swap
+    documented at ts_cusum_changepoint)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counted = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    news = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    curve = counted.join(
+        news, counted.doc_id == news.first_doc, "left"
+    ).select(
+        "doc_id",
+        F.expr(
+            "CAST(SUM(n_tok) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS BIGINT)"
+        ).alias("cum_tokens"),
+        F.expr(
+            "CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS BIGINT)"
+        ).alias("cum_vocab"),
+    )
+    pts = curve.filter(F.col("doc_id") % _HEAPS_STRIDE == 0).select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.expr(
+            "CAST(FLOOR(ln(CAST(cum_tokens AS DOUBLE)) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("lx"),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("ly"),
+    )
+    pts = scoped_persist(pts)
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.expr("lx * lx")).alias("sxx"),
+        F.sum(F.expr("lx * ly")).alias("sxy"),
+    )
+    return pts.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.expr(
+            "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE), 6)"
+        ).alias("heaps_beta"),
+        F.expr(
+            "round((CAST(sy AS DOUBLE)"
+            " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * CAST(sx AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * 1e6), 6)"
+        ).alias("ln_k"),
+        F.col("n").alias("n_checkpoints"),
+    )

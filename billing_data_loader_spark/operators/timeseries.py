@@ -872,3 +872,102 @@ def ts_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_trend_q6(_TREND_ICEPT)).alias("intercept_cents"),
         F.expr(_trend_q6(_TREND_R2)).alias("r2"),
     )
+
+
+# --- ts_reach_curve -------------------------------------------------------------
+
+_REACH_ORACLE = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx
+  FROM events
+),
+firsts AS (
+  SELECT user_id, MIN(day_idx) AS first_day FROM act GROUP BY user_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM firsts),
+daily AS (
+  SELECT a.day_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_active_users,
+         CAST(SUM(CASE WHEN f.first_day = a.day_idx THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new_users
+  FROM act a JOIN firsts f USING (user_id)
+  GROUP BY a.day_idx
+)
+SELECT day_idx, n_active_users, n_new_users,
+       CAST(SUM(n_new_users) OVER (
+         ORDER BY day_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users,
+       CAST(SUM(n_new_users) OVER (
+         ORDER BY day_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(tot.n_users AS DOUBLE) AS reach_share
+FROM daily CROSS JOIN tot
+"""
+
+
+@query("ts_reach_curve", oracle=_REACH_ORACLE, tier=2)
+def ts_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-reach curve: per day, the active-user count, the
+    FIRST-EVER-seen user count, the running total of distinct users
+    reached, and that total as a share of the final audience — the
+    user-growth read (is acquisition flattening?) next to
+    agg_retention_cohort's per-cohort matrix. Computing "cumulative
+    distinct" as a cumulative sum of FIRST-SEEN counts is the identity
+    that makes the curve cheap: a naive per-day COUNT(DISTINCT user
+    WHERE day <= d) re-scans the history per day; first-seen attribution
+    scans it once.
+
+    Exactness: the day key is integer epoch-microseconds floor-divided
+    to days (no date formatting, no timezone surface — the
+    prof_freshness_lag discipline); all counts exact; the share is one
+    shared-text IEEE division.
+
+    Shape: one distinct over (user, day), one user-keyed MIN for the
+    first day, one day rollup — all data-sized exchanges key on user or
+    day; the cumulative window and the 1-row audience fold run on the
+    O(days) frame (EXPECTED_FLAGS; the two-pass prefix-sum swap of
+    ts_cusum_changepoint applies verbatim)."""
+    ev = load(spark, sf_dir, "events")
+    act = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)"
+            ).alias("day_idx"),
+        )
+        .distinct()
+    )
+    from ..session import scoped_persist
+
+    act = scoped_persist(act)
+    firsts = act.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    tot = firsts.agg(F.count(F.lit(1)).alias("n_users"))
+    daily = (
+        act.join(firsts, "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_users"),
+            F.sum(
+                F.expr("CASE WHEN first_day = day_idx THEN 1 ELSE 0 END")
+            ).alias("n_new_users"),
+        )
+    )
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "day_idx",
+        "n_active_users",
+        "n_new_users",
+        F.expr(
+            "CAST(SUM(n_new_users) OVER ("
+            "ORDER BY day_idx"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS BIGINT)"
+        ).alias("cum_users"),
+        F.expr(
+            "CAST(SUM(n_new_users) OVER ("
+            "ORDER BY day_idx"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " AS DOUBLE) / CAST(n_users AS DOUBLE)"
+        ).alias("reach_share"),
+    )

@@ -850,3 +850,51 @@ def scan_jsonl_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("sum_chars"),
     )
     return valid.unionAll(corrupt)
+
+
+# --- scan_csv_multiline -------------------------------------------------------
+
+_CSV_ML_ORACLE = """
+SELECT doc_id, lang, text, source FROM documents
+"""
+
+
+@query("scan_csv_multiline", oracle=_CSV_ML_ORACLE, tier=3)
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with EMBEDDED NEWLINES: each doc's (lang, text,
+    source) packs into one 3-line quoted cell, is written as CSV, and is
+    read back with ``multiLine=true`` — the parsing mode every
+    real-world CSV feed with free-text columns eventually requires
+    (default line-split parsing shreds a quoted multi-line record into
+    garbage rows). The declared output re-splits the cell and returns
+    the reconstructed columns, so the oracle is simply the original
+    table: a parser that breaks ANY record breaks row count, ids, or
+    values.
+
+    Shape: the write and the read are both distributed over the scratch
+    staging dir (shared-FS assumption, the scan_webdataset caveat
+    applies for object stores). multiLine=true disables naive
+    newline-splitting of input files, so splittability within one file
+    is lost — ingest at 100 TB keeps files small (many files = the
+    parallelism unit), which is exactly how this staging writes them.
+    Fixture texts are space-separated lowercase tokens (no quotes or
+    delimiters), so the quoting exercise is isolated to the newlines."""
+    out = scratch_dir(sf_dir, "docs_multiline_csv")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", "lang", "text", "source").alias("body"),
+    )
+    d.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("doc_id bigint, body string")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(out)
+    )
+    parts = F.split("body", "\n", 3)
+    return back.select(
+        "doc_id",
+        parts.getItem(0).alias("lang"),
+        parts.getItem(1).alias("text"),
+        parts.getItem(2).alias("source"),
+    )

@@ -320,6 +320,32 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # frame — inherently one partition. Documented 100 TB alternative in
     # each operator's docstring (bucketed two-pass prefix sums).
     "single_partition": {
+        # round-12 branch
+        "ext_confusion_matrix": (
+            "1-row metric fold over the <= 4-row cell grid (O(cells), "
+            "never docs)"
+        ),
+        "prof_mutual_info": (
+            "MI/entropy folds over the <= |langs|x|sources| cell frame "
+            "(model-sized at any corpus)"
+        ),
+        "ext_zipf_fit": (
+            "global rank + OLS moment fold over the top-200 vocab frame "
+            "(TakeOrdered bounds it before any window)"
+        ),
+        "bill_churn_rate": (
+            "1-row max-month horizon fold (O(tasks) partials, never "
+            "data rows)"
+        ),
+        "ts_reach_curve": (
+            "cumulative window + 1-row audience fold over the O(days) "
+            "daily frame (the ts_cusum_changepoint two-pass swap "
+            "applies)"
+        ),
+        "prof_heaps_law": (
+            "cumulative growth windows + 1-row moment fold over the "
+            "O(docs) curve frame (two-pass prefix-sum swap documented)"
+        ),
         # round-11 continuation
         "ext_calibration_ece": (
             "ECE fold: windows over the <= 10-row reliability-bin frame "
@@ -510,6 +536,31 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
     "bnlj": {
+        # round-12 branch: 1-row crossJoin(broadcast(...)) folds
+        "ext_confusion_matrix": (
+            "1-row tp/fp/fn/tn metric fold broadcast onto the <= 4-row "
+            "cell grid"
+        ),
+        "prof_mutual_info": (
+            "1-row MI / entropy folds broadcast onto the <= 100-row "
+            "cell frame"
+        ),
+        "ext_zipf_fit": (
+            "1-row OLS moment fold broadcast onto the top-200 vocab "
+            "frame"
+        ),
+        "bill_churn_rate": (
+            "1-row max-month horizon fold broadcast onto the activity "
+            "frame (right-censor flag)"
+        ),
+        "ts_reach_curve": (
+            "1-row total-audience fold broadcast onto the O(days) "
+            "daily frame"
+        ),
+        "prof_heaps_law": (
+            "1-row OLS moment fold broadcast onto the O(docs/25) "
+            "checkpoint frame"
+        ),
         # round-11 continuation: 1-row crossJoin(broadcast(...)) folds
         "ext_class_balance_resample": (
             "1-row min-class-size fold broadcast onto the ranked frame "
