@@ -2615,10 +2615,17 @@ def ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(q))
             .select("vec_id", expr_col.alias(alias))
         )
+        # orderBy().limit(k) -> TakeOrderedAndProject (per-partition
+        # heap + driver merge), then rank the k survivors.  The
+        # filter-on-row_number form this replaces depended on
+        # LimitPushDownThroughWindow firing to avoid a global sort —
+        # this shape is scale-safe regardless of optimizer rules
+        # (the ext_ann_rptree pattern).
         w = Window.orderBy(F.desc(alias), F.asc("vec_id"))
         return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= _MRL_K)
+            scored.orderBy(F.desc(alias), F.asc("vec_id"))
+            .limit(_MRL_K)
+            .withColumn("rnk", F.row_number().over(w))
         )
 
     cos_full = F.round(
