@@ -674,12 +674,15 @@ def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
     )
-    vocab_w = W.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    # orderBy().limit() -> TakeOrderedAndProject (per-partition heap +
+    # driver merge): at web scale the distinct-token frame is Heaps-law
+    # huge, so the filter-on-row_number global window this replaces would
+    # sort it on one partition (caught by the r12 global_window gate).
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(vocab_w))
-        .filter(F.col("rn") <= 1000)
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(1000)
         .select("token", F.lit(1).alias("in_vocab"))
     )
     return (

@@ -28,6 +28,38 @@ def test_no_unexplained_plan_flags(spark):
     )
 
 
+def test_gate_catches_elided_single_partition_window(spark):
+    """VERDICT r11 #6: a global window over a 1-partition input satisfies
+    AllTuples, so EnsureRequirements elides the Exchange SinglePartition
+    node the old sweep keyed on — the gate must flag the Window node
+    itself. This reconstructs the exact invisible form (filter on
+    row_number over an unpartitioned window, 1-partition child)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tools.plan_audit import _sweep_flags
+
+    df = (
+        spark.range(100)
+        .repartition(1)
+        .withColumn("r", F.row_number().over(Window.orderBy("id")))
+        .filter(F.col("r") <= 10)
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags = _sweep_flags(plan)
+    assert "global_window" in flags, plan[:2000]
+
+    # and a properly partitioned window must NOT flag
+    ok = spark.range(100).withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy(F.col("id") % 5).orderBy("id")),
+    )
+    ok.collect()
+    ok_plan = ok._jdf.queryExecution().executedPlan().toString()
+    assert "global_window" not in _sweep_flags(ok_plan), ok_plan[:2000]
+
+
 def test_scan_dpp_plants_dynamic_pruning(spark):
     """scan_dpp's fact scan must carry a DynamicPruningExpression in its
     PartitionFilters (VERDICT r9 gap #3) — the dim-side filter reaches the

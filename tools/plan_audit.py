@@ -360,6 +360,13 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row percentile-boundary fold (O(tasks) partials; the "
             "ext_outlier_clip quantile pattern)"
         ),
+        # round 12: model-sized global rank windows caught by the new
+        # global_window flag (their SinglePartition exchange is elided on
+        # the 1-partition fixture frames)
+        "ext_matryoshka_recall": (
+            "rank windows over the two 10-row TakeOrdered top-k frames "
+            "(model-sized; the corpus-wide sort is TakeOrderedAndProject)"
+        ),
         "ext_vacuum_plan": (
             "1-row head fold + 3-row class rollup over the O(files) "
             "manifest (never data rows)"
@@ -715,9 +722,54 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
     },
 }
 
+#: Global windows require their input coalesced to ONE partition
+#: (requiredChildDistribution = AllTuples). The sweep used to key only off
+#: the `Exchange SinglePartition` node — but a 1-partition fixture input
+#: (single-row-group parquet, repartition(1) upstream) SATISFIES AllTuples
+#: and EnsureRequirements elides the exchange, hiding the singleton from
+#: the gate (VERDICT r11 #6: how the matryoshka filter-on-row_number form
+#: stayed invisible). A `Window` node with an empty partition spec is the
+#: structural fact the exchange merely implements, so the sweep now flags
+#: the node itself. Justifications are shared with `single_partition`
+#: (the allowlist of model-sized frames) — a global window is acceptable
+#: exactly when the singleton frame it sorts is model-sized.
+EXPECTED_FLAGS["global_window"] = EXPECTED_FLAGS["single_partition"]
+
 #: Streaming keys execute eagerly into a memory sink; their returned frame
 #: is a batch read of the sink, so the sweep records them as such.
 _STREAMING_PREFIX = "stream_"
+
+_WINDOW_NODE_RE = re.compile(r"(?:^|[\s\-:])Window (\[.*)$")
+
+
+_ORDER_SPEC_RE = re.compile(r"(ASC|DESC) NULLS (FIRST|LAST)")
+
+
+def _window_is_global(args: str) -> bool:
+    """True if a `Window [...]...` node's printed argument list shows an
+    EMPTY partition spec. WindowExec prints up to three top-level bracket
+    groups — [windowExprs], [partitionSpec], [orderSpec] — and omits empty
+    trailing specs, so two groups is ambiguous: a partitioned-unordered
+    window prints [exprs], [partition] while a global-ordered one prints
+    [exprs], [order]. Order specs always carry `ASC/DESC NULLS ...`;
+    partition specs are bare expressions — that token pattern on the
+    SECOND group disambiguates."""
+    depth = 0
+    groups: list[list[str]] = []
+    for ch in args:
+        if ch == "[":
+            if depth == 0:
+                groups.append([])
+            depth += 1
+        if depth > 0 and groups:
+            groups[-1].append(ch)
+        if ch == "]":
+            depth -= 1
+    if len(groups) >= 3:
+        return False
+    if len(groups) <= 1:
+        return True
+    return bool(_ORDER_SPEC_RE.search("".join(groups[1])))
 
 
 def _sweep_flags(plan: str) -> set[str]:
@@ -730,6 +782,11 @@ def _sweep_flags(plan: str) -> set[str]:
         flags.add("cartesian")
     if "BatchEvalPython" in plan:
         flags.add("python_row_udf")
+    for line in plan.splitlines():
+        m = _WINDOW_NODE_RE.search(line)
+        if m and _window_is_global(m.group(1)):
+            flags.add("global_window")
+            break
     return flags
 
 
