@@ -178,6 +178,69 @@ def main() -> None:
         for k, v in timings.items()
         if k in prior_q and prior_q[k] > 0 and v > 1.25 * prior_q[k]
     }
+    # Audit-proofing the "best closing run" claim (VERDICT r11 #3): the
+    # round-close protocol may discard polluted runs by git-restoring
+    # BENCH_DETAIL.json, which erases the evidence that slower runs
+    # happened. Every run therefore ALSO appends a one-line summary to
+    # BENCH_RUNS.jsonl (append-only, never restored), and the committed
+    # record carries min AND median headline across the recent same-
+    # protocol runs — so a cherry-picked trough is visible as min << median
+    # with the discarded runs' load evidence right beside it.
+    runs_path = Path(__file__).resolve().parent / "BENCH_RUNS.jsonl"
+    run_row = {
+        "ts": round(time.time(), 1),
+        "sf": sf,
+        "protocol_tag": _PROTOCOL_TAG,
+        "headline": round(headline, 4),
+        "all_queries_sum": round(sum(timings.values()), 4),
+        "n_queries": len(timings),
+        "n_drifts_vs_prior": len(drifts),
+        "n_failures": len(failures),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+    }
+    with runs_path.open("a") as fh:
+        fh.write(json.dumps(run_row, sort_keys=True) + "\n")
+    recent: list[dict] = []
+    for line in runs_path.read_text().splitlines():
+        try:
+            row = json.loads(line)
+        except ValueError:
+            continue
+        if (
+            row.get("sf") == sf
+            and row.get("protocol_tag") == _PROTOCOL_TAG
+            and row.get("n_queries") == len(timings)
+            and run_row["ts"] - row.get("ts", 0) <= 6 * 3600
+        ):
+            recent.append(row)
+    recent_headlines = sorted(r["headline"] for r in recent)
+    mid = len(recent_headlines) // 2
+    closing_median = (
+        recent_headlines[mid]
+        if len(recent_headlines) % 2
+        else round(
+            (recent_headlines[mid - 1] + recent_headlines[mid]) / 2, 4
+        )
+    )
+    closing_stats = {
+        "n_runs_6h_same_protocol": len(recent_headlines),
+        "headline_min": recent_headlines[0],
+        "headline_median": closing_median,
+        "runs": [
+            {
+                k: r[k]
+                for k in (
+                    "ts",
+                    "headline",
+                    "n_drifts_vs_prior",
+                    "loadavg_start",
+                    "loadavg_end",
+                )
+            }
+            for r in recent
+        ],
+    }
     detail_path.write_text(
         json.dumps(
             {
@@ -214,6 +277,10 @@ def main() -> None:
                 # lets a reader tell a plan regression from a polluted run
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                # min + median across ALL recent same-protocol runs
+                # (including ones later discarded by a git-restore of this
+                # file) — sourced from append-only BENCH_RUNS.jsonl
+                "closing_stats": closing_stats,
                 "sf": sf,
             },
             indent=1,

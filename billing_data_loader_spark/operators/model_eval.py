@@ -1,0 +1,511 @@
+"""Model-evaluation operators for training-data pipelines (round 12):
+ranking discrimination (AUC), multi-class retrieval quality (macro-F1),
+inter-rater agreement (Cohen's kappa), and probabilistic sharpness
+(Brier score).
+
+These complete the classifier-audit suite started by
+``ext_confusion_matrix`` (discrimination at ONE threshold) and
+``ext_calibration_ece`` (calibration): a pipeline owner deciding whether
+to wire a quality filter into curation reads threshold-free ranking
+quality (AUC), agreement with an independent heuristic (kappa), and a
+proper scoring rule (Brier) off these frames before committing a corpus
+to it.
+
+Exactness stance (house rules): every decision and count is integer;
+cross-row sums of per-row doubles are floor-quantized to a fixed grid
+BEFORE summing (the ext_calibration_ece stance); final ratios are one
+shared-text IEEE division over exact integers wherever possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..plans.registry import query
+from ..tables import load
+from .text_analysis import (
+    _QCLS_BUCKETS,
+    _QCLS_KNUTH,
+    ext_lang_id,
+    ext_quality_classifier,
+)
+
+# --- ext_auc_rank -------------------------------------------------------------
+
+#: Shared classifier-score CTE: the ext_quality_classifier integer weight
+#: sum per doc with the English gold label (the ext_confusion_matrix
+#: pairing). The score is the INTEGER w_sum — the same decision variable
+#: the classifier thresholds at zero — so rank arithmetic is exact.
+_SCORED_SQL = f"""
+  SELECT s.doc_id, s.w_sum,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM (
+    SELECT doc_id,
+           CAST(SUM((('0x' || substr(md5(token), 1, 8))::BIGINT
+                      % {_QCLS_BUCKETS} * {_QCLS_KNUTH}) % 2001 - 1000)
+                AS BIGINT) AS w_sum
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ) GROUP BY doc_id
+  ) s JOIN documents d ON s.doc_id = d.doc_id
+"""
+
+_AUC_ORACLE = f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (
+  SELECT w_sum, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS p
+  FROM scored GROUP BY w_sum
+),
+c AS (
+  SELECT w_sum, n, p,
+         CAST(SUM(n) OVER (ORDER BY w_sum ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+  FROM g
+),
+m AS (
+  SELECT CAST(SUM(p * (2 * cum - n + 1)) AS BIGINT) AS r2_pos,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(n) AS BIGINT) AS n_all
+  FROM c
+)
+SELECT n_pos, n_all - n_pos AS n_neg,
+       CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * (n_all - n_pos) AS DOUBLE) AS auc,
+       CAST(r2_pos - n_pos * (n_pos + 1) - n_pos * (n_all - n_pos)
+            AS DOUBLE)
+         / CAST(n_pos * (n_all - n_pos) AS DOUBLE) AS gini_index
+FROM m
+"""
+
+
+@query("ext_auc_rank", oracle=_AUC_ORACLE, tier=3)
+def ext_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ranking audit for ``ext_quality_classifier``: AUC
+    via the Mann-Whitney rank-sum identity with MIDRANKS for tied scores
+    (AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), R_pos the
+    midrank sum of positives), plus the Gini index 2*AUC - 1. The
+    confusion matrix reads discrimination at the classifier's own
+    threshold; this reads it across ALL thresholds — the number a filter
+    owner compares across classifier candidates.
+
+    Exactness: scores are the classifier's integer weight sums, so score
+    groups, midranks, and the rank-sum are exact BIGINT arithmetic
+    (doubled midranks keep the half-integers integral:
+    2*R_pos = sum over score groups of p_g * (2*cum_g - n_g + 1)); AUC
+    and Gini are one shared-text IEEE division each over exact integers.
+    Intermediate products stay inside int64 for corpora to ~10^9 docs;
+    past that the midrank sum needs DECIMAL(38,0) widening (documented,
+    not needed at fixture or production doc counts).
+
+    Shape: the classifier's scan -> explode -> one doc-keyed aggregate,
+    then ONE aggregate onto the distinct-score frame; the cumulative
+    count is a window over that frame ordered by score — bounded by the
+    integer score support, not by docs (ties collapse). At true 100 TB
+    the swap is the ts_cusum_changepoint two-pass form: bucket scores by
+    range, per-bucket prefix sums, broadcast bucket offsets. The final
+    fold is a 1-row aggregate (EXPECTED_FLAGS)."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    scored = (
+        ext_quality_classifier(spark, sf_dir)
+        .select("doc_id", "w_sum")
+        .join(lab, "doc_id")
+    )
+    g = scored.groupBy("w_sum").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("p")
+    )
+    c = g.withColumn(
+        "cum",
+        F.sum("n").over(
+            W.orderBy(F.col("w_sum").asc()).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    m = c.agg(
+        F.sum(
+            F.col("p") * (F.lit(2) * F.col("cum") - F.col("n") + F.lit(1))
+        ).alias("r2_pos"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_all"),
+    )
+    return m.select(
+        "n_pos",
+        (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+        F.expr(
+            "CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)"
+            " / CAST(2 * n_pos * (n_all - n_pos) AS DOUBLE)"
+        ).alias("auc"),
+        F.expr(
+            "CAST(r2_pos - n_pos * (n_pos + 1) - n_pos * (n_all - n_pos)"
+            " AS DOUBLE) / CAST(n_pos * (n_all - n_pos) AS DOUBLE)"
+        ).alias("gini_index"),
+    )
+
+
+# --- ext_macro_f1 ---------------------------------------------------------------
+
+#: ext_lang_id's prediction frame re-derived as a CTE (the
+#: ext_calibration_ece composition precedent: the Spark side composes the
+#: helper, the oracle re-derives its CTEs so the check stays independent).
+_PRED_SQL = """
+  SELECT doc_id, true_lang, sig_lang AS pred_lang
+  FROM (
+    SELECT doc_id, any_value(lang) AS true_lang, sig_lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id
+             ORDER BY COUNT(*) DESC, sig_lang ASC
+           ) AS rn
+    FROM (SELECT DISTINCT doc_id, lang, token FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents))
+    JOIN (
+      SELECT lang AS sig_lang, token FROM (
+        SELECT lang, token, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY COUNT(*) DESC, token ASC
+        ) AS rn
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY lang, token
+      ) WHERE rn <= 20
+    ) USING (token)
+    GROUP BY doc_id, sig_lang
+  ) WHERE rn = 1
+"""
+
+_MACRO_F1_ORACLE = f"""
+WITH pl AS ({_PRED_SQL}),
+tc AS (
+  SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(COUNT(*) FILTER (pred_lang = true_lang) AS BIGINT) AS tp
+  FROM pl GROUP BY true_lang
+),
+pc AS (
+  SELECT pred_lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_pred
+  FROM pl GROUP BY pred_lang
+),
+per_class AS (
+  SELECT tc.lang, tc.n_true, COALESCE(pc.n_pred, 0) AS n_pred, tc.tp,
+         CAST(tc.tp AS DOUBLE)
+           / CAST(NULLIF(COALESCE(pc.n_pred, 0), 0) AS DOUBLE)
+           AS precision_c,
+         CAST(tc.tp AS DOUBLE) / CAST(tc.n_true AS DOUBLE) AS recall_c,
+         CAST(2 * tc.tp AS DOUBLE)
+           / CAST(COALESCE(pc.n_pred, 0) + tc.n_true AS DOUBLE) AS f1_c
+  FROM tc LEFT JOIN pc ON tc.lang = pc.lang
+),
+o AS (
+  SELECT CAST(SUM(CAST(floor(f1_c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1e9) AS macro_f1,
+         CAST(SUM(tp) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE)
+           AS micro_accuracy
+  FROM per_class
+)
+SELECT p.lang, p.n_true, p.n_pred, p.tp,
+       p.precision_c, p.recall_c, p.f1_c,
+       o.macro_f1, o.micro_accuracy
+FROM per_class p CROSS JOIN o
+"""
+
+
+@query("ext_macro_f1", oracle=_MACRO_F1_ORACLE, tier=3)
+def ext_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class precision/recall/F1 per language plus macro-F1 and
+    micro accuracy for ``ext_lang_id`` — the per-class completion of the
+    binary ``ext_confusion_matrix``: macro-F1 weights every language
+    equally, which is the number a curator reads when low-resource
+    languages must not be drowned out by the head class.
+
+    Class universe = languages appearing as TRUE labels among classified
+    docs (every predicted language is a true language by construction —
+    signatures come from the corpus's own lang column). Per class:
+    tp = diagonal count, n_pred/n_true = marginals; f1 uses the
+    2tp/(n_pred + n_true) form (one division, defined whenever the class
+    exists); precision is NULL for never-predicted classes
+    (NULLIF-guarded identically in both engines).
+
+    Exactness: all counts integer; per-class ratios are shared-text IEEE
+    divisions; macro-F1 averages the handful of per-class f1 doubles —
+    each f1 is the identical IEEE double on both sides, and the average
+    runs over O(langs) rows via an exact integer-quantized sum at 1e-9
+    (order-insensitive by construction).
+
+    Shape: ext_lang_id's plan (broadcast signature join, doc-keyed
+    aggregates), then two O(langs)-row marginal aggregates, a broadcast
+    left join, and 1-row macro folds cross-joined back (EXPECTED_FLAGS:
+    O(langs) frames, never docs)."""
+    pl = ext_lang_id(spark, sf_dir).select("pred_lang", "true_lang")
+    tc = pl.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            (F.col("pred_lang") == F.col("true_lang")).cast("long")
+        ).alias("tp"),
+    )
+    pc = pl.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    per_class = (
+        tc.join(F.broadcast(pc), "lang", "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),
+            "tp",
+        )
+        .select(
+            "lang",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.expr(
+                "CAST(tp AS DOUBLE)"
+                " / CAST(NULLIF(n_pred, 0) AS DOUBLE)"
+            ).alias("precision_c"),
+            F.expr(
+                "CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)"
+            ).alias("recall_c"),
+            F.expr(
+                "CAST(2 * tp AS DOUBLE)"
+                " / CAST(n_pred + n_true AS DOUBLE)"
+            ).alias("f1_c"),
+        )
+    )
+    o = per_class.agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(f1_c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)"
+            " / (COUNT(*) * 1e9)"
+        ).alias("macro_f1"),
+        F.expr(
+            "CAST(SUM(tp) AS DOUBLE) / CAST(SUM(n_true) AS DOUBLE)"
+        ).alias("micro_accuracy"),
+    )
+    return per_class.crossJoin(F.broadcast(o)).select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        "precision_c",
+        "recall_c",
+        "f1_c",
+        "macro_f1",
+        "micro_accuracy",
+    )
+
+
+# --- ext_kappa_agreement --------------------------------------------------------
+
+_KAPPA_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+         CAST(SUM((('0x' || substr(md5(token), 1, 8))::BIGINT
+                    % {_QCLS_BUCKETS} * {_QCLS_KNUTH}) % 2001 - 1000)
+              AS BIGINT) AS w_sum
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY doc_id
+),
+cells AS (
+  SELECT (w_sum > 0) AS a_keep, (2 * n_distinct > n_tokens) AS b_keep,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM feats GROUP BY 1, 2
+),
+m AS (
+  SELECT
+    CAST(SUM(n) AS BIGINT) AS total,
+    CAST(SUM(CASE WHEN a_keep = b_keep THEN n ELSE 0 END) AS BIGINT)
+      AS n_agree,
+    CAST(SUM(CASE WHEN a_keep THEN n ELSE 0 END) AS BIGINT) AS a1,
+    CAST(SUM(CASE WHEN b_keep THEN n ELSE 0 END) AS BIGINT) AS b1
+  FROM cells
+)
+SELECT c.a_keep, c.b_keep, c.n,
+       CAST(m.n_agree AS DOUBLE) / CAST(m.total AS DOUBLE) AS p_observed,
+       CAST(m.a1 * m.b1 + (m.total - m.a1) * (m.total - m.b1) AS DOUBLE)
+         / CAST(m.total * m.total AS DOUBLE) AS p_expected,
+       CAST(m.total * m.n_agree
+            - (m.a1 * m.b1 + (m.total - m.a1) * (m.total - m.b1))
+            AS DOUBLE)
+         / CAST(m.total * m.total
+                - (m.a1 * m.b1 + (m.total - m.a1) * (m.total - m.b1))
+                AS DOUBLE) AS kappa
+FROM cells c CROSS JOIN m
+"""
+
+
+@query("ext_kappa_agreement", oracle=_KAPPA_ORACLE, tier=3)
+def ext_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent keep/drop raters — the
+    agreement audit run before trusting a cheap heuristic as a proxy for
+    an expensive classifier (or before ensembling them): rater A is
+    ``ext_quality_classifier``'s integer decision (w_sum > 0), rater B
+    is a lexical-diversity rule (type-token ratio > 1/2, evaluated as
+    the integer cross-multiplication 2*n_distinct > n_tokens — no float
+    in either decision path). Emits the 2x2 agreement grid with
+    p_observed, p_expected, and kappa as constant columns.
+
+    Exactness: both decisions and all cell counts are exact integers;
+    kappa collapses algebraically to ONE division of integer polynomials
+    — kappa = (N*n_agree - (a1*b1 + a0*b0)) / (N^2 - (a1*b1 + a0*b0)) —
+    so no compounding of already-divided doubles anywhere (products fit
+    int64 to ~3e9 docs).
+
+    Shape: one scan -> token explode -> ONE doc-keyed aggregate computes
+    both raters' features (n_tokens, n_distinct, w_sum) in the same
+    pass; the grid is a <= 4-row aggregate and the metric fold is 1-row,
+    cross-joined back (EXPECTED_FLAGS: O(cells), never docs)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
+        F.lit(_QCLS_BUCKETS),
+    )
+    w_int = F.pmod(bucket * _QCLS_KNUTH, F.lit(2001)) - 1000
+    feats = tok.select("doc_id", "token", w_int.alias("w")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum("w").alias("w_sum"),
+    )
+    cells = feats.select(
+        (F.col("w_sum") > 0).alias("a_keep"),
+        (F.lit(2) * F.col("n_distinct") > F.col("n_tokens")).alias(
+            "b_keep"
+        ),
+    ).groupBy("a_keep", "b_keep").agg(F.count(F.lit(1)).alias("n"))
+    m = cells.agg(
+        F.sum("n").alias("total"),
+        F.sum(
+            F.expr("CASE WHEN a_keep = b_keep THEN n ELSE 0 END")
+        ).alias("n_agree"),
+        F.sum(F.expr("CASE WHEN a_keep THEN n ELSE 0 END")).alias("a1"),
+        F.sum(F.expr("CASE WHEN b_keep THEN n ELSE 0 END")).alias("b1"),
+    )
+    return cells.crossJoin(F.broadcast(m)).select(
+        "a_keep",
+        "b_keep",
+        "n",
+        F.expr(
+            "CAST(n_agree AS DOUBLE) / CAST(total AS DOUBLE)"
+        ).alias("p_observed"),
+        F.expr(
+            "CAST(a1 * b1 + (total - a1) * (total - b1) AS DOUBLE)"
+            " / CAST(total * total AS DOUBLE)"
+        ).alias("p_expected"),
+        F.expr(
+            "CAST(total * n_agree"
+            " - (a1 * b1 + (total - a1) * (total - b1)) AS DOUBLE)"
+            " / CAST(total * total"
+            " - (a1 * b1 + (total - a1) * (total - b1)) AS DOUBLE)"
+        ).alias("kappa"),
+    )
+
+
+# --- ext_brier_score ------------------------------------------------------------
+
+#: Per-row squared error quantization grid (the ext_calibration_ece
+#: stance: floor-quantize per-row doubles before ANY cross-row sum).
+_BRIER_Q = "1e9"
+
+_BRIER_ORACLE = f"""
+WITH scored AS ({_SCORED_SQL}),
+feats AS (
+  SELECT s.doc_id, s.w_sum, s.y, t.n_tok FROM scored s JOIN (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id
+  ) t ON s.doc_id = t.doc_id
+),
+q AS (
+  SELECT y,
+         CAST(floor(
+           (CAST(w_sum + 1000 * n_tok AS DOUBLE)
+              / CAST(2000 * n_tok AS DOUBLE)
+            - CAST(y AS DOUBLE))
+           * (CAST(w_sum + 1000 * n_tok AS DOUBLE)
+              / CAST(2000 * n_tok AS DOUBLE)
+            - CAST(y AS DOUBLE))
+           * {_BRIER_Q} + 0.5) AS BIGINT) AS sq
+  FROM feats
+),
+cls AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(sq) AS BIGINT) AS s
+  FROM q GROUP BY y
+),
+o AS (
+  SELECT CAST(SUM(s) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * {_BRIER_Q})
+    AS brier FROM cls
+)
+SELECT cls.y AS actual_en, cls.n,
+       CAST(cls.s AS DOUBLE) / (CAST(cls.n AS DOUBLE) * {_BRIER_Q})
+         AS class_brier,
+       o.brier AS overall_brier
+FROM cls CROSS JOIN o
+"""
+
+
+@query("ext_brier_score", oracle=_BRIER_ORACLE, tier=3)
+def ext_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (mean squared error of the keep probability against
+    the English gold label), per class and overall — the proper scoring
+    rule that complements ``ext_calibration_ece``: ECE can be gamed by a
+    constant base-rate predictor; the Brier score penalizes that lack of
+    sharpness. The probability is the calibration key's own monotone
+    rational squash p = (w_sum + 1000*n_tok) / (2000*n_tok) — exact in
+    [0, 1], no transcendental anywhere.
+
+    Exactness: p is one IEEE division of exact integers (identical text
+    both engines), the squared error is two more identical IEEE ops, and
+    each per-row value floor-quantizes to the 1e9 grid BEFORE the
+    cross-row sum (order-insensitive exact BIGINT totals); the final
+    means divide exact integers.
+
+    Shape: one scan -> explode -> ONE doc-keyed aggregate (w_sum and
+    n_tok in the same pass), per-row arithmetic map-side, then a 2-row
+    class aggregate with the 1-row overall fold cross-joined back
+    (EXPECTED_FLAGS: O(classes), never docs)."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    feats = (
+        ext_quality_classifier(spark, sf_dir)
+        .select("doc_id", "w_sum", F.col("n_tok"))
+        .join(lab, "doc_id")
+    )
+    err = F.expr(
+        "CAST(w_sum + 1000 * n_tok AS DOUBLE)"
+        " / CAST(2000 * n_tok AS DOUBLE) - CAST(y AS DOUBLE)"
+    )
+    q = feats.select(
+        "y",
+        F.floor(err * err * F.expr(_BRIER_Q) + F.lit(0.5))
+        .cast("long")
+        .alias("sq"),
+    )
+    cls = q.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sq").alias("s")
+    )
+    o = cls.agg(
+        F.expr(
+            f"CAST(SUM(s) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE)"
+            f" * {_BRIER_Q})"
+        ).alias("brier")
+    )
+    return cls.crossJoin(F.broadcast(o)).select(
+        F.col("y").alias("actual_en"),
+        "n",
+        F.expr(
+            f"CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {_BRIER_Q})"
+        ).alias("class_brier"),
+        F.col("brier").alias("overall_brier"),
+    )

@@ -45,6 +45,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.billing_revenue",
     "billing_data_loader_spark.operators.data_quality",
     "billing_data_loader_spark.operators.market_basket",
+    "billing_data_loader_spark.operators.model_eval",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",

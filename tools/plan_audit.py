@@ -367,6 +367,25 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "rank windows over the two 10-row TakeOrdered top-k frames "
             "(model-sized; the corpus-wide sort is TakeOrderedAndProject)"
         ),
+        # round 12: model-eval suite — O(classes)/O(langs)/1-row folds
+        "ext_auc_rank": (
+            "cumulative-count window over the distinct-integer-score "
+            "frame (ties collapse; bounded by the score support) + the "
+            "1-row rank-sum fold — the ts_cusum two-pass bucketed "
+            "prefix-sum swap documented in the docstring"
+        ),
+        "ext_macro_f1": (
+            "O(langs) marginal aggregates + 1-row macro folds (never "
+            "docs; ext_lang_id's plan upstream)"
+        ),
+        "ext_kappa_agreement": (
+            "<= 4-row agreement grid + 1-row metric fold (O(cells), "
+            "never docs)"
+        ),
+        "ext_brier_score": (
+            "2-row class aggregate + 1-row overall fold (O(classes), "
+            "never docs)"
+        ),
         "ext_vacuum_plan": (
             "1-row head fold + 3-row class rollup over the O(files) "
             "manifest (never data rows)"
@@ -601,6 +620,18 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_perplexity_bucket_mix": (
             "inherited from the ext_lm_unigram_score helper: 1-row "
             "token-total fold broadcast onto the token stream"
+        ),
+        # round 12: model-eval suite 1-row metric folds
+        "ext_macro_f1": (
+            "1-row macro-F1/accuracy fold broadcast onto the O(langs) "
+            "per-class frame"
+        ),
+        "ext_kappa_agreement": (
+            "1-row kappa fold broadcast onto the <= 4-row agreement grid"
+        ),
+        "ext_brier_score": (
+            "1-row overall-Brier fold broadcast onto the 2-row class "
+            "frame"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
