@@ -971,3 +971,226 @@ def ts_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE) / CAST(n_users AS DOUBLE)"
         ).alias("reach_share"),
     )
+
+
+# --- ts_rolling_corr ------------------------------------------------------------
+
+_RCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                                 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE))
+                                 AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY day
+),
+w AS (
+  SELECT day, x, y,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(x) OVER win AS BIGINT) AS sx,
+         CAST(SUM(y) OVER win AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+         CAST(SUM(x * y) OVER win AS BIGINT) AS sxy
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(x AS DOUBLE) / 1e2 AS click_value,
+       CAST(y AS DOUBLE) / 1e2 AS view_value, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr7
+FROM w WHERE n >= 3
+"""
+
+
+@query("ts_rolling_corr", oracle=_RCORR_ORACLE, tier=2)
+def ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between the click and view
+    daily value series — the co-movement read behind funnel-health
+    alerts (clicks decoupling from views flags instrumentation drift or
+    bot traffic; prof_corr_matrix is the static whole-table sibling).
+
+    Exactness: both series are exact integer cents (conditional daily
+    sums); all six rolling moments are exact BIGINT window sums, so the
+    correlation numerator and both variance terms are exact integers;
+    the result is shared-text sqrt/divide over those exact inputs
+    (IEEE sqrt is correctly rounded — both engines agree bitwise).
+    Windows shorter than 3 days are suppressed (the warm-up rows).
+    Integer bounds: daily cents to ~4e4 at this fixture; at 1e9-cents
+    days the xx/xy products need DECIMAL(38,0) (documented).
+
+    Shape: one day-keyed aggregate folds BOTH series in the same pass
+    (conditional sums — the pivot never materializes a join); the six
+    moments ride ONE window over the O(days) daily frame — model-sized
+    at any corpus (EXPECTED_FLAGS; the ts_cusum_changepoint two-pass
+    prefix-sum swap applies if the timeline ever outgrows one task)."""
+    e = load(spark, sf_dir, "events")
+    cents = quantize_long("value", 2)
+    daily = (
+        e.select(
+            F.col("ts").cast("date").alias("day"),
+            F.when(F.col("event_type") == "click", cents)
+            .otherwise(F.lit(0))
+            .alias("xc"),
+            F.when(F.col("event_type") == "view", cents)
+            .otherwise(F.lit(0))
+            .alias("yc"),
+        )
+        .groupBy("day")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+    )
+    win = W.orderBy("day").rowsBetween(-6, W.currentRow)
+    w = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    return w.filter(F.col("n") >= 3).select(
+        "day",
+        F.expr("CAST(x AS DOUBLE) / 1e2").alias("click_value"),
+        F.expr("CAST(y AS DOUBLE) / 1e2").alias("view_value"),
+        "n",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+        ).alias("corr7"),
+    )
+
+
+# --- ts_holt_linear -------------------------------------------------------------
+
+#: Holt's recursion in INTEGER cents with dyadic alpha = beta = 1/2:
+#: level' = floor((x + level + trend) / 2),
+#: trend' = floor((level' - level + trend) / 2).
+#: Every halving is floor() of an exactly-representable double (values
+#: stay far below 2^52), so both engines produce identical integers at
+#: every step — the recursion is exact, not approximately reproducible.
+_HOLT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY day
+),
+idxed AS (
+  SELECT day, cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+  FROM daily
+),
+holt AS (
+  SELECT i, day, cents, cents AS level, CAST(0 AS BIGINT) AS trend
+  FROM idxed WHERE i = 1
+  UNION ALL
+  SELECT n.i, n.day, n.cents,
+         CAST(floor(CAST(n.cents + h.level + h.trend AS DOUBLE)
+                    / CAST(2.0 AS DOUBLE)) AS BIGINT) AS level,
+         CAST(floor((CAST(floor(CAST(n.cents + h.level + h.trend AS DOUBLE)
+                                / CAST(2.0 AS DOUBLE)) AS BIGINT)
+                     - h.level + h.trend)
+                    / CAST(2.0 AS DOUBLE)) AS BIGINT) AS trend
+  FROM holt h JOIN idxed n ON n.i = h.i + 1
+)
+SELECT day, CAST(cents AS DOUBLE) / 1e2 AS daily_value,
+       CAST(level AS DOUBLE) / 1e2 AS level,
+       CAST(trend AS DOUBLE) / 1e2 AS trend,
+       CAST(level + trend AS DOUBLE) / 1e2 AS forecast_next
+FROM holt
+"""
+
+_HOLT_ORACLE = _HOLT_ORACLE.replace("WITH daily", "WITH RECURSIVE daily", 1)
+
+
+@query("ts_holt_linear", oracle=_HOLT_ORACLE, tier=3)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) over the daily
+    total value series — the forecasting baseline one notch above
+    ts_ewma_smooth (which has no trend state and lags ramps by
+    construction). Emits per-day level, trend, and the one-step-ahead
+    forecast level + trend.
+
+    The recursion is deliberately INTEGER Holt with dyadic
+    alpha = beta = 1/2: state lives in exact cents, every update is a
+    floor of an exactly-representable halving, so Spark's runtime
+    aggregate() fold and DuckDB's recursive CTE — structurally different
+    evaluators — are bit-identical at every step (no float carry to
+    drift; the determinism note above the oracle).
+
+    Shape: one day-keyed aggregate reduces the fact table to the O(days)
+    series — the only data-sized shuffle; the inherently-sequential
+    recursion then runs as ONE runtime aggregate() lambda over the
+    sorted (day, cents) array folded to a single row (the
+    ext_mmr_diversify small-array pattern — model-sized at any corpus:
+    a decade is ~3.7k entries) and posexplodes back to rows
+    (EXPECTED_FLAGS: 1-row folds, never data rows)."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("ts").cast("date").alias("day"),
+            quantize_long("value", 2).alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    series = daily.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "cents"))
+        ).alias("s")
+    )
+    # fold state: (level, trend, out: array<struct<day,cents,level,trend>>)
+    folded = series.select(
+        F.expr(
+            """
+            aggregate(
+              slice(s, 2, size(s) - 1),
+              named_struct(
+                'level', s[0].cents,
+                'trend', CAST(0 AS BIGINT),
+                'out', array(named_struct(
+                  'day', s[0].day, 'cents', s[0].cents,
+                  'level', s[0].cents, 'trend', CAST(0 AS BIGINT)))),
+              (acc, r) -> named_struct(
+                'level', CAST(floor(CAST(r.cents + acc.level + acc.trend
+                                         AS DOUBLE)
+                                    / CAST(2.0 AS DOUBLE)) AS BIGINT),
+                'trend', CAST(floor((CAST(floor(CAST(r.cents + acc.level
+                                                     + acc.trend AS DOUBLE)
+                                               / CAST(2.0 AS DOUBLE))
+                                         AS BIGINT)
+                                     - acc.level + acc.trend)
+                                    / CAST(2.0 AS DOUBLE)) AS BIGINT),
+                'out', array_append(acc.out, named_struct(
+                  'day', r.day, 'cents', r.cents,
+                  'level', CAST(floor(CAST(r.cents + acc.level + acc.trend
+                                           AS DOUBLE)
+                                      / CAST(2.0 AS DOUBLE)) AS BIGINT),
+                  'trend', CAST(floor((CAST(floor(CAST(r.cents + acc.level
+                                                       + acc.trend
+                                                       AS DOUBLE)
+                                                 / CAST(2.0 AS DOUBLE))
+                                           AS BIGINT)
+                                       - acc.level + acc.trend)
+                                      / CAST(2.0 AS DOUBLE)) AS BIGINT))))
+            )
+            """
+        ).alias("st")
+    )
+    rows = folded.select(F.explode("st.out").alias("r"))
+    return rows.select(
+        F.col("r.day").alias("day"),
+        F.expr("CAST(r.cents AS DOUBLE) / 1e2").alias("daily_value"),
+        F.expr("CAST(r.level AS DOUBLE) / 1e2").alias("level"),
+        F.expr("CAST(r.trend AS DOUBLE) / 1e2").alias("trend"),
+        F.expr("CAST(r.level + r.trend AS DOUBLE) / 1e2").alias(
+            "forecast_next"
+        ),
+    )

@@ -935,3 +935,250 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(NULLIF(MAX(total), 0) AS DOUBLE)"
         ).alias("cum_share_end"),
     )
+
+
+# --- win_moving_stddev --------------------------------------------------------
+
+_BOLL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day
+),
+w AS (
+  SELECT event_type, day, cents,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n7,
+         CAST(SUM(cents) OVER win AS BIGINT) AS s7,
+         CAST(SUM(cents * cents) OVER win AS BIGINT) AS ss7
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(cents AS DOUBLE) / 1e2 AS daily_value,
+       n7,
+       CAST(s7 AS DOUBLE) / (n7 * 1e2) AS ma7,
+       sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE))
+         / (CAST(n7 AS DOUBLE) * 1e2) AS sd7,
+       CAST(s7 AS DOUBLE) / (n7 * 1e2)
+         + CAST(2.0 AS DOUBLE) * sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE))
+             / (CAST(n7 AS DOUBLE) * 1e2) AS band_upper,
+       CAST(s7 AS DOUBLE) / (n7 * 1e2)
+         - CAST(2.0 AS DOUBLE) * sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE))
+             / (CAST(n7 AS DOUBLE) * 1e2) AS band_lower
+FROM w
+"""
+
+
+@query("win_moving_stddev", oracle=_BOLL_ORACLE, tier=2)
+def win_moving_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over each event type's daily value series: 7-day
+    trailing mean, population stddev, and mean +- 2 sigma — the anomaly
+    envelope a usage-monitoring dashboard draws around every metric
+    (win_moving_avg_range's missing second moment; ts_anomaly_mad is the
+    robust sibling).
+
+    Exactness: daily sums are exact integer cents; the window's n/sum/
+    sum-of-squares are exact BIGINT, so the variance numerator
+    n*ss - s^2 is an exact integer and sigma is ONE IEEE sqrt of it
+    (sqrt is correctly rounded per IEEE 754, so both engines agree to
+    the last bit); the bands are shared-text arithmetic on those exact
+    inputs. Integer bounds: daily cents ~1e9 at 100x this fixture keep
+    cents^2 * 7 inside int64; beyond that the ss window widens to
+    DECIMAL(38,0) (documented, not needed here).
+
+    Shape: one (event_type, day) aggregate — the only data-sized
+    shuffle — then all three window statistics ride ONE event_type-keyed
+    exchange over the O(types x days) daily frame; nothing global
+    anywhere."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            quantize_long("value", 2).alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n7"),
+        F.sum("cents").over(win).alias("s7"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("ss7"),
+    )
+    return w.select(
+        "event_type",
+        "day",
+        F.expr("CAST(cents AS DOUBLE) / 1e2").alias("daily_value"),
+        "n7",
+        F.expr("CAST(s7 AS DOUBLE) / (n7 * 1e2)").alias("ma7"),
+        F.expr(
+            "sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE))"
+            " / (CAST(n7 AS DOUBLE) * 1e2)"
+        ).alias("sd7"),
+        F.expr(
+            "CAST(s7 AS DOUBLE) / (n7 * 1e2)"
+            " + CAST(2.0 AS DOUBLE)"
+            " * sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE))"
+            " / (CAST(n7 AS DOUBLE) * 1e2)"
+        ).alias("band_upper"),
+        F.expr(
+            "CAST(s7 AS DOUBLE) / (n7 * 1e2)"
+            " - CAST(2.0 AS DOUBLE)"
+            " * sqrt(CAST(n7 * ss7 - s7 * s7 AS DOUBLE))"
+            " / (CAST(n7 AS DOUBLE) * 1e2)"
+        ).alias("band_lower"),
+    )
+
+
+# --- win_running_distinct -------------------------------------------------------
+
+_RUNDIST_ORACLE = """
+WITH first_seen AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY event_type, user_id
+),
+new_by_day AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY event_type, day
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM new_by_day
+"""
+
+
+@query("win_running_distinct", oracle=_RUNDIST_ORACLE, tier=2)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the audience-
+    growth curve every product dashboard draws. A naive per-day
+    COUNT(DISTINCT) over an expanding window re-scans history O(days)
+    times; the first-seen identity (cumulative distinct == running sum
+    of first-occurrence counts, the prof_heaps_law trick) computes the
+    whole curve in two keyed aggregates and one prefix-sum window.
+
+    Exactness: all counts are exact integers; MIN(date) per (type, user)
+    is deterministic.
+
+    Shape: one (type, user) aggregate — the only data-sized shuffle —
+    collapses the fact table to distinct memberships; the per-day count
+    and the running sum ride (type)-keyed exchanges over O(types x days)
+    rows. At 100 TB nothing ever holds a distinct-set in memory: the
+    identity turns distinct-counting into pure additive prefix sums."""
+    e = load(spark, sf_dir, "events")
+    first_seen = (
+        e.select(
+            "event_type",
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("day"))
+    )
+    new_by_day = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    return new_by_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users")
+        .over(
+            W.partitionBy("event_type")
+            .orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum_distinct_users"),
+    )
+
+
+# --- win_yoy_growth -------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS prio,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS idx,
+         CAST(SUM(CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY prio, idx
+),
+lagged AS (
+  SELECT prio, idx, cents,
+         lag(cents, 12) OVER w AS prev_cents,
+         lag(idx, 12) OVER w AS prev_idx
+  FROM m WINDOW w AS (PARTITION BY prio ORDER BY idx)
+)
+SELECT prio,
+       (idx // 12) * 100 + (idx % 12) + 1 AS ym,
+       CAST(cents AS DOUBLE) / 1e2 AS revenue,
+       CASE WHEN prev_idx = idx - 12
+            THEN CAST(prev_cents AS DOUBLE) / 1e2 END AS revenue_prior_year,
+       CASE WHEN prev_idx = idx - 12
+            THEN CAST(cents - prev_cents AS DOUBLE)
+                   / CAST(NULLIF(prev_cents, 0) AS DOUBLE) END AS yoy_growth
+FROM lagged
+"""
+
+
+@query("win_yoy_growth", oracle=_YOY_ORACLE, tier=2)
+def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: monthly revenue
+    with the same-month-last-year comparison and growth rate — the
+    first number on any revenue report. The 12-row lag is GAP-GUARDED:
+    lag(idx, 12) must equal idx - 12 or the comparison nulls out, so a
+    missing month can never silently compare against month-13 (the
+    classic offset-window bug).
+
+    Exactness: revenue is exact cents; the growth rate is one
+    shared-text IEEE division of exact integers, NULLIF-guarded.
+
+    Shape: one (priority, month) aggregate — the only data-sized
+    shuffle — then both lags ride ONE priority-keyed window over the
+    O(priorities x months) frame."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("idx"),
+            quantize_long("o_totalprice", 2).alias("c"),
+        )
+        .groupBy("prio", "idx")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = W.partitionBy("prio").orderBy("idx")
+    lagged = m.select(
+        "prio",
+        "idx",
+        "cents",
+        F.lag("cents", 12).over(w).alias("prev_cents"),
+        F.lag("idx", 12).over(w).alias("prev_idx"),
+    )
+    return lagged.select(
+        "prio",
+        F.expr("(idx DIV 12) * 100 + (idx % 12) + 1").alias("ym"),
+        F.expr("CAST(cents AS DOUBLE) / 1e2").alias("revenue"),
+        F.expr(
+            "CASE WHEN prev_idx = idx - 12"
+            " THEN CAST(prev_cents AS DOUBLE) / 1e2 END"
+        ).alias("revenue_prior_year"),
+        F.expr(
+            "CASE WHEN prev_idx = idx - 12"
+            " THEN CAST(cents - prev_cents AS DOUBLE)"
+            " / CAST(NULLIF(prev_cents, 0) AS DOUBLE) END"
+        ).alias("yoy_growth"),
+    )

@@ -378,6 +378,17 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "O(langs) marginal aggregates + 1-row macro folds (never "
             "docs; ext_lang_id's plan upstream)"
         ),
+        "ts_rolling_corr": (
+            "six rolling moments over the O(days) daily frame "
+            "(model-sized at any corpus; the ts_cusum_changepoint "
+            "two-pass prefix-sum swap applies)"
+        ),
+        "ts_holt_linear": (
+            "1-row sorted-series fold feeding the runtime Holt "
+            "aggregate() (the ext_mmr_diversify small-array pattern; "
+            "the recursion is inherently sequential and the series is "
+            "O(days))"
+        ),
         "ext_kappa_agreement": (
             "<= 4-row agreement grid + 1-row metric fold (O(cells), "
             "never docs)"
