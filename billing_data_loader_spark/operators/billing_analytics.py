@@ -1070,3 +1070,83 @@ def ext_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_cents").alias("monetary_cents"),
         F.sum("recency_days").alias("recency_days_sum"),
     )
+
+
+# --- bill_discount_impact -----------------------------------------------------
+
+#: Discount rates in lineitem are exact 2dp values (0.00 .. 0.10); keying
+#: the profile on the INTEGER percent bucket keeps membership exact.
+_DISC_ORACLE = f"""
+WITH li AS (
+  SELECT CAST(floor(l_discount * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS disc_pct,
+         l_extendedprice AS px,
+         l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) AS net,
+         l_quantity AS qty
+  FROM lineitem
+),
+b AS (
+  SELECT disc_pct,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         {o_dsum("px", "gross", 2)},
+         {o_dsum("net", "net", 4)},
+         {o_dsum("qty", "qty_sum", 2)}
+  FROM li GROUP BY disc_pct
+),
+t AS (SELECT SUM(n_items) AS n_total FROM b)
+SELECT disc_pct, n_items, gross, net,
+       gross - net AS discount_given,
+       qty_sum,
+       CAST(n_items AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS item_share,
+       (gross - net) / gross AS effective_rate
+FROM b CROSS JOIN t
+"""
+
+
+@query("bill_discount_impact", oracle=_DISC_ORACLE, tier=2)
+def bill_discount_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth profile: for every discount percent bucket, the
+    line-item count, gross vs net revenue, total discount given,
+    quantity moved, and the realized effective rate — the pricing-team
+    read ("is 6% discount actually moving more volume than 5%?") that
+    anchors margin reviews; the per-month revenue trend lives in
+    win_yoy_growth, this is its pricing cross-section.
+
+    Exactness: bucket membership is an integer percent (discounts are
+    exact 2dp rates, floor(x*100 + 0.5) can never straddle a boundary);
+    gross/net/qty are floor-quantized per row (scale 2/4/2) before the
+    DECIMAL(38,0) sums (the determinism.o_dsum discipline); shares and
+    effective rates are shared-text divisions of those exact sums.
+
+    Shape: one map-side bucket projection, ONE 11-group aggregate with
+    full partial aggregation (the exchange carries one row per bucket
+    per task), a 1-row total fold broadcast back (EXPECTED_FLAGS). The
+    fact table is read once, projected to 3 columns at the scan."""
+    li = load(spark, sf_dir, "lineitem").select(
+        quantize_long("l_discount", 2).alias("disc_pct"),
+        F.col("l_extendedprice").alias("px"),
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("net"),
+        F.col("l_quantity").alias("qty"),
+    )
+    b = li.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("px", "gross", 2),
+        dsum("net", "net", 4),
+        dsum("qty", "qty_sum", 2),
+    )
+    t = b.agg(F.sum("n_items").alias("n_total"))
+    return b.crossJoin(F.broadcast(t)).select(
+        "disc_pct",
+        "n_items",
+        "gross",
+        "net",
+        (F.col("gross") - F.col("net")).alias("discount_given"),
+        "qty_sum",
+        F.expr(
+            "CAST(n_items AS DOUBLE) / CAST(n_total AS DOUBLE)"
+        ).alias("item_share"),
+        F.expr("(gross - net) / gross").alias("effective_rate"),
+    )

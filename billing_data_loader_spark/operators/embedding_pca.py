@@ -267,3 +267,189 @@ def ext_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("xs").alias("dim", "loading"),
         F.col("eig").alias("eigenvalue"),
     ).select("dim", "loading", "eigenvalue")
+
+
+# --- ext_embedding_anisotropy ---------------------------------------------------
+
+#: Unit-component quantizer. Components int-quantize at 1e6 TWICE: raw
+#: floats first (so the norm is an exact integer and sqrt/divide are the
+#: identical correctly-rounded IEEE ops in both engines), then the unit
+#: components (so all cross-row sums are exact BIGINT). |S|^2 widens to
+#: DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the prof_corr_matrix
+#: overflow stance: per-dim sums square past int64 beyond ~9e3 vectors.
+_ANISO_Q = "1e6"
+
+_ANISO_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_ANISO_Q}
+                           + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS e
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id, label,
+         list_transform(e, v -> CAST(floor(
+           CAST(v AS DOUBLE)
+             / sqrt(CAST(list_aggregate(
+                 list_transform(e, w -> w * w), 'sum') AS DOUBLE))
+           * {_ANISO_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS uq
+  FROM q
+),
+rows_q AS (
+  SELECT vec_id, label,
+         CAST(list_aggregate(list_transform(uq, w -> w * w), 'sum')
+              AS BIGINT) AS qn2,
+         uq
+  FROM u
+),
+ld AS (
+  SELECT label, unnest(range(1, 65)) AS dim, unnest(uq) AS qv
+  FROM rows_q
+),
+sums AS (
+  SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s
+  FROM ld GROUP BY label, dim
+),
+lab AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qn2) AS BIGINT) AS qn2
+  FROM rows_q GROUP BY label
+),
+per_label AS (
+  SELECT s.label, lab.n,
+         CAST((SUM(CAST(s.s AS HUGEINT) * s.s) - MAX(lab.qn2)) AS DOUBLE)
+           / (CAST(lab.n * (lab.n - 1) AS DOUBLE) * {_ANISO_Q} * {_ANISO_Q})
+           AS mean_pairwise_cosine
+  FROM sums s JOIN lab ON s.label = lab.label
+  GROUP BY s.label, lab.n
+),
+overall AS (
+  SELECT CAST(-1 AS INTEGER) AS label,
+         (SELECT CAST(SUM(n) AS BIGINT) FROM lab) AS n,
+         CAST((SUM(CAST(sd AS HUGEINT) * sd)
+               - (SELECT SUM(qn2) FROM lab)) AS DOUBLE)
+           / (CAST((SELECT SUM(n) FROM lab)
+                   * ((SELECT SUM(n) FROM lab) - 1) AS DOUBLE)
+              * {_ANISO_Q} * {_ANISO_Q}) AS mean_pairwise_cosine
+  FROM (SELECT dim, CAST(SUM(s) AS BIGINT) AS sd FROM sums GROUP BY dim)
+)
+SELECT label, n, mean_pairwise_cosine FROM per_label
+UNION ALL
+SELECT label, n, mean_pairwise_cosine FROM overall
+"""
+
+
+@query("ext_embedding_anisotropy", oracle=_ANISO_ORACLE, tier=3)
+def ext_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy audit: mean pairwise cosine similarity over
+    all vector pairs, per label and overall (label -1) — the Ethayarajh-
+    style cone check run on every encoder snapshot (anisotropic spaces
+    break cosine-threshold dedup and ANN recall; a drift here means the
+    encoder changed, the complement to ext_pca_power_iteration's
+    dominant-direction read).
+
+    The identity that makes this distributed: for unit vectors,
+    sum over i != j of u_i . u_j == |sum u|^2 - sum |u_i|^2 — so the
+    all-pairs mean needs only the per-dimension component SUMS (64
+    numbers per label), never a pairwise join: one linear scan replaces
+    the O(n^2) cosine matrix at ANY corpus size.
+
+    Exactness: components int-quantize at 1e6 twice (raw floats first,
+    making the norm an exact integer so sqrt/divide are identical
+    correctly-rounded IEEE ops in both engines; then the unit
+    components), so every cross-row sum is exact BIGINT; |S|^2 widens to
+    DECIMAL(38,0)/HUGEINT (the ts_acf stance), and the mean is one
+    shared-text division. n*(n-1) stays in int64 to ~3e9 vectors
+    (documented).
+
+    Shape: scan -> map-side quantize -> posexplode -> ONE (label, dim)
+    aggregate (key space = labels x 64, never rows); the per-label and
+    overall folds run on that model-sized frame (EXPECTED_FLAGS)."""
+    v = load(spark, sf_dir, "embeddings")
+    e = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            x.cast("double") * F.expr(_ANISO_Q) + F.lit(0.5)
+        ).cast("long"),
+    )
+    q = v.select("vec_id", "label", e.alias("e"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("e", lambda w: w * w),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    u = q.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "e",
+            lambda x: F.floor(
+                x.cast("double") / norm * F.expr(_ANISO_Q) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("uq"),
+    )
+    rows_q = u.select(
+        "label",
+        F.aggregate(
+            F.transform("uq", lambda w: w * w),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("qn2"),
+        "uq",
+    )
+    rows_q = scoped_persist(rows_q)
+    ld = rows_q.select(
+        "label", F.posexplode("uq").alias("pos", "qv")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "qv")
+    sums = scoped_persist(
+        ld.groupBy("label", "dim").agg(F.sum("qv").alias("s"))
+    )
+    lab = rows_q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qn2").alias("qn2")
+    )
+    qq = f"{_ANISO_Q} * {_ANISO_Q}"
+    per_label = (
+        sums.join(lab, "label")
+        .groupBy("label", "n")
+        .agg(
+            F.expr(
+                "CAST((SUM(CAST(s AS DECIMAL(38,0)) * s) - MAX(qn2))"
+                " AS DOUBLE)"
+            ).alias("num"),
+        )
+        .select(
+            "label",
+            "n",
+            (
+                F.col("num")
+                / F.expr(
+                    f"CAST(n * (n - 1) AS DOUBLE) * {qq}"
+                )
+            ).alias("mean_pairwise_cosine"),
+        )
+    )
+    tot = lab.agg(
+        F.sum("n").alias("n"), F.sum("qn2").alias("qn2")
+    )
+    overall = (
+        sums.groupBy("dim")
+        .agg(F.sum("s").alias("sd"))
+        .agg(
+            F.expr(
+                "SUM(CAST(sd AS DECIMAL(38,0)) * sd)"
+            ).alias("s2")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(-1).cast("int").alias("label"),
+            "n",
+            F.expr(
+                f"CAST(s2 - qn2 AS DOUBLE)"
+                f" / (CAST(n * (n - 1) AS DOUBLE) * {qq})"
+            ).alias("mean_pairwise_cosine"),
+        )
+    )
+    return per_label.unionAll(overall)

@@ -1264,3 +1264,158 @@ def ext_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# --- ext_split_leakage ----------------------------------------------------------
+
+_LEAK_SPLIT_CASE = (
+    "CASE WHEN substr(md5(CAST(doc_id AS {vtype}) || ':bdl-split-7'),"
+    " 1, 1) < 'c' THEN 'train'"
+    " WHEN substr(md5(CAST(doc_id AS {vtype}) || ':bdl-split-7'),"
+    " 1, 1) < 'e' THEN 'val' ELSE 'test' END"
+)
+
+_LEAK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS token
+  FROM toks
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+  FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.6
+)
+SELECT doc_a, doc_b, jaccard,
+       (SELECT {_LEAK_SPLIT_CASE.format(vtype="VARCHAR")}
+        FROM (SELECT doc_a AS doc_id)) AS split_a,
+       (SELECT {_LEAK_SPLIT_CASE.format(vtype="VARCHAR")}
+        FROM (SELECT doc_b AS doc_id)) AS split_b,
+       ((SELECT {_LEAK_SPLIT_CASE.format(vtype="VARCHAR")}
+         FROM (SELECT doc_a AS doc_id))
+        <> (SELECT {_LEAK_SPLIT_CASE.format(vtype="VARCHAR")}
+            FROM (SELECT doc_b AS doc_id))) AS is_leak
+FROM jac
+"""
+
+
+@query("ext_split_leakage", oracle=_LEAK_ORACLE, tier=3)
+def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: every near-duplicate pair
+    (3-gram Jaccard >= 0.6 within a language block) annotated with the
+    two docs' train/val/test assignments and a leak flag — the check
+    run BEFORE trusting held-out metrics, because a val doc whose
+    near-twin sits in train inflates them silently (the
+    ext_decontaminate shape turned inward: benchmark-vs-corpus there,
+    split-vs-split here). Splits re-derive from the ext_train_split_hash
+    salt map-side, so the audit binds to the exact assignment training
+    uses.
+
+    The pair set is the exact >= 0.6 set: candidates come from the
+    sibling MinHash banding (32x2 — the recall budget whose exhaustive
+    fixture-pin lives in tests/test_round12b.py) over ONE signature pass,
+    and every candidate is exactly verified by hash-set intersection, so
+    the banding can only MISS (never admit) and the fixture pin bounds
+    that. Jaccard is an exact integer ratio — identical IEEE division
+    both engines, no rounding.
+
+    Shape: one shuffle builds per-doc shingle sets + 64 minhashes
+    (collect_set + parallel min aggregates); the band self-join keys on
+    (lang, band, band_sig) with doc_a < doc_b; exact verification
+    touches O(candidates) rows via two joins on the persisted signature
+    frame. Nothing scales with pairs-across-the-corpus — only with
+    near-duplicate density, exactly like the production GPT-3/RefinedWeb
+    dedup loops this models."""
+    d = load(spark, sf_dir, "documents")
+    tok = _hashed_shingle_tokens(
+        d.select("doc_id", "text", "lang"), distinct=False
+    )
+    sig = scoped_persist(
+        tok.groupBy("doc_id", "lang").agg(
+            F.collect_set("th").alias("ths"),
+            *[
+                F.min(F.xxhash64("th", F.lit(s))).alias(f"h{s}")
+                for s in range(_N_HASHES)
+            ],
+        )
+    )
+    n_bands = _N_HASHES // _BAND_SIZE
+    band_sigs = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"h{b * _BAND_SIZE + r}")
+                        for r in range(_BAND_SIZE)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "lang", F.posexplode(band_sigs).alias("band", "band_sig")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    asets = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ths").alias("a_ths"),
+        F.size("ths").alias("an"),
+    )
+    bsets = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ths").alias("b_ths"),
+        F.size("ths").alias("bn"),
+    )
+    n_common = F.size(F.array_intersect(F.col("a_ths"), F.col("b_ths")))
+    jac = n_common.cast("double") / (
+        F.col("an") + F.col("bn") - n_common
+    )
+    verified = (
+        cand.join(asets, "doc_a")
+        .join(bsets, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    split_a = F.expr(
+        _LEAK_SPLIT_CASE.format(vtype="STRING").replace("doc_id", "doc_a")
+    )
+    split_b = F.expr(
+        _LEAK_SPLIT_CASE.format(vtype="STRING").replace("doc_id", "doc_b")
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        split_a.alias("split_a"),
+        split_b.alias("split_b"),
+        (split_a != split_b).alias("is_leak"),
+    )

@@ -946,3 +946,85 @@ def prof_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("round(mi / sqrt(h_x * h_y), 6)").alias("nmi"),
         )
     )
+
+
+# --- prof_inclusion_dependency ----------------------------------------------
+
+#: Candidate inclusion dependencies (lhs_table.lhs_col ⊆ rhs_table.rhs_col):
+#: the fixture's real FK edges plus deliberate non-INDs (reversed edges and
+#: a cross-domain decoy) so both verdicts are exercised.
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("nation", "n_nationkey", "customer", "c_nationkey"),
+    ("region", "r_regionkey", "part", "p_size"),
+]
+
+_IND_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{lt}.{lc}' AS lhs, '{rt}.{rc}' AS rhs,
+       (SELECT CAST(COUNT(DISTINCT {lc}) AS BIGINT) FROM {lt}
+        WHERE {lc} IS NOT NULL) AS n_lhs_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {lc} AS v FROM {lt} WHERE {lc} IS NOT NULL) l
+        WHERE NOT EXISTS
+          (SELECT 1 FROM {rt} r WHERE r.{rc} = l.v)) AS n_violations,
+       ((SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {lc} AS v FROM {lt} WHERE {lc} IS NOT NULL) l
+        WHERE NOT EXISTS
+          (SELECT 1 FROM {rt} r WHERE r.{rc} = l.v)) = 0) AS holds
+"""
+    for lt, lc, rt, rc in _IND_CANDIDATES
+)
+
+
+@query("prof_inclusion_dependency", oracle=_IND_ORACLE, tier=2)
+def prof_inclusion_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency discovery (the Binder/profiling-suite IND
+    check): for each candidate column pair, does every distinct non-null
+    lhs value appear in the rhs column? Reports distinct count, violation
+    count, and the verdict — the foreign-key-candidate / referential-
+    integrity profile a warehouse runs before declaring join paths. The
+    candidate set carries the fixture's real FK edges AND reversed/decoy
+    pairs so a broken checker cannot pass by answering 'true' uniformly.
+
+    Exactness: pure distinct/count integer arithmetic; no floats at all.
+
+    Shape: per candidate, ONE distinct on the lhs column (map-side
+    combined — the only data-sized exchange, carrying distinct values,
+    not rows) and a LEFT ANTI join against the rhs distinct set; dim-
+    sized rhs sides broadcast. The 8 candidate mini-plans union into an
+    8-row result. At 100 TB each candidate is a column-pruned scan pair —
+    the parquet reader never materializes the wide rows — and candidates
+    evaluate independently (embarrassingly parallel across a fleet)."""
+    out = None
+    for lt, lc, rt, rc in _IND_CANDIDATES:
+        lhs = (
+            load(spark, sf_dir, lt)
+            .select(F.col(lc).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        rhs = (
+            load(spark, sf_dir, rt)
+            .select(F.col(rc).alias("v"))
+            .distinct()
+        )
+        viol = lhs.join(rhs, "v", "left_anti")
+        row = lhs.agg(
+            F.count(F.lit(1)).alias("n_lhs_distinct")
+        ).crossJoin(
+            viol.agg(F.count(F.lit(1)).alias("n_violations"))
+        ).select(
+            F.lit(f"{lt}.{lc}").alias("lhs"),
+            F.lit(f"{rt}.{rc}").alias("rhs"),
+            "n_lhs_distinct",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

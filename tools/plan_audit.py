@@ -383,6 +383,19 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "(model-sized at any corpus; the ts_cusum_changepoint "
             "two-pass prefix-sum swap applies)"
         ),
+        "ext_embedding_anisotropy": (
+            "per-label and overall |S|^2 folds over the O(labels x 64) "
+            "component-sum frame (model-sized; the corpus never "
+            "pair-joins — that is the operator's point)"
+        ),
+        "prof_inclusion_dependency": (
+            "per-candidate 1-row distinct/violation count folds "
+            "(O(tasks) partials; 8 candidate mini-plans)"
+        ),
+        "bill_discount_impact": (
+            "1-row item-total fold over the 11-bucket frame (share "
+            "denominator)"
+        ),
         "ts_holt_linear": (
             "1-row sorted-series fold feeding the runtime Holt "
             "aggregate() (the ext_mmr_diversify small-array pattern; "
@@ -643,6 +656,17 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_brier_score": (
             "1-row overall-Brier fold broadcast onto the 2-row class "
             "frame"
+        ),
+        "ext_embedding_anisotropy": (
+            "1-row (n, qn2) total fold broadcast onto the overall "
+            "|S|^2 row"
+        ),
+        "prof_inclusion_dependency": (
+            "per-candidate crossJoin of two 1-row count folds "
+            "(distinct count x violation count)"
+        ),
+        "bill_discount_impact": (
+            "1-row broadcast item-total fold (share denominator)"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
