@@ -13,7 +13,7 @@ predicate pushdown + column pruning verified via .explain in tests).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.determinism import (
@@ -24,6 +24,7 @@ from ..functions.determinism import (
     o_davg,
     o_dsum,
     o_dsum_expr,
+    quantize_long,
 )
 from ..plans.registry import query
 from ..tables import load
@@ -637,4 +638,104 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_users_1997"
             ),
         )
+    )
+
+
+# --- agg_weighted_median --------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(floor(l_extendedprice * 1e2 + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS cents,
+         CAST(floor(l_quantity + CAST(0.5 AS DOUBLE)) AS BIGINT) AS w
+  FROM lineitem
+),
+g AS (
+  SELECT rf, ls, cents, CAST(SUM(w) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM li GROUP BY rf, ls, cents
+),
+c AS (
+  SELECT rf, ls, cents, n, w,
+         CAST(SUM(w) OVER (PARTITION BY rf, ls ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY rf, ls) AS BIGINT) AS total,
+         CAST(SUM(n) OVER (PARTITION BY rf, ls) AS BIGINT) AS n_items
+  FROM g
+)
+SELECT rf, ls, MAX(n_items) AS n_items, MAX(total) AS total_weight,
+       CAST(MIN(CASE WHEN 4 * cum >= total THEN cents END) AS DOUBLE)
+         / 1e2 AS wp25,
+       CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END) AS DOUBLE)
+         / 1e2 AS weighted_median,
+       CAST(MIN(CASE WHEN 4 * cum >= 3 * total THEN cents END) AS DOUBLE)
+         / 1e2 AS wp75
+FROM c GROUP BY rf, ls
+"""
+
+
+@query("agg_weighted_median", oracle=_WMED_ORACLE, tier=2)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price quartiles per (returnflag, linestatus):
+    the smallest price whose cumulative quantity weight covers 25/50/75%
+    of the group's total — "the price of the median unit SOLD", which
+    agg_percentiles' row-median cannot answer (a 1-unit line and a
+    50-unit line count equally there).
+
+    Exactness: prices collapse to exact integer cents, weights to exact
+    integer units, so cumulative weights and the 4*cum >= k*total
+    boundary tests are pure integer cross-multiplications — no
+    interpolation, no float boundary anywhere; the output division by
+    100 is shared text.
+
+    Shape: one (group, cents) aggregate collapses the fact table to
+    distinct price points per group (the only data-sized exchange, with
+    full map-side combine); the cumulative window rides a group-keyed
+    exchange over the distinct-price frame (bounded by price support,
+    not rows); the quartile picks are conditional MINs in the final
+    O(groups)-row aggregate. At 100 TB the swap for a giant
+    distinct-price frame is the two-pass bucketed prefix sum
+    (ts_cusum pattern) — same as any exact order statistic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        quantize_long("l_extendedprice", 2).alias("cents"),
+        quantize_long("l_quantity", 0).alias("w"),
+    )
+    g = li.groupBy("rf", "ls", "cents").agg(
+        F.sum("w").alias("w"), F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        W.partitionBy("rf", "ls")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("rf", "ls")
+    c = g.select(
+        "rf",
+        "ls",
+        "cents",
+        "n",
+        "w",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("total"),
+        F.sum("n").over(wall).alias("n_items"),
+    )
+    return c.groupBy("rf", "ls").agg(
+        F.max("n_items").alias("n_items"),
+        F.max("total").alias("total_weight"),
+        F.expr(
+            "CAST(MIN(CASE WHEN 4 * cum >= total THEN cents END)"
+            " AS DOUBLE) / 1e2"
+        ).alias("wp25"),
+        F.expr(
+            "CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END)"
+            " AS DOUBLE) / 1e2"
+        ).alias("weighted_median"),
+        F.expr(
+            "CAST(MIN(CASE WHEN 4 * cum >= 3 * total THEN cents END)"
+            " AS DOUBLE) / 1e2"
+        ).alias("wp75"),
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import query
+from ..session import scoped_persist
 from ..tables import load
 
 _DAMP = 0.85
@@ -448,3 +449,110 @@ def ext_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_direct", F.lit(0)).alias("is_direct"),
         )
     )
+
+
+# --- ext_hits_lite --------------------------------------------------------------
+
+_HITS_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+a1 AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS s FROM edges GROUP BY part
+),
+h1 AS (
+  SELECT e.cust, CAST(SUM(a1.s) AS BIGINT) AS s
+  FROM edges e JOIN a1 ON a1.part = e.part GROUP BY e.cust
+),
+a2 AS (
+  SELECT e.part, CAST(SUM(h1.s) AS BIGINT) AS s
+  FROM edges e JOIN h1 ON h1.cust = e.cust GROUP BY e.part
+),
+ta AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM a2),
+th AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM h1),
+top_a AS (
+  SELECT 'authority' AS kind, part AS node_id, s,
+         CAST(s AS DOUBLE) / CAST(ta.t AS DOUBLE) AS norm_score
+  FROM a2 CROSS JOIN ta ORDER BY s DESC, part ASC LIMIT 20
+),
+top_h AS (
+  SELECT 'hub' AS kind, cust AS node_id, s,
+         CAST(s AS DOUBLE) / CAST(th.t AS DOUBLE) AS norm_score
+  FROM h1 CROSS JOIN th ORDER BY s DESC, cust ASC LIMIT 20
+)
+SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+"""
+
+
+@query("ext_hits_lite", oracle=_HITS_ORACLE, tier=3)
+def ext_hits_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs-and-authorities, Kleinberg) over the bipartite
+    customer <-> part purchase graph: 1.5 mutual-reinforcement rounds —
+    authority(part) = purchase degree, hub(cust) = sum of its parts'
+    authorities, authority(part) = sum of its buyers' hubs — then the
+    top-20 of each side with L1-normalized scores. The
+    ext_pagerank_lite companion for BIPARTITE influence ("which parts
+    anchor the catalog, which customers span it"); PageRank needs the
+    symmetrized walk, HITS reads the two roles directly.
+
+    Exactness: deliberately INTEGER HITS — with h0 = 1 every round is a
+    pure BIGINT degree/sum cascade (scores stay exact; growth is bounded
+    by degree^rounds, inside int64 far past this fixture), and
+    normalization is ONE shared-text division per row at the very end.
+    No per-round float normalization to drift (the reason real HITS
+    needs it — avoiding overflow across many rounds — does not bind at
+    2 rounds).
+
+    Shape: one distinct on (cust, part) — the only data-sized exchange;
+    each round is an equi-join on the persisted edge frame + a keyed
+    aggregate (full map-side combine); top-20s are TakeOrdered folds;
+    the two 1-row L1 totals broadcast back (EXPECTED_FLAGS)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = scoped_persist(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    a1 = edges.groupBy("part").agg(F.count(F.lit(1)).alias("s"))
+    h1 = scoped_persist(
+        edges.join(a1, "part")
+        .groupBy("cust")
+        .agg(F.sum("s").alias("s"))
+    )
+    a2 = edges.join(h1, "cust").groupBy("part").agg(
+        F.sum("s").alias("s")
+    )
+    ta = a2.agg(F.sum("s").alias("t"))
+    th = h1.agg(F.sum("s").alias("t"))
+    top_a = (
+        a2.orderBy(F.desc("s"), F.asc("part"))
+        .limit(20)
+        .crossJoin(F.broadcast(ta))
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("part").alias("node_id"),
+            "s",
+            F.expr("CAST(s AS DOUBLE) / CAST(t AS DOUBLE)").alias(
+                "norm_score"
+            ),
+        )
+    )
+    top_h = (
+        h1.orderBy(F.desc("s"), F.asc("cust"))
+        .limit(20)
+        .crossJoin(F.broadcast(th))
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("cust").alias("node_id"),
+            "s",
+            F.expr("CAST(s AS DOUBLE) / CAST(t AS DOUBLE)").alias(
+                "norm_score"
+            ),
+        )
+    )
+    return top_a.unionAll(top_h)

@@ -839,3 +839,111 @@ def ext_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("status"),
         F.coalesce("b_rows", "a_rows").alias("size_rows"),
     )
+
+
+# --- ext_zonemap_skipping -------------------------------------------------------
+
+#: The audit's probe predicate: one calendar year mid-range, the shape of
+#: every dashboard's date filter.
+_ZM_LO = "1995-01-01"
+_ZM_HI = "1995-12-31"
+_ZM_FILES = 16
+
+_ZM_ORACLE = f"""
+WITH assigned AS (
+  SELECT CAST(o_orderkey % {_ZM_FILES} AS BIGINT) AS f_ins,
+         CAST((year(o_orderdate) * 12 + month(o_orderdate) - 1)
+              % {_ZM_FILES} AS BIGINT) AS f_date,
+         o_orderdate AS d
+  FROM orders
+),
+both_layouts AS (
+  SELECT 'insertion' AS layout, f_ins AS file_id, d FROM assigned
+  UNION ALL
+  SELECT 'date_bucketed' AS layout, f_date AS file_id, d FROM assigned
+),
+zm AS (
+  SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(d) AS min_date, MAX(d) AS max_date,
+         CAST(COUNT(*) FILTER (d BETWEEN DATE '{_ZM_LO}'
+                               AND DATE '{_ZM_HI}') AS BIGINT)
+           AS n_matching
+  FROM both_layouts GROUP BY layout, file_id
+)
+SELECT layout, file_id, n_rows, min_date, max_date, n_matching,
+       (max_date < DATE '{_ZM_LO}' OR min_date > DATE '{_ZM_HI}')
+         AS skipped,
+       CAST(SUM(CASE WHEN max_date < DATE '{_ZM_LO}'
+                       OR min_date > DATE '{_ZM_HI}'
+                     THEN n_rows ELSE 0 END)
+            OVER (PARTITION BY layout) AS BIGINT) AS layout_rows_skipped
+FROM zm
+"""
+
+
+@query("ext_zonemap_skipping", oracle=_ZM_ORACLE, tier=2)
+def ext_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max file-statistics) skip-rate audit: the same fact
+    rows laid out two ways — insertion order (orderkey mod 16) vs
+    date-bucketed (month mod 16) — with each synthetic file's min/max
+    date stats and whether a one-year probe predicate can SKIP it
+    entirely. The number a table-layout owner reads before paying for a
+    re-cluster: on insertion order every file straddles the full date
+    range (0 skipped — zone maps are useless on uncorrelated layouts);
+    date-bucketed, most files prune. ext_zorder_layout PRODUCES such a
+    layout; this measures what any layout is worth, and scan_dpp /
+    scan_partition_pruned are the engine-enforced versions of the same
+    physics.
+
+    Exactness: pure MIN/MAX/COUNT over exact dates and integers; the
+    skip test is shared-text date comparison (zone-map skipping is
+    conservative by definition: skipped implies n_matching = 0, pinned
+    in tests).
+
+    Shape: one map-side file assignment (both layouts from the same
+    scan, unioned before the aggregate), ONE (layout, file) aggregate
+    with full combine — 32 groups at any corpus size — and a
+    layout-keyed window over the 32-row stats frame."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderdate").alias("d")
+    )
+    assigned = o.select(
+        (F.col("o_orderkey") % _ZM_FILES).alias("f_ins"),
+        (
+            (F.year("d") * 12 + F.month("d") - 1) % _ZM_FILES
+        ).cast("long").alias("f_date"),
+        "d",
+    )
+    both = assigned.select(
+        F.lit("insertion").alias("layout"),
+        F.col("f_ins").alias("file_id"),
+        "d",
+    ).unionAll(
+        assigned.select(
+            F.lit("date_bucketed").alias("layout"),
+            F.col("f_date").alias("file_id"),
+            "d",
+        )
+    )
+    in_probe = F.col("d").between(_ZM_LO, _ZM_HI)
+    zm = both.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("d").alias("min_date"),
+        F.max("d").alias("max_date"),
+        F.sum(in_probe.cast("long")).alias("n_matching"),
+    )
+    skipped = F.expr(
+        f"max_date < DATE '{_ZM_LO}' OR min_date > DATE '{_ZM_HI}'"
+    )
+    return zm.select(
+        "layout",
+        "file_id",
+        "n_rows",
+        "min_date",
+        "max_date",
+        "n_matching",
+        skipped.alias("skipped"),
+        F.sum(F.when(skipped, F.col("n_rows")).otherwise(F.lit(0)))
+        .over(Window.partitionBy("layout"))
+        .alias("layout_rows_skipped"),
+    )

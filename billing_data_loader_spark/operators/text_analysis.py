@@ -1712,3 +1712,180 @@ def prof_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ln_k"),
         F.col("n").alias("n_checkpoints"),
     )
+
+
+# --- ext_keyword_rake -----------------------------------------------------------
+
+_RAKE_TOPK = 20
+
+_RAKE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+stop AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC)
+      AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= 10
+),
+marked AS (
+  SELECT doc_id, token, pos,
+         CASE WHEN token IN (SELECT token FROM stop) THEN 1 ELSE 0 END
+           AS is_stop
+  FROM tok
+),
+segmented AS (
+  SELECT doc_id, token, pos, is_stop,
+         CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS phrase_id
+  FROM marked
+),
+members AS (
+  SELECT doc_id, phrase_id, token, pos,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS BIGINT)
+           AS plen
+  FROM segmented WHERE is_stop = 0
+),
+wstats AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM members GROUP BY token
+),
+wscore AS (
+  SELECT token,
+         CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) * 1e9
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sq
+  FROM wstats
+),
+phrases AS (
+  SELECT m.doc_id, m.phrase_id,
+         string_agg(m.token, ' ' ORDER BY m.pos) AS phrase,
+         MAX(m.plen) AS n_words,
+         CAST(SUM(w.sq) AS BIGINT) AS score_q
+  FROM members m JOIN wscore w ON m.token = w.token
+  GROUP BY m.doc_id, m.phrase_id
+)
+SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score_q) AS DOUBLE) / 1e9 AS rake_score
+FROM phrases
+GROUP BY phrase
+ORDER BY MAX(score_q) DESC, phrase ASC
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@query("ext_keyword_rake", oracle=_RAKE_ORACLE, tier=3)
+def ext_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are
+    maximal stopword-free token runs (stopwords = the corpus's global
+    top-10 tokens, the ext_quality_score set); each word scores
+    degree/frequency (degree = summed length of the phrases it appears
+    in), each phrase scores the sum of its member words; top-20 phrases
+    corpus-wide — the cheap keyphrase pass a curation pipeline runs for
+    topic tagging before anything embedding-based.
+
+    Exactness: freq/deg are exact integers; the word score deg/freq is
+    ONE identical IEEE division floor-quantized to the 1e9 grid, so
+    phrase scores are exact BIGINT sums (identical phrase strings carry
+    identical word multisets, hence identical scores — MAX is a no-op
+    disambiguator); the top-20 order (score desc, phrase asc) is total.
+
+    Shape: tokenize with positions map-side; the stopword set is a
+    10-row TakeOrdered broadcast; phrase segmentation is ONE doc-keyed
+    running-count window (the gaps-and-islands trick on the stop flag);
+    word stats are one token-keyed aggregate; phrase assembly is one
+    (doc, phrase) aggregate with the word scores broadcast back; top-20
+    is TakeOrderedAndProject. Every exchange keys on doc or token —
+    nothing global but the bounded stopword/top-k folds
+    (EXPECTED_FLAGS)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    stop = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(10)
+        .select("token", F.lit(1).alias("is_stop_m"))
+    )
+    marked = tok.join(F.broadcast(stop), "token", "left").select(
+        "doc_id",
+        "token",
+        "pos",
+        F.coalesce("is_stop_m", F.lit(0)).alias("is_stop"),
+    )
+    segmented = marked.withColumn(
+        "phrase_id",
+        F.sum("is_stop").over(
+            W.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    members = scoped_persist(
+        segmented.filter(F.col("is_stop") == 0).select(
+            "doc_id",
+            "phrase_id",
+            "token",
+            "pos",
+            F.count(F.lit(1))
+            .over(W.partitionBy("doc_id", "phrase_id"))
+            .alias("plen"),
+        )
+    )
+    wscore = (
+        members.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+        .select(
+            "token",
+            F.expr(
+                "CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)"
+                " * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("sq"),
+        )
+    )
+    phrases = (
+        members.join(wscore, "token")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("plen").alias("n_words"),
+            F.sum("sq").alias("score_q"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_q").alias("mq"),
+        )
+        .orderBy(F.desc("mq"), F.asc("phrase"))
+        .limit(_RAKE_TOPK)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            (F.col("mq").cast("double") / F.expr("1e9")).alias(
+                "rake_score"
+            ),
+        )
+    )

@@ -396,6 +396,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row item-total fold over the 11-bucket frame (share "
             "denominator)"
         ),
+        "ext_hits_lite": (
+            "two 1-row L1-total folds (hub/authority normalization "
+            "denominators; O(tasks) partials)"
+        ),
         "ts_holt_linear": (
             "1-row sorted-series fold feeding the runtime Holt "
             "aggregate() (the ext_mmr_diversify small-array pattern; "
@@ -667,6 +671,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         ),
         "bill_discount_impact": (
             "1-row broadcast item-total fold (share denominator)"
+        ),
+        "ext_hits_lite": (
+            "two 1-row broadcast L1-total folds onto the 20-row "
+            "TakeOrdered frames"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
