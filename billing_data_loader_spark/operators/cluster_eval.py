@@ -373,3 +373,160 @@ def ext_knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "majority_cnt",
         F.when(F.col("n_agree") == 0, 1).otherwise(0).alias("is_suspect"),
     )
+
+
+# --- ext_silhouette_simplified --------------------------------------------------
+
+#: Simplified (centroid-based, "medoid-free") silhouette: a(i) = squared
+#: distance to the OWN centroid, b(i) = min squared distance to any other
+#: centroid, s(i) = (b - a) / max(a, b). The O(n*k) approximation of the
+#: O(n^2) exact silhouette — the only form that exists at corpus scale.
+
+
+def _silhouette_oracle() -> str:
+    from ..functions.determinism import o_dsum_expr
+    from .ann import _KMEANS_ORACLE
+
+    mean9 = o_dsum_expr("val", 9)
+    return f"""
+WITH km AS MATERIALIZED ({_KMEANS_ORACLE}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+a AS (
+  SELECT km.vec_id, km.cluster_id, v.ve FROM km JOIN v USING (vec_id)
+),
+md AS (
+  SELECT cluster_id, dim, ({mean9} / COUNT(val)) AS m
+  FROM (
+    SELECT cluster_id, unnest(range(1, 65)) AS dim, unnest(ve) AS val
+    FROM a
+  ) GROUP BY cluster_id, dim
+),
+cents AS (
+  SELECT cluster_id AS cid, list(m ORDER BY dim) AS cv
+  FROM md GROUP BY cluster_id
+),
+pc AS (
+  SELECT a.vec_id, a.cluster_id, c.cid,
+         round(list_aggregate(list_transform(range(1, 65),
+           i -> (a.ve[i] - c.cv[i]) * (a.ve[i] - c.cv[i])), 'sum'), 9)
+           AS dist
+  FROM a CROSS JOIN cents c
+),
+pp AS (
+  SELECT vec_id, ANY_VALUE(cluster_id) AS cluster_id,
+         MAX(CASE WHEN cid = cluster_id THEN dist END) AS a_dist,
+         MIN(CASE WHEN cid <> cluster_id THEN dist END) AS b_dist
+  FROM pc GROUP BY vec_id
+),
+s AS (
+  SELECT vec_id, cluster_id, a_dist, b_dist,
+         CASE WHEN greatest(a_dist, b_dist) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END AS sil
+  FROM pp
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(floor(sil * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE) / (COUNT(*) * 1e9) AS mean_silhouette,
+       MIN(sil) AS min_silhouette,
+       MAX(sil) AS max_silhouette
+FROM s GROUP BY cluster_id
+"""
+
+
+_SILHOUETTE_ORACLE = _silhouette_oracle()
+
+
+@query("ext_silhouette_simplified", oracle=_SILHOUETTE_ORACLE, tier=3)
+def ext_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette audit of the ext_kmeans_lite clustering:
+    per cluster the point count, mean/min/max of
+    s(i) = (b - a) / max(a, b) with a = squared distance to the own
+    centroid and b = the nearest OTHER centroid — the geometric
+    cluster-quality read beside ext_cluster_purity's label-based one
+    (purity needs labels; silhouette does not, which is what an
+    unsupervised SemDeDup-style pruning loop actually has). Centroid-
+    based (O(n*k)) rather than pairwise (O(n^2)) — the only silhouette
+    that exists at corpus scale. On the isotropic fixture means hover
+    near 0 — the fixture exercises the algebra (the ext_ann_rptree
+    recall stance).
+
+    Exactness: the clustering is ext_kmeans_lite's (its own key pins the
+    assignment; the oracle re-derives its CTE verbatim — the
+    ext_cluster_purity binding stance); centroid means are
+    order-insensitive davg folds at scale 9; each point-centroid
+    distance rounds to 9dp to wash the 64-term fold's last-bit noise
+    (the kmeans stance); per-point silhouettes floor-quantize to the 1e9
+    grid before the per-cluster mean.
+
+    Shape: assignment and centroid derivation are keyed aggregates
+    (cluster x 64 key space); the distance pass is ONE crossJoin against
+    the broadcast 8-row centroid frame (map-side fold per point); the
+    per-point and per-cluster reductions key on vec_id / cluster_id —
+    nothing global but the kmeans helper's own 1-row folds
+    (EXPECTED_FLAGS, inherited)."""
+    from ..functions.determinism import davg
+    from .ann import _as_double, ext_kmeans_lite
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("ve")
+    )
+    a = scoped_persist(
+        ext_kmeans_lite(spark, sf_dir)
+        .select("vec_id", "cluster_id")
+        .join(v, "vec_id")
+    )
+    md = (
+        a.select("cluster_id", F.posexplode("ve").alias("idx", "val"))
+        .groupBy("cluster_id", "idx")
+        .agg(davg("val", "m", 9))
+    )
+    cents = md.groupBy("cluster_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("idx", "m"))),
+            lambda s: s.m,
+        ).alias("cv")
+    ).select(F.col("cluster_id").alias("cid"), "cv")
+    pc = a.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        "cid",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "ve", "cv", lambda x, c: (x - c) * (x - c)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            9,
+        ).alias("dist"),
+    )
+    pp = pc.groupBy("vec_id").agg(
+        F.any_value("cluster_id").alias("cluster_id"),
+        F.max(
+            F.when(F.col("cid") == F.col("cluster_id"), F.col("dist"))
+        ).alias("a_dist"),
+        F.min(
+            F.when(F.col("cid") != F.col("cluster_id"), F.col("dist"))
+        ).alias("b_dist"),
+    )
+    s = pp.select(
+        "cluster_id",
+        F.expr(
+            "CASE WHEN greatest(a_dist, b_dist) = 0"
+            " THEN CAST(0.0 AS DOUBLE)"
+            " ELSE (b_dist - a_dist) / greatest(a_dist, b_dist) END"
+        ).alias("sil"),
+    )
+    return s.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr(
+            "CAST(SUM(CAST(floor(sil * 1e9 + CAST(0.5 AS DOUBLE))"
+            " AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e9)"
+        ).alias("mean_silhouette"),
+        F.min("sil").alias("min_silhouette"),
+        F.max("sil").alias("max_silhouette"),
+    )

@@ -1226,3 +1226,124 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(COUNT(DISTINCT g) AS DOUBLE)"
         ).alias("type_novelty"),
     )
+
+
+# --- ext_split_balance_chi2 -----------------------------------------------------
+
+_CHI2_ORACLE = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE WHEN substr(h, 1, 1) < 'c' THEN 'train'
+              WHEN substr(h, 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang,
+           md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}') AS h
+    FROM documents
+  )
+),
+cells AS (
+  SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM assigned GROUP BY split, lang
+),
+rt AS (SELECT split, CAST(SUM(obs) AS BIGINT) AS r FROM cells GROUP BY split),
+ct AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS c FROM cells GROUP BY lang),
+n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM cells),
+comp AS (
+  SELECT cells.split, cells.lang, cells.obs,
+         CAST(rt.r * ct.c AS DOUBLE) / CAST(n.total AS DOUBLE)
+           AS expected,
+         CAST(floor(
+           CAST((n.total * cells.obs - rt.r * ct.c)
+                * (n.total * cells.obs - rt.r * ct.c) AS DOUBLE)
+             / CAST(n.total AS DOUBLE) / CAST(rt.r * ct.c AS DOUBLE)
+           * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi_q
+  FROM cells JOIN rt ON cells.split = rt.split
+             JOIN ct ON cells.lang = ct.lang
+             CROSS JOIN n
+),
+tot AS (
+  SELECT CAST(SUM(chi_q) AS DOUBLE) / 1e9 AS chi2,
+         CAST((COUNT(DISTINCT split) - 1)
+              * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof
+  FROM comp
+)
+SELECT comp.split, comp.lang, comp.obs, comp.expected,
+       CAST(comp.chi_q AS DOUBLE) / 1e9 AS chi_component,
+       tot.chi2, tot.dof
+FROM comp CROSS JOIN tot
+"""
+
+
+@query("ext_split_balance_chi2", oracle=_CHI2_ORACLE, tier=3)
+def ext_split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the train/val/test assignment
+    against the language marginals — the statistical half of the split
+    QA pair (ext_split_leakage checks content contamination; this checks
+    DISTRIBUTIONAL balance: a hash split should be independent of every
+    column, and a chi2 far above dof flags a salt interacting with the
+    id structure). Emits the (split, lang) contingency grid with
+    expected counts and per-cell components; chi2 and dof ride every row.
+
+    Exactness: the per-cell component collapses to
+    (N*obs - r*c)^2 / (N * r * c) — an exact-integer numerator over two
+    shared-text divisions of exact integers — floor-quantized to the 1e9
+    grid BEFORE the cross-cell sum (products stay in int64 to ~3e9 docs;
+    DECIMAL widening documented past that); 'expected' is one division.
+
+    Shape: map-side md5 assignment (the ext_train_split_hash salt,
+    re-derived), ONE (split, lang) counting aggregate — the only
+    data-sized exchange — then marginal joins and the chi2 fold on the
+    <= 15-row grid (EXPECTED_FLAGS)."""
+    d = load(spark, sf_dir, "documents")
+    assigned = d.select(
+        "lang",
+        F.expr(
+            f"CASE WHEN substr(md5(CAST(doc_id AS STRING)"
+            f" || '{_SPLIT_SALT}'), 1, 1) < 'c' THEN 'train'"
+            f" WHEN substr(md5(CAST(doc_id AS STRING)"
+            f" || '{_SPLIT_SALT}'), 1, 1) < 'e' THEN 'val'"
+            f" ELSE 'test' END"
+        ).alias("split"),
+    )
+    cells = assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rt = cells.groupBy("split").agg(F.sum("obs").alias("r"))
+    ct = cells.groupBy("lang").agg(F.sum("obs").alias("c"))
+    n = cells.agg(F.sum("obs").alias("total"))
+    comp = (
+        cells.join(F.broadcast(rt), "split")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "split",
+            "lang",
+            "obs",
+            F.expr(
+                "CAST(r * c AS DOUBLE) / CAST(total AS DOUBLE)"
+            ).alias("expected"),
+            F.expr(
+                "CAST(floor(CAST((total * obs - r * c)"
+                " * (total * obs - r * c) AS DOUBLE)"
+                " / CAST(total AS DOUBLE) / CAST(r * c AS DOUBLE)"
+                " * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("chi_q"),
+        )
+    )
+    tot = comp.agg(
+        F.expr("CAST(SUM(chi_q) AS DOUBLE) / 1e9").alias("chi2"),
+        F.expr(
+            "CAST((COUNT(DISTINCT split) - 1)"
+            " * (COUNT(DISTINCT lang) - 1) AS BIGINT)"
+        ).alias("dof"),
+    )
+    return comp.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "lang",
+        "obs",
+        "expected",
+        F.expr("CAST(chi_q AS DOUBLE) / 1e9").alias("chi_component"),
+        "chi2",
+        "dof",
+    )

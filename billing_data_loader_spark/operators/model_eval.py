@@ -509,3 +509,107 @@ def ext_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("class_brier"),
         F.col("brier").alias("overall_brier"),
     )
+
+
+# --- ext_log_loss ---------------------------------------------------------------
+
+#: ln values quantize at 1e6 (the ext_zipf_fit grid: empirically ulp-
+#: consistent across both engines' libm at this resolution) so the
+#: cross-row sum is exact BIGINT. The probability is Laplace-smoothed —
+#: p = (w_sum + 1000*n_tok + 1) / (2000*n_tok + 2) — strictly inside
+#: (0, 1), so ln never sees 0 even for single-token extreme docs.
+_LL_Q = "1e6"
+
+_LL_ORACLE = f"""
+WITH scored AS ({_SCORED_SQL}),
+feats AS (
+  SELECT s.doc_id, s.w_sum, s.y, t.n_tok FROM scored s JOIN (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id
+  ) t ON s.doc_id = t.doc_id
+),
+q AS (
+  SELECT y,
+         CAST(floor(
+           -(CAST(y AS DOUBLE)
+               * ln(CAST(w_sum + 1000 * n_tok + 1 AS DOUBLE)
+                    / CAST(2000 * n_tok + 2 AS DOUBLE))
+             + CAST(1 - y AS DOUBLE)
+               * ln(CAST(1000 * n_tok - w_sum + 1 AS DOUBLE)
+                    / CAST(2000 * n_tok + 2 AS DOUBLE)))
+           * {_LL_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nll
+  FROM feats
+),
+cls AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nll) AS BIGINT) AS s
+  FROM q GROUP BY y
+),
+o AS (
+  SELECT CAST(SUM(s) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * {_LL_Q})
+    AS log_loss FROM cls
+)
+SELECT cls.y AS actual_en, cls.n,
+       CAST(cls.s AS DOUBLE) / (CAST(cls.n AS DOUBLE) * {_LL_Q})
+         AS class_log_loss,
+       o.log_loss AS overall_log_loss
+FROM cls CROSS JOIN o
+"""
+
+
+@query("ext_log_loss", oracle=_LL_ORACLE, tier=3)
+def ext_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy (log loss) of the classifier's Laplace-
+    smoothed keep probability against the English gold label, per class
+    and overall — the third proper-scoring read beside ext_brier_score
+    (Brier is bounded and gentle on confident errors; log loss punishes
+    them unboundedly, which is what you want before trusting a filter's
+    extreme scores). 1 - p is computed in CLOSED FORM
+    ((1000*n_tok - w_sum + 1) / (2000*n_tok + 2)) rather than as
+    1.0 - p, so both ln operands are single exact-integer divisions.
+
+    Exactness: p is rational and strictly inside (0,1) (Laplace +1/+2
+    smoothing handles single-token extreme docs where raw p hits 0 or
+    1); each per-row negative log-likelihood floor-quantizes to the 1e6
+    grid BEFORE the cross-row sum (the ext_zipf_fit ln stance); final
+    means divide exact integers.
+
+    Shape: identical to ext_brier_score — one scan -> explode -> ONE
+    doc-keyed aggregate, map-side per-row arithmetic, a 2-row class
+    aggregate and the 1-row overall fold (EXPECTED_FLAGS)."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    feats = (
+        ext_quality_classifier(spark, sf_dir)
+        .select("doc_id", "w_sum", "n_tok")
+        .join(lab, "doc_id")
+    )
+    nll = F.expr(
+        f"CAST(floor(-(CAST(y AS DOUBLE)"
+        f" * ln(CAST(w_sum + 1000 * n_tok + 1 AS DOUBLE)"
+        f" / CAST(2000 * n_tok + 2 AS DOUBLE))"
+        f" + CAST(1 - y AS DOUBLE)"
+        f" * ln(CAST(1000 * n_tok - w_sum + 1 AS DOUBLE)"
+        f" / CAST(2000 * n_tok + 2 AS DOUBLE)))"
+        f" * {_LL_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    q = feats.select("y", nll.alias("nll"))
+    cls = q.groupBy("y").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nll").alias("s")
+    )
+    o = cls.agg(
+        F.expr(
+            f"CAST(SUM(s) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE)"
+            f" * {_LL_Q})"
+        ).alias("log_loss")
+    )
+    return cls.crossJoin(F.broadcast(o)).select(
+        F.col("y").alias("actual_en"),
+        "n",
+        F.expr(
+            f"CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {_LL_Q})"
+        ).alias("class_log_loss"),
+        F.col("log_loss").alias("overall_log_loss"),
+    )

@@ -898,3 +898,74 @@ def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("text"),
         parts.getItem(2).alias("source"),
     )
+
+
+# --- scan_text_gzip -----------------------------------------------------------
+
+_TXTGZ_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM documents GROUP BY lang
+"""
+
+
+@query("scan_text_gzip", oracle=_TXTGZ_ORACLE, tier=2)
+def scan_text_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed line-text source round trip: the documents corpus
+    staged as GZIP text shards (one tab-separated doc per line — the
+    Common-Crawl-era WET/plain-text delivery format), read back through
+    ``spark.read.text`` (codec inferred from the .gz extension), parsed
+    map-side, and folded to a per-lang audit whose doc_id sum/min/max
+    bind exact membership — a dropped or double-read line breaks the
+    hash. Completes the §2.1 codec surface next to csv/jsonl/orc/xml.
+
+    Scale note: gzip is NOT splittable — each .gz shard is one task, so
+    shard count (here 8) bounds read parallelism; the production guide
+    is many ~100 MB shards (or zstd/bzip2 for splittable frames). That
+    constraint is the operator's documentation payload, and the plan
+    shows it: 8 whole-file tasks, parse projected map-side.
+
+    Exactness: text is single-space tokens (no tabs — the fixture's
+    synthesis), so the 3-field tab split is lossless; all outputs are
+    exact integer counts/sums."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def _stage(tmp: str) -> None:
+        (
+            load(spark, sf_dir, "documents")
+            .select(
+                F.concat_ws(
+                    "\t",
+                    F.col("doc_id").cast("string"),
+                    "lang",
+                    "text",
+                ).alias("value")
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .text(tmp)
+        )
+
+    staged = content_addressed_stage(sf_dir, "docs_txtgz", _stage)
+    raw = spark.read.text(staged + "/*.gz")
+    parsed = raw.select(
+        F.split_part("value", F.lit("\t"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.split_part("value", F.lit("\t"), F.lit(2)).alias("lang"),
+        F.split_part("value", F.lit("\t"), F.lit(3)).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars_sum"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens_sum"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )

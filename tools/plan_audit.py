@@ -400,6 +400,18 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "two 1-row L1-total folds (hub/authority normalization "
             "denominators; O(tasks) partials)"
         ),
+        "ext_log_loss": (
+            "2-row class aggregate + 1-row overall fold (the "
+            "ext_brier_score shape; O(classes), never docs)"
+        ),
+        "ext_split_balance_chi2": (
+            "marginal/total/chi2 folds on the <= 15-row contingency "
+            "grid (model-sized at any corpus)"
+        ),
+        "ext_silhouette_simplified": (
+            "inherits ext_kmeans_lite's 1-row centroid-array folds "
+            "(O(tasks) partials); own reductions key on vec/cluster"
+        ),
         "ts_holt_linear": (
             "1-row sorted-series fold feeding the runtime Holt "
             "aggregate() (the ext_mmr_diversify small-array pattern; "
@@ -675,6 +687,18 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_hits_lite": (
             "two 1-row broadcast L1-total folds onto the 20-row "
             "TakeOrdered frames"
+        ),
+        "ext_log_loss": (
+            "1-row overall fold broadcast onto the 2-row class frame"
+        ),
+        "ext_split_balance_chi2": (
+            "1-row N-total and chi2/dof folds broadcast onto the "
+            "<= 15-row grid"
+        ),
+        "ext_silhouette_simplified": (
+            "inherits ext_kmeans_lite's 1-row broadcast centroid "
+            "arrays; the 8-row centroid frame broadcasts to the "
+            "distance pass"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
