@@ -655,3 +655,151 @@ def ext_perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars_sum"),
         davg("avg_logprob", "mean_logprob"),
     )
+
+
+# --- ext_coverage_gain_greedy ---------------------------------------------------
+
+#: Greedy max-coverage rounds (k): the classic (1 - 1/e) submodular
+#: selection, the shape behind facility-location / coverage-based data
+#: pruning (pick the few docs that together span the most n-grams).
+_COV_ROUNDS = 4
+
+_COV_GRAMS = (
+    "SELECT DISTINCT doc_id, unnest(list_transform("
+    "range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+    " AS gram FROM (SELECT doc_id, string_split(text, ' ') AS t"
+    " FROM documents)"
+)
+
+
+def _cov_oracle() -> str:
+    ctes = [
+        f"g AS MATERIALIZED ({_COV_GRAMS})",
+        "u AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS total"
+        " FROM g)",
+        "r1 AS MATERIALIZED (SELECT doc_id, gram FROM g)",
+    ]
+    sels = []
+    for r in range(1, _COV_ROUNDS + 1):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT doc_id,"
+            f" CAST(COUNT(*) AS BIGINT) AS new_grams FROM r{r}"
+            f" GROUP BY doc_id ORDER BY new_grams DESC, doc_id ASC"
+            f" LIMIT 1)"
+        )
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS sel_round, doc_id, new_grams"
+            f" FROM p{r}"
+        )
+        if r < _COV_ROUNDS:
+            ctes.append(
+                f"c{r} AS MATERIALIZED (SELECT DISTINCT gram FROM r{r}"
+                f" JOIN p{r} USING (doc_id))"
+            )
+            ctes.append(
+                f"r{r + 1} AS MATERIALIZED (SELECT a.doc_id, a.gram"
+                f" FROM r{r} a WHERE NOT EXISTS"
+                f" (SELECT 1 FROM c{r} c WHERE c.gram = a.gram))"
+            )
+    picks = "\nUNION ALL\n".join(sels)
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+picks AS ({picks})
+SELECT sel_round, doc_id, new_grams,
+       CAST(SUM(new_grams) OVER (ORDER BY sel_round
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_covered,
+       CAST(SUM(new_grams) OVER (ORDER BY sel_round
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(u.total AS DOUBLE) AS coverage_frac
+FROM picks CROSS JOIN u
+"""
+    )
+
+
+_COV_ORACLE = _cov_oracle()
+
+
+@query("ext_coverage_gain_greedy", oracle=_COV_ORACLE, tier=3)
+def ext_coverage_gain_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection: 4 rounds, each
+    picking the doc whose 3-gram set covers the most NOT-yet-covered
+    grams (ties: lowest doc_id) — the (1 - 1/e)-approximate submodular
+    selection behind coverage/facility-location data pruning ("which
+    handful of docs teaches the most of this corpus's surface?"), the
+    lexical sibling of ext_kcenter_coreset's geometric diversity pick.
+    Output: per round the chosen doc, its marginal gain, the running
+    distinct-gram total (cumulative distinct == sum of marginal gains,
+    by construction of 'uncovered'), and the covered fraction of the
+    gram universe.
+
+    Exactness: all counts exact integers over distinct string grams (no
+    hashing — the oracle joins on the same strings); the fraction is one
+    shared-text division.
+
+    Shape: ONE distinct (doc, gram) shuffle builds the inverted frame
+    (persisted; every round reuses it); each round is a left-anti join
+    against the covered-gram set (itself a semi join of the frame
+    against the accumulated 1-row pick frames — never a collect), a
+    doc-keyed count, and a TakeOrdered-1 fold. Rounds touch only
+    still-uncovered postings, so per-round work SHRINKS; at 100 TB the
+    covered set is a bloom-side filter (ext_bloom_decontaminate's
+    broadcast bitmap) instead of an anti join — same algebra
+    (EXPECTED_FLAGS: 1-row pick folds + the 4-row output window)."""
+    from ..session import scoped_persist
+
+    d = load(spark, sf_dir, "documents")
+    tok = scoped_persist(
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN transform("
+                    "sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                    " ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    u = tok.agg(F.countDistinct("gram").alias("total"))
+    remaining = tok
+    picks = None
+    for r in range(1, _COV_ROUNDS + 1):
+        pick = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("new_grams"))
+            .orderBy(F.desc("new_grams"), F.asc("doc_id"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("sel_round"),
+                "doc_id",
+                "new_grams",
+            )
+        )
+        picks = pick if picks is None else picks.unionAll(pick)
+        if r < _COV_ROUNDS:
+            covered = tok.join(
+                F.broadcast(picks.select("doc_id")), "doc_id"
+            ).select("gram").distinct()
+            remaining = scoped_persist(
+                tok.join(covered, "gram", "left_anti")
+            )
+    from pyspark.sql import Window as W
+
+    cum = F.sum("new_grams").over(
+        W.orderBy("sel_round").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    return picks.crossJoin(F.broadcast(u)).select(
+        "sel_round",
+        "doc_id",
+        "new_grams",
+        cum.alias("cum_covered"),
+        (cum.cast("double") / F.col("total").cast("double")).alias(
+            "coverage_frac"
+        ),
+    )

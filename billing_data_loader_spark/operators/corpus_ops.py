@@ -1347,3 +1347,94 @@ def ext_split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         "dof",
     )
+
+
+# --- ext_dataset_card -----------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+  FROM documents
+),
+toplang AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS top_lang_docs FROM documents
+  GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM t
+  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM t
+  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM t
+  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM t
+  UNION ALL SELECT 'mean_tokens_per_doc',
+    CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM t
+  UNION ALL SELECT 'exact_dup_rate',
+    CAST(n_docs - n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+    FROM t
+  UNION ALL SELECT 'top_lang_share',
+    CAST(toplang.top_lang_docs AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+    FROM t CROSS JOIN toplang
+)
+"""
+
+
+@query("ext_dataset_card", oracle=_CARD_ORACLE, tier=2)
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-frame dataset card: the headline numbers a corpus release
+    publishes (doc/lang/source counts, token and char totals, mean doc
+    length, exact-duplicate rate, head-language share) as (metric,
+    value) rows — the summary every downstream consumer reads first,
+    and the round-over-round regression surface for the corpus itself
+    (a dup-rate jump or a head-language drift is a pipeline incident).
+    Deeper panels live in their own keys (ext_text_stats per lang,
+    prof_mutual_info for lang x source dependence, ext_dedup_hash for
+    the dup manifest); this is the cover sheet.
+
+    Exactness: every metric is an exact integer count/sum or ONE
+    shared-text division of two exact integers.
+
+    Shape: one pass folds the scalar aggregates (count/sum map-side,
+    the two COUNT(DISTINCT)s as their own keyed collapses), the
+    head-language share is a TakeOrdered-1 over the O(langs) count
+    frame, and the card unpivots from the 1-row fold (EXPECTED_FLAGS —
+    O(metrics) rows, never docs)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+    toplang = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_lang_docs"))
+        .orderBy(F.desc("top_lang_docs"), F.asc("lang"))
+        .limit(1)
+        .select("top_lang_docs")
+    )
+    card = t.crossJoin(F.broadcast(toplang))
+    return card.select(
+        F.expr(
+            "stack(8,"
+            " 'n_docs', CAST(n_docs AS DOUBLE),"
+            " 'n_langs', CAST(n_langs AS DOUBLE),"
+            " 'n_sources', CAST(n_sources AS DOUBLE),"
+            " 'n_tokens', CAST(n_tokens AS DOUBLE),"
+            " 'n_chars', CAST(n_chars AS DOUBLE),"
+            " 'mean_tokens_per_doc',"
+            "   CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE),"
+            " 'exact_dup_rate',"
+            "   CAST(n_docs - n_unique_texts AS DOUBLE)"
+            "     / CAST(n_docs AS DOUBLE),"
+            " 'top_lang_share',"
+            "   CAST(top_lang_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+            ") AS (metric, value)"
+        )
+    )

@@ -1495,3 +1495,81 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cents", F.lit(0)).alias("view_cents_1h"),
         )
     )
+
+
+# --- join_asof_tolerance --------------------------------------------------------
+
+#: As-of match window: a view older than 30 minutes does not explain a
+#: purchase (the pandas merge_asof `tolerance` / kdb wj window semantics).
+_ASOF_TOL_MICROS = 30 * 60 * 1_000_000
+
+_ASOF_TOL_ORACLE = f"""
+SELECT p.event_id, p.user_id,
+       CASE WHEN date_diff('microsecond', v.ts, p.ts)
+                 <= {_ASOF_TOL_MICROS}
+            THEN date_diff('microsecond', v.ts, p.ts) END
+         AS micros_since_view,
+       CASE WHEN date_diff('microsecond', v.ts, p.ts)
+                 <= {_ASOF_TOL_MICROS}
+            THEN v.event_id END AS view_event_id,
+       COALESCE(date_diff('microsecond', v.ts, p.ts)
+                <= {_ASOF_TOL_MICROS}, FALSE) AS matched
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT ts, event_id
+  FROM events v
+  WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+  ORDER BY v.ts DESC, v.event_id DESC
+  LIMIT 1
+) v ON TRUE
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tier=3)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match TOLERANCE (pandas merge_asof(tolerance=),
+    kdb wj): each purchase takes its latest prior view only if it
+    happened within 30 minutes — staler views null out and the purchase
+    reports matched = false. The post-filter form is exactly equivalent
+    to a bounded-window search for a top-1 match (if the LATEST prior
+    view is out of tolerance, every older one is too), so the plan stays
+    join_asof_events' single user-keyed carried-struct window — no range
+    join, no per-group loop, and the tolerance costs zero extra shuffles
+    at any scale.
+
+    Exactness: the gap is exact integer microseconds; the tolerance test
+    is an integer comparison; tie-breaks on (ts, event_id) as in the
+    sibling."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(
+                F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+            ),
+        ).alias("view_info"),
+    )
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", is_purchase, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_view", F.last("view_info", ignorenulls=True).over(w)
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.col("last_view.vts"))
+    in_tol = gap <= F.lit(_ASOF_TOL_MICROS)
+    return carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, gap).alias("micros_since_view"),
+        F.when(in_tol, F.col("last_view.vid")).alias("view_event_id"),
+        F.coalesce(in_tol, F.lit(False)).alias("matched"),
+    )

@@ -688,3 +688,84 @@ def ext_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
               ' ')"""
         ).alias("target_text"),
     )
+
+
+# --- ext_pack_efficiency_sweep --------------------------------------------------
+
+#: Candidate context lengths for the packing-efficiency sweep.
+_PACK_SWEEP = [128, 256, 512, 1024]
+
+_PACK_SWEEP_ORACLE = f"""
+WITH lt AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+sweep AS (
+  SELECT lang, total_tokens, n_docs,
+         unnest([{", ".join(str(b) for b in _PACK_SWEEP)}]) AS block_size
+  FROM lt
+)
+SELECT lang, CAST(block_size AS BIGINT) AS block_size, total_tokens,
+       CAST((total_tokens + block_size - 1) // block_size AS BIGINT)
+         AS n_blocks,
+       CAST(((total_tokens + block_size - 1) // block_size) * block_size
+            - total_tokens AS BIGINT) AS pad_tokens,
+       CAST(total_tokens AS DOUBLE)
+         / CAST(((total_tokens + block_size - 1) // block_size)
+                * block_size AS DOUBLE) AS fill_efficiency
+FROM sweep
+"""
+
+
+@query("ext_pack_efficiency_sweep", oracle=_PACK_SWEEP_ORACLE, tier=2)
+def ext_pack_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing-efficiency sweep: for each language and
+    each candidate block size (128/256/512/1024 tokens), the block
+    count, pad-token waste, and fill efficiency under cross-document
+    packing (the ext_group_texts regime, where only the final partial
+    block per language pads) — the one-frame answer to "what context
+    length wastes the least compute on this corpus", read BEFORE
+    committing a training run; ext_length_bucket_batching is the
+    per-batch sibling for the non-packing regime.
+
+    Exactness: token totals are exact integers; blocks/padding are
+    integer ceiling arithmetic ((t + B - 1) DIV B — floor division on
+    non-negatives, identical in both engines); efficiency is one
+    shared-text division.
+
+    Shape: ONE lang-keyed token-count aggregate (map-side combined — the
+    only data-sized exchange), then the 4-candidate sweep explodes
+    map-side from the O(langs) frame. At 100 TB this is scan ->
+    partial-agg -> 20-row result."""
+    d = load(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    sweep = lt.select(
+        "lang",
+        "total_tokens",
+        F.explode(
+            F.array(*[F.lit(b) for b in _PACK_SWEEP])
+        ).alias("block_size"),
+    )
+    return sweep.select(
+        "lang",
+        F.col("block_size").cast("long").alias("block_size"),
+        "total_tokens",
+        F.expr(
+            "CAST((total_tokens + block_size - 1) DIV block_size"
+            " AS BIGINT)"
+        ).alias("n_blocks"),
+        F.expr(
+            "CAST(((total_tokens + block_size - 1) DIV block_size)"
+            " * block_size - total_tokens AS BIGINT)"
+        ).alias("pad_tokens"),
+        F.expr(
+            "CAST(total_tokens AS DOUBLE)"
+            " / CAST(((total_tokens + block_size - 1) DIV block_size)"
+            " * block_size AS DOUBLE)"
+        ).alias("fill_efficiency"),
+    )

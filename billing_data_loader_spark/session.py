@@ -240,8 +240,10 @@ def get_spark(app_name: str = "billing-data-loader-spark") -> SparkSession:
         # on ext_dedup_cluster decayed 5.9 -> 2.7 s purely with
         # repetition). Sized to hold the whole catalog's stages with
         # headroom (205 keys x ~5-10 stages at round 9; 2000 had become
-        # borderline as the catalog grew).
-        .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # borderline as the catalog grew; 4096 again at 314 keys in
+        # round 12 — the tell is a uniform +0.3-1s drift across
+        # unrelated cheap agg keys in a full-catalog run).
+        .config("spark.sql.codegen.cache.maxEntries", "8192")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
