@@ -412,6 +412,15 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "inherits ext_kmeans_lite's 1-row centroid-array folds "
             "(O(tasks) partials); own reductions key on vec/cluster"
         ),
+        "ext_dataset_card": (
+            "1-row scalar-metrics fold (O(tasks) partials) unpivoted "
+            "into the constant-size card"
+        ),
+        "ext_coverage_gain_greedy": (
+            "per-round 1-row TakeOrdered pick folds + the cumulative "
+            "window over the 4-row output frame (model-sized; data-"
+            "sized work is the keyed anti join per round)"
+        ),
         "ts_holt_linear": (
             "1-row sorted-series fold feeding the runtime Holt "
             "aggregate() (the ext_mmr_diversify small-array pattern; "
@@ -699,6 +708,13 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "inherits ext_kmeans_lite's 1-row broadcast centroid "
             "arrays; the 8-row centroid frame broadcasts to the "
             "distance pass"
+        ),
+        "ext_dataset_card": (
+            "1-row TakeOrdered head-language fold broadcast onto the "
+            "1-row scalar fold"
+        ),
+        "ext_coverage_gain_greedy": (
+            "1-row universe fold broadcast onto the 4-row pick frame"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
