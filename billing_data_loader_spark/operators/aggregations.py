@@ -27,6 +27,7 @@ from ..functions.determinism import (
     quantize_long,
 )
 from ..plans.registry import query
+from ..session import scoped_persist
 from ..tables import load
 
 _Q1_CUTOFF = "1998-09-02"
@@ -738,4 +739,104 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(MIN(CASE WHEN 4 * cum >= 3 * total THEN cents END)"
             " AS DOUBLE) / 1e2"
         ).alias("wp75"),
+    )
+
+
+# --- agg_audience_overlap -------------------------------------------------------
+
+_AUD_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sz AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du
+  GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT sa.event_type AS et_a, sb.event_type AS et_b,
+       sa.n AS n_a, sb.n AS n_b,
+       COALESCE(i.n_both, 0) AS n_both,
+       CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+         / CAST(sa.n + sb.n - COALESCE(i.n_both, 0) AS DOUBLE)
+         AS jaccard,
+       CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+         / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+FROM sz sa JOIN sz sb ON sa.event_type < sb.event_type
+LEFT JOIN inter i
+  ON i.et_a = sa.event_type AND i.et_b = sb.event_type
+"""
+
+
+@query("agg_audience_overlap", oracle=_AUD_ORACLE, tier=2)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the two
+    audience sizes, the shared-user count, Jaccard, and the containment
+    coefficient |A∩B|/min(|A|,|B|) — the segmentation read behind
+    "do clickers also purchase?" funnel and campaign-targeting
+    decisions; agg_bitmap_distinct/ext_overlap_kmv are the sketch
+    versions of the same question, this is the exact small-domain form.
+    The pair grid builds from the size frame so type pairs with ZERO
+    shared users still report (coalesced to 0) rather than silently
+    vanishing.
+
+    Exactness: all counts integer; Jaccard and containment are one
+    shared-text division each.
+
+    Shape: one distinct on (type, user) — the only data-sized exchange —
+    then the intersection self-join keys on user_id (hash join; the
+    type-ordered predicate halves the pairs) and everything downstream
+    runs on O(types^2) rows. At 100 TB the self-join carries only
+    distinct memberships, and a bitmap/KMV sketch swaps in above
+    ~10^9-user audiences (the sibling keys)."""
+    du = scoped_persist(
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sz = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("et_a"),
+            F.col("b.event_type").alias("et_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("et_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("et_b"), F.col("n").alias("n_b"))
+    grid = sa.join(F.broadcast(sb), F.col("et_a") < F.col("et_b"))
+    return (
+        grid.join(F.broadcast(inter), ["et_a", "et_b"], "left")
+        .select(
+            "et_a",
+            "et_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_both", F.lit(0).cast("long")).alias("n_both"),
+        )
+        .select(
+            "et_a",
+            "et_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both AS DOUBLE)"
+                " / CAST(n_a + n_b - n_both AS DOUBLE)"
+            ).alias("jaccard"),
+            F.expr(
+                "CAST(n_both AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)"
+            ).alias("containment"),
+        )
     )

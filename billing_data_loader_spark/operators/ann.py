@@ -2674,3 +2674,130 @@ def ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hit", F.lit(0)).alias("trunc_hit_in_full_topk"),
         )
     )
+
+
+# --- ext_rank_biased_overlap ----------------------------------------------------
+
+#: RBO persistence parameter and the truncated-evaluation depth (= the
+#: matryoshka audit's top-k). Weights (1-p)*p^(d-1) are Python-computed
+#: repr() literals — no engine pow() in any query (the ts_ewma stance).
+_RBO_P = 0.9
+
+_RBO_WEIGHTS = [
+    repr((1.0 - _RBO_P) * _RBO_P ** (d - 1)) for d in range(1, _MRL_K + 1)
+]
+
+_RBO_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+full_ AS (
+  SELECT vec_id,
+         round(list_dot_product(v.ve, q.qv)
+           / (sqrt(list_dot_product(v.ve, v.ve))
+              * sqrt(list_dot_product(q.qv, q.qv))), 9) AS cos_full
+  FROM v, q WHERE vec_id <> 0
+),
+tr AS (
+  SELECT vec_id,
+         round(list_dot_product(v.ve[1:{_MRL_DIM}], q.qv[1:{_MRL_DIM}])
+           / (sqrt(list_dot_product(v.ve[1:{_MRL_DIM}],
+                                    v.ve[1:{_MRL_DIM}]))
+              * sqrt(list_dot_product(q.qv[1:{_MRL_DIM}],
+                                      q.qv[1:{_MRL_DIM}]))), 9) AS cos_tr
+  FROM v, q WHERE vec_id <> 0
+),
+topf AS MATERIALIZED (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_full DESC, vec_id)
+    AS rnk
+  FROM full_ QUALIFY rnk <= {_MRL_K}
+),
+topt AS MATERIALIZED (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_tr DESC, vec_id) AS rnk
+  FROM tr QUALIFY rnk <= {_MRL_K}
+),
+m AS (
+  SELECT greatest(t.rnk, f.rnk) AS maxr
+  FROM topt t JOIN topf f ON t.vec_id = f.vec_id
+),
+grid AS (
+  SELECT unnest(range(1, {_MRL_K} + 1)) AS depth,
+         unnest([{", ".join(_RBO_WEIGHTS)}]) AS w
+),
+per_depth AS (
+  SELECT g.depth, g.w,
+         CAST((SELECT COUNT(*) FROM m WHERE m.maxr <= g.depth)
+              AS BIGINT) AS overlap_d
+  FROM grid g
+),
+tot AS (
+  SELECT CAST(SUM(CAST(floor(w * overlap_d / depth * 1e9
+                             + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS DOUBLE) / 1e9 AS rbo_trunc
+  FROM per_depth
+)
+SELECT p.depth, p.overlap_d,
+       CAST(p.overlap_d AS DOUBLE) / p.depth AS agreement_d,
+       tot.rbo_trunc
+FROM per_depth p CROSS JOIN tot
+"""
+
+
+@query("ext_rank_biased_overlap", oracle=_RBO_ORACLE, tier=3)
+def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between the full-dim and
+    Matryoshka-truncated top-{_MRL_K} rankings — the principled
+    top-weighted rank-similarity read that completes
+    ext_matryoshka_recall's membership flag (recall@k treats rank 1 and
+    rank k alike; RBO weights agreement at depth d by (1-p)p^(d-1), so
+    a prefix that reorders the head scores lower than one that shuffles
+    the tail). Truncated evaluation (no extrapolation): weights are the
+    geometric prefix, the depth-{_MRL_K} sum bounds the full-series RBO
+    from below.
+
+    Exactness: both rankings re-derive from the matryoshka audit's own
+    frame (rank columns already tie-broken on vec_id); overlap_d counts
+    are exact integers via max(rank_a, rank_b) <= d; the weights are
+    repr()'d Python doubles (no engine pow); each depth's contribution
+    floor-quantizes to the 1e9 grid before the 10-term sum; agreement_d
+    is one shared-text division.
+
+    Shape: consumes the helper's two {_MRL_K}-row rankings (its plan:
+    two map-side scoring passes + TakeOrdered folds); everything after
+    is arithmetic on <= {_MRL_K}-row frames (EXPECTED_FLAGS inherited
+    from the matryoshka fold family)."""
+    mrl = ext_matryoshka_recall(spark, sf_dir)
+    from ..session import scoped_persist as _sp
+
+    mrl = _sp(mrl)
+    a = mrl.select(F.col("trunc_id").alias("vid"), F.col("rnk").alias("ra"))
+    b = mrl.select(F.col("full_id").alias("vid"), F.col("rnk").alias("rb"))
+    m = a.join(b, "vid").select(
+        F.greatest("ra", "rb").alias("maxr")
+    )
+    grid = spark.range(1, _MRL_K + 1).select(
+        F.col("id").cast("long").alias("depth"),
+        F.element_at(
+            F.array(*[F.expr(f"CAST({w} AS DOUBLE)") for w in _RBO_WEIGHTS]),
+            F.col("id").cast("int"),
+        ).alias("w"),
+    )
+    per_depth = grid.join(
+        F.broadcast(m), F.col("maxr") <= F.col("depth"), "left"
+    ).groupBy("depth", "w").agg(
+        F.count("maxr").alias("overlap_d")
+    )
+    tot = per_depth.agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(w * overlap_d / depth * 1e9"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e9"
+        ).alias("rbo_trunc")
+    )
+    return per_depth.crossJoin(F.broadcast(tot)).select(
+        "depth",
+        "overlap_d",
+        F.expr("CAST(overlap_d AS DOUBLE) / depth").alias("agreement_d"),
+        "rbo_trunc",
+    )

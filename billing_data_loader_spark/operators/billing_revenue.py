@@ -849,3 +849,158 @@ def bill_return_rate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(NULLIF(SUM(price_cents), 0) AS DOUBLE)"
         ).alias("return_rate_value"),
     )
+
+
+# --- bill_survival_km -----------------------------------------------------------
+
+#: Churn horizon guard: a customer is only judged churned if their last
+#: order falls at least this many months before the data's end (orders
+#: inside the guard band cannot prove churn yet — right-censoring).
+_KM_GUARD_MONTHS = 2
+
+_KM_ORACLE = f"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mi
+  FROM orders
+),
+h AS (SELECT MAX(mi) - {_KM_GUARD_MONTHS} AS hc FROM m),
+cust AS (
+  SELECT o_custkey, MIN(mi) AS f, MAX(mi) AS l FROM m GROUP BY o_custkey
+),
+obs AS (
+  SELECT c.o_custkey,
+         CASE WHEN c.l <= h.hc THEN c.l - c.f ELSE h.hc - c.f END AS t,
+         CASE WHEN c.l <= h.hc THEN 1 ELSE 0 END AS churned
+  FROM cust c CROSS JOIN h
+  WHERE c.f <= h.hc
+),
+per_t AS (
+  SELECT t AS tau,
+         CAST(SUM(churned) AS BIGINT) AS n_churned,
+         CAST(COUNT(*) - SUM(churned) AS BIGINT) AS n_censored
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT tau, n_churned, n_censored,
+         CAST(SUM(n_churned + n_censored) OVER (
+           ORDER BY tau DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_at_risk
+  FROM per_t
+),
+lnq AS (
+  SELECT tau, n_at_risk, n_churned, n_censored,
+         CASE WHEN n_churned = n_at_risk THEN NULL
+              ELSE CAST(floor(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE)) * 1e6
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS lq,
+         CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+)
+SELECT tau, n_at_risk, n_churned, n_censored,
+       CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard,
+       CASE WHEN MAX(dead) OVER w = 1 THEN NULL
+            ELSE CAST(SUM(lq) OVER w AS DOUBLE) / 1e6 END
+         AS log_survival
+FROM lnq
+WINDOW w AS (ORDER BY tau
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("bill_survival_km", oracle=_KM_ORACLE, tier=3)
+def bill_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer survival over lifetime months: each
+    customer contributes an observation time (months from first to last
+    order if churned, first order to the censor horizon otherwise) and
+    a churn event flag; per lifetime month tau the at-risk count,
+    churn/censor counts, the hazard d/n, and the KM LOG-survival
+    ln S(tau) = sum over u <= tau of ln(1 - d_u/n_u) — the retention
+    curve with right-censoring done properly (bill_churn_rate's naive
+    monthly rate treats not-yet-churned customers as alive forever; KM
+    is the standard fix). Log-survival is emitted instead of S itself
+    so no exp() ever runs (engines' libm exp is unpinned; ln at the 1e6
+    grid is the validated ext_zipf_fit stance). S(tau) = exp of the
+    column, client-side.
+
+    Exactness: all counts integer; the hazard is one shared-text
+    division; each ln(1 - d/n) operand is a single division of exact
+    integers and the value floor-quantizes at 1e6 before the cumulative
+    sum; a saturated month (d == n) nulls the curve from there on
+    (S = 0), propagated by a window MAX flag identically in both
+    engines.
+
+    Shape: one (customer) aggregate collapses orders — the only
+    data-sized exchange; the lifetime rollup, reverse-cumulative
+    at-risk window and KM fold all run on the O(max-lifetime-months)
+    frame (~80 rows at any corpus size; EXPECTED_FLAGS)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mi"),
+    )
+    h = o.agg(
+        (F.max("mi") - F.lit(_KM_GUARD_MONTHS)).alias("hc")
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min("mi").alias("f"), F.max("mi").alias("l")
+    )
+    obs = (
+        cust.crossJoin(F.broadcast(h))
+        .filter(F.col("f") <= F.col("hc"))
+        .select(
+            F.expr(
+                "CASE WHEN l <= hc THEN l - f ELSE hc - f END"
+            ).alias("t"),
+            F.expr("CASE WHEN l <= hc THEN 1 ELSE 0 END").alias(
+                "churned"
+            ),
+        )
+    )
+    per_t = obs.groupBy(F.col("t").alias("tau")).agg(
+        F.sum("churned").alias("n_churned"),
+        (F.count(F.lit(1)) - F.sum("churned")).alias("n_censored"),
+    )
+    risk = per_t.select(
+        "tau",
+        "n_churned",
+        "n_censored",
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .over(
+            Window.orderBy(F.desc("tau")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("n_at_risk"),
+    )
+    lnq = risk.select(
+        "tau",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.expr(
+            "CASE WHEN n_churned = n_at_risk THEN NULL"
+            " ELSE CAST(floor(ln(CAST(n_at_risk - n_churned AS DOUBLE)"
+            " / CAST(n_at_risk AS DOUBLE)) * 1e6"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT) END"
+        ).alias("lq"),
+        F.expr(
+            "CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END"
+        ).alias("dead"),
+    )
+    w = Window.orderBy("tau").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return lnq.select(
+        "tau",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.expr(
+            "CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE)"
+        ).alias("hazard"),
+        F.when(F.max("dead").over(w) == 1, F.lit(None)).otherwise(
+            F.sum("lq").over(w).cast("double") / F.lit(1e6)
+        ).alias("log_survival"),
+    )

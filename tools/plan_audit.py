@@ -421,6 +421,15 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "window over the 4-row output frame (model-sized; data-"
             "sized work is the keyed anti join per round)"
         ),
+        "ext_rank_biased_overlap": (
+            "inherits the matryoshka top-k folds; own windows/folds "
+            "run on <= 10-row depth frames"
+        ),
+        "bill_survival_km": (
+            "at-risk reverse-cumulative + KM windows over the "
+            "O(max-lifetime-months) frame (~80 rows at any corpus; "
+            "the ts_cusum two-pass swap applies) + 1-row horizon fold"
+        ),
         "ts_holt_linear": (
             "1-row sorted-series fold feeding the runtime Holt "
             "aggregate() (the ext_mmr_diversify small-array pattern; "
@@ -715,6 +724,18 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         ),
         "ext_coverage_gain_greedy": (
             "1-row universe fold broadcast onto the 4-row pick frame"
+        ),
+        "ext_rank_biased_overlap": (
+            "broadcast theta-join of the <= 10-row matched-rank frame "
+            "against the 10-row depth grid + 1-row RBO fold"
+        ),
+        "bill_survival_km": (
+            "1-row censor-horizon fold broadcast onto the customer "
+            "frame (the bill_mrr_waterfall pattern)"
+        ),
+        "agg_audience_overlap": (
+            "type-pair grid: non-equi broadcast join of two O(types)-"
+            "row size frames (5x5 at any corpus)"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
