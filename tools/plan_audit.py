@@ -737,6 +737,11 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "type-pair grid: non-equi broadcast join of two O(types)-"
             "row size frames (5x5 at any corpus)"
         ),
+        # round-13 bank
+        "ext_lang_confusability": (
+            "language-pair grid: non-equi broadcast join of two "
+            "O(langs)-row frames (the agg_audience_overlap pattern)"
+        ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
         "ext_knn_cosine": "1-row broadcast query vector",
