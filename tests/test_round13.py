@@ -239,3 +239,150 @@ class TestWeekdayAdjust:
             assert abs(g["weekday_expected"] - exp) < 1e-9
             assert abs(g["residual"] - (c / 100 - exp)) < 1e-9
             assert abs(g["seasonal_ratio"] - c * wn[k] / wsum[k]) < 1e-9
+
+
+class TestAnnRecallCurve:
+    def test_replay_off_helper_outputs(self, spark):
+        exact = catalog()["ext_knn_cosine"].fn(spark, SF_DIR).collect()
+        ann = catalog()["ext_ann_lsh"].fn(spark, SF_DIR).collect()
+
+        def ranks(rows):
+            srt = sorted(rows, key=lambda r: (-r["cos_sim"], r["vec_id"]))
+            return {r["vec_id"]: i + 1 for i, r in enumerate(srt)}
+
+        er, ar = ranks(exact), ranks(ann)
+        got = {
+            r["k"]: r
+            for r in catalog()["ext_ann_recall_curve"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == {1, 5, 10}
+        prev = -1
+        for k in (1, 5, 10):
+            hits = sum(
+                1
+                for v in set(er) & set(ar)
+                if max(er[v], ar[v]) <= k
+            )
+            assert got[k]["n_hits"] == hits
+            assert abs(got[k]["recall_at_k"] - hits / k) < 1e-15
+            assert 0.0 <= got[k]["recall_at_k"] <= 1.0
+            assert got[k]["n_hits"] >= prev  # hits non-decreasing in k
+            prev = got[k]["n_hits"]
+
+
+class TestEtaSquared:
+    def test_python_replay(self, spark):
+        rows = (
+            load(spark, SF_DIR, "documents")
+            .select("lang", "source", "text")
+            .collect()
+        )
+        for fac in ("lang", "source"):
+            g: dict = defaultdict(lambda: [0, 0, 0])
+            for r in rows:
+                nt = len(r["text"].split(" "))
+                a = g[r[fac]]
+                a[0] += 1
+                a[1] += nt
+                a[2] += nt * nt
+            sb_q = sum(
+                math.floor(s * s / n * 1e6 + 0.5) for n, s, _ in g.values()
+            )
+            n = sum(a[0] for a in g.values())
+            s = sum(a[1] for a in g.values())
+            q = sum(a[2] for a in g.values())
+            eta = (sb_q / 1e6 - s * s / n) / (q - s * s / n)
+            got = {
+                r["factor"]: r
+                for r in catalog()["prof_eta_squared"]
+                .fn(spark, SF_DIR)
+                .collect()
+            }
+            assert got[fac]["n_groups"] == len(g)
+            assert abs(got[fac]["eta_squared"] - eta) < 1e-9
+            assert -1e-9 <= got[fac]["eta_squared"] <= 1.0
+
+
+class TestLengthDeciles:
+    def test_python_replay(self, spark):
+        rows = (
+            load(spark, SF_DIR, "documents")
+            .select("lang", "text")
+            .collect()
+        )
+        per: dict = defaultdict(list)
+        for r in rows:
+            per[r["lang"]].append(len(r["text"].split(" ")))
+        got = {
+            r["lang"]: r
+            for r in catalog()["prof_length_deciles"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == set(per)
+        for lang, lens in per.items():
+            lens.sort()
+            n = len(lens)
+            cum = 0
+            q = {}
+            for v in sorted(set(lens)):
+                cum += lens.count(v)
+                for name, a, b in (
+                    ("p10_tokens", 10, 1),
+                    ("p25_tokens", 4, 1),
+                    ("p50_tokens", 2, 1),
+                    ("p75_tokens", 4, 3),
+                    ("p90_tokens", 10, 9),
+                ):
+                    if name not in q and a * cum >= b * n:
+                        q[name] = v
+            g = got[lang]
+            assert g["n_docs"] == n
+            for name, v in q.items():
+                assert g[name] == v
+            assert (
+                g["p10_tokens"] <= g["p25_tokens"] <= g["p50_tokens"]
+                <= g["p75_tokens"] <= g["p90_tokens"]
+            )
+
+
+class TestShardSkewSweep:
+    def test_python_replay(self, spark):
+        ids = [
+            r["doc_id"]
+            for r in load(spark, SF_DIR, "documents")
+            .select("doc_id")
+            .collect()
+        ]
+        got = {
+            r["n_shards"]: r
+            for r in catalog()["ext_shard_skew_sweep"]
+            .fn(spark, SF_DIR)
+            .collect()
+        }
+        assert set(got) == {8, 16, 32}
+        for n in (8, 16, 32):
+            counts = Counter(
+                int(
+                    hashlib.md5(
+                        f"{d}:bdl-shard-skew".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % n
+                for d in ids
+            )
+            sizes = [counts.get(sh, 0) for sh in range(n)]
+            g = got[n]
+            assert g["n_total"] == len(ids)
+            assert g["max_docs"] == max(sizes)
+            assert g["min_docs"] == min(sizes)
+            assert abs(
+                g["max_skew_ratio"] - max(sizes) * n / len(ids)
+            ) < 1e-12
+            tot = len(ids)
+            rv = (n * sum(c * c for c in sizes) - tot * tot) / (tot * tot)
+            assert abs(g["rel_variance"] - rv) < 1e-12
+            assert g["max_skew_ratio"] >= 1.0
