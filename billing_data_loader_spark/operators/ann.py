@@ -2801,3 +2801,92 @@ def ext_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(overlap_d AS DOUBLE) / depth").alias("agreement_d"),
         "rbo_trunc",
     )
+
+
+# --- ext_ann_recall_curve -------------------------------------------------------
+
+#: Recall evaluation depths. recall@k = |ANN top-k ∩ exact top-k| / k.
+_ARC_KS = [1, 5, 10]
+
+
+def _arc_oracle() -> str:
+    from .llm_pipeline import _KNN_ORACLE
+
+    ks = ", ".join(str(k) for k in _ARC_KS)
+    return f"""
+WITH exact AS MATERIALIZED ({_KNN_ORACLE}),
+ann AS MATERIALIZED ({_LSH_ORACLE}),
+er AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+    AS rnk FROM exact
+),
+ar AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+    AS rnk FROM ann
+),
+m AS (
+  SELECT greatest(er.rnk, ar.rnk) AS maxr
+  FROM er JOIN ar ON er.vec_id = ar.vec_id
+),
+grid AS (SELECT unnest([{ks}]) AS k)
+SELECT CAST(g.k AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM m WHERE m.maxr <= g.k) AS BIGINT)
+         AS n_hits,
+       CAST((SELECT COUNT(*) FROM m WHERE m.maxr <= g.k) AS DOUBLE)
+         / g.k AS recall_at_k
+FROM grid g
+"""
+
+
+_ARC_ORACLE = _arc_oracle()
+
+
+@query("ext_ann_recall_curve", oracle=_ARC_ORACLE, tier=3)
+def ext_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall curve: recall@{{1,5,10}} of the LSH-bucketed search
+    (ext_ann_lsh) against the exact brute-force top-10 (ext_knn_cosine)
+    for the benchmark query — the acceptance test every approximate
+    index ships with (the per-k curve shows WHERE the approximation
+    loses: head misses are regressions, tail misses are the traded
+    recall). Intersection-at-depth uses the max-rank identity
+    (hit at k iff max(exact_rank, ann_rank) <= k — the
+    ext_rank_biased_overlap machinery at unit weights).
+
+    Exactness: both rankings re-derive ranks by the deterministic
+    (cos_sim desc, vec_id) total order over the helpers' own 10-row
+    outputs (each helper's key pins its ranking); hits are exact
+    integers; recall is one shared-text division.
+
+    Shape: consumes the two helpers' plans (broadcast query vector +
+    map-side cosine + TakeOrdered for both; the LSH side adds its
+    bucket candidate join); everything after is arithmetic on <= 10-row
+    frames (EXPECTED_FLAGS inherited from the helpers' 1-row folds)."""
+    from ..session import scoped_persist
+    from pyspark.sql import Window
+    from .llm_pipeline import ext_knn_cosine
+
+    exact = scoped_persist(ext_knn_cosine(spark, sf_dir))
+    ann = scoped_persist(ext_ann_lsh(spark, sf_dir))
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    er = exact.select(
+        "vec_id", F.row_number().over(w).alias("rnk")
+    )
+    ar = ann.select(
+        "vec_id", F.row_number().over(w).alias("rnk")
+    )
+    m = er.alias("e").join(
+        ar.alias("a"), F.col("e.vec_id") == F.col("a.vec_id")
+    ).select(F.greatest("e.rnk", "a.rnk").alias("maxr"))
+    grid = spark.createDataFrame(
+        [(k,) for k in _ARC_KS], "k long"
+    )
+    return (
+        grid.join(F.broadcast(m), F.col("maxr") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("maxr").alias("n_hits"))
+        .select(
+            "k",
+            "n_hits",
+            F.expr("CAST(n_hits AS DOUBLE) / k").alias("recall_at_k"),
+        )
+    )

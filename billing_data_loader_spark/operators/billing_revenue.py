@@ -1004,3 +1004,101 @@ def bill_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lq").over(w).cast("double") / F.lit(1e6)
         ).alias("log_survival"),
     )
+
+
+# --- bill_return_latency --------------------------------------------------------
+
+_RETLAT_ORACLE = """
+WITH ret AS (
+  SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+              AS BIGINT) AS mi,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+              AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+),
+g AS (
+  SELECT mi, days, CAST(COUNT(*) AS BIGINT) AS n FROM ret
+  GROUP BY mi, days
+),
+c AS (
+  SELECT mi, days, n,
+         CAST(SUM(n) OVER (PARTITION BY mi ORDER BY days
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY mi) AS BIGINT) AS total
+  FROM g
+)
+SELECT (mi // 12) * 100 + (mi % 12) + 1 AS ym,
+       MAX(total) AS n_returns,
+       MIN(days) AS min_days,
+       MAX(days) AS max_days,
+       MIN(CASE WHEN 2 * cum >= total THEN days END) AS p50_days,
+       MIN(CASE WHEN 10 * cum >= 9 * total THEN days END) AS p90_days
+FROM c GROUP BY mi
+"""
+
+
+@query("bill_return_latency", oracle=_RETLAT_ORACLE, tier=2)
+def bill_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-latency distribution per order month: for returned line
+    items ('R' flag), the days from order date to the item's ship date (the fixture carries l_shipdate; a receipt column drops in with a one-token swap), summarized
+    as count, min/max, and exact integer-day p50/p90 — the
+    reverse-logistics SLA read next to bill_return_rate_monthly's
+    how-much (this is the how-slow; a drifting p90 flags a carrier or
+    restocking problem months before the rate moves).
+
+    Exactness: latency is an exact integer day difference; the
+    percentiles are order statistics picked by integer
+    cross-multiplication over the per-(month, days) cumulative weight
+    (2*cum >= total, 10*cum >= 9*total — no interpolation, no float
+    boundary; the agg_weighted_median discipline).
+
+    Shape: the fact-to-fact order-key equi-join (co-partitioned via the
+    join_bucketed layout at 100 TB), then ONE (month, days) aggregate
+    with full combine — the exchange carries distinct latency values
+    per month, not line items — and the percentile windows ride a
+    month-keyed exchange over that bounded frame."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ret = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mi"),
+        F.datediff("l_shipdate", "o_orderdate")
+        .cast("long")
+        .alias("days"),
+    )
+    g = ret.groupBy("mi", "days").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        Window.partitionBy("mi")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "mi",
+        "days",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        F.sum("n").over(Window.partitionBy("mi")).alias("total"),
+    )
+    return c.groupBy("mi").agg(
+        F.max("total").alias("n_returns"),
+        F.min("days").alias("min_days"),
+        F.max("days").alias("max_days"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("days"))
+        ).alias("p90_days"),
+    ).select(
+        F.expr("(mi DIV 12) * 100 + (mi % 12) + 1").alias("ym"),
+        "n_returns",
+        "min_days",
+        "max_days",
+        "p50_days",
+        "p90_days",
+    )

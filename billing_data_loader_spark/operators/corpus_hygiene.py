@@ -821,3 +821,69 @@ def ext_coverage_gain_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_frac"
         ),
     )
+
+
+# --- ext_prefix_boilerplate -----------------------------------------------------
+
+#: Prefix fingerprint width (tokens). Real crawls carry injected headers/
+#: disclaimers; 8 tokens is the CCNet-style boilerplate-line scale.
+_BP_PREFIX_TOKENS = 8
+
+_BP_ORACLE = f"""
+WITH pfx AS (
+  SELECT doc_id, lang, source,
+         array_to_string(string_split(text, ' ')[1:{_BP_PREFIX_TOKENS}],
+                         ' ') AS prefix
+  FROM documents
+)
+SELECT lang, prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM pfx
+GROUP BY lang, prefix
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("ext_prefix_boilerplate", oracle=_BP_ORACLE, tier=3)
+def ext_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix boilerplate audit: document groups whose first
+    {_BP_PREFIX_TOKENS} tokens are IDENTICAL within a language —
+    the cheap detector for injected headers, license banners, and
+    template scaffolding that full-document dedup misses (the bodies
+    differ) and substring dedup pays much more to find; groups spanning
+    several SOURCES are the strongest boilerplate signal (the same
+    header arriving through different feeds). doc_id_sum binds exact
+    group membership.
+
+    Exactness: the prefix is a lossless positional slice of the
+    single-space token stream; all outputs are exact integer
+    counts/sums.
+
+    Shape: map-side prefix projection (never the full text past the
+    scan), ONE (lang, prefix) aggregate with full map-side combine —
+    the exchange carries 8-token prefixes, not documents — and the
+    HAVING filter prunes singleton groups before the result
+    materializes. At 100 TB this is the classic scan -> partial-agg ->
+    one exchange plan keyed on a bounded-width string."""
+    d = load(spark, sf_dir, "documents")
+    pfx = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_join(
+            F.slice(F.split("text", " "), 1, _BP_PREFIX_TOKENS), " "
+        ).alias("prefix"),
+    )
+    return (
+        pfx.groupBy("lang", "prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

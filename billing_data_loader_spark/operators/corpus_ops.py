@@ -1438,3 +1438,139 @@ def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (metric, value)"
         )
     )
+
+
+# --- ext_shard_skew_sweep -------------------------------------------------------
+
+#: Candidate shard counts. The shard key is an md5 bucket both engines
+#: compute identically (the ext_sample_weighted hex bridge); the salt
+#: decouples it from the split/sample salts.
+_SKEW_COUNTS = [8, 16, 32]
+_SKEW_SALT = ":bdl-shard-skew"
+
+_SKEW_ORACLE = f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_SKEW_SALT}'),
+                         1, 8))::BIGINT AS hv
+  FROM documents
+),
+sweep AS (
+  SELECT n_shards, hv % n_shards AS shard
+  FROM h CROSS JOIN (SELECT unnest([{", ".join(str(n) for n in _SKEW_COUNTS)}])
+                       AS n_shards)
+),
+grid AS (
+  SELECT n.n_shards, s.shard
+  FROM (SELECT unnest([{", ".join(str(n) for n in _SKEW_COUNTS)}])
+          AS n_shards) n,
+       (SELECT unnest(range(0, {max(_SKEW_COUNTS)})) AS shard) s
+  WHERE s.shard < n.n_shards
+),
+per AS (
+  SELECT g.n_shards, g.shard, CAST(COUNT(c.shard) AS BIGINT) AS n_docs
+  FROM grid g LEFT JOIN sweep c
+    ON c.n_shards = g.n_shards AND c.shard = g.shard
+  GROUP BY g.n_shards, g.shard
+)
+SELECT CAST(n_shards AS BIGINT) AS n_shards,
+       CAST(SUM(n_docs) AS BIGINT) AS n_total,
+       CAST(MAX(n_docs) AS BIGINT) AS max_docs,
+       CAST(MIN(n_docs) AS BIGINT) AS min_docs,
+       CAST(MAX(n_docs) * n_shards AS DOUBLE)
+         / CAST(SUM(n_docs) AS DOUBLE) AS max_skew_ratio,
+       CAST(n_shards * SUM(CAST(n_docs AS HUGEINT) * n_docs)
+            - CAST(SUM(n_docs) AS HUGEINT) * SUM(n_docs) AS DOUBLE)
+         / CAST(CAST(SUM(n_docs) AS HUGEINT) * SUM(n_docs) AS DOUBLE)
+         AS rel_variance
+FROM per GROUP BY n_shards
+"""
+
+
+@query("ext_shard_skew_sweep", oracle=_SKEW_ORACLE, tier=3)
+def ext_shard_skew_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance sweep: hash-shard the corpus at 8/16/32 shards and
+    report per shard count the max/min shard sizes, the max-skew ratio
+    (max * n / total — the straggler multiplier: how much longer the
+    slowest shard runs than the mean), and the relative variance
+    (n * sum(c^2) / total^2 - 1 in one integer-exact expression) — the
+    read before fixing a webdataset shard count or a bucketing width
+    (ext_shard_rendezvous assigns; this audits the assignment the way
+    prof_skew_report audits natural keys). EMPTY shards report via the
+    shard grid (a hash that never hits shard 31 is itself the finding).
+
+    Exactness: the shard is an md5 bucket both engines compute
+    identically; counts are exact; the skew ratio is one shared-text
+    division and the variance numerator widens DECIMAL(38,0)/HUGEINT
+    (counts^2 sums pass int64 at ~3e9 docs/shard).
+
+    Shape: one map-side hash projection fans out to the 3-candidate
+    sweep (explode), ONE (n_shards, shard) counting aggregate — 56
+    groups at any corpus size — and the summary folds run on that
+    frame."""
+    d = load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(_SKEW_SALT))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sweep = d.select(hv.alias("hv")).select(
+        F.explode(
+            F.array(*[F.lit(n) for n in _SKEW_COUNTS])
+        ).alias("n_shards"),
+        "hv",
+    ).select("n_shards", (F.col("hv") % F.col("n_shards")).alias("shard"))
+    grid = (
+        spark.createDataFrame([(n,) for n in _SKEW_COUNTS], "n_shards int")
+        .select(
+            "n_shards",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_shards") - 1)
+            ).alias("shard"),
+        )
+        .select(
+            F.col("n_shards").cast("int").alias("n_shards"),
+            F.col("shard").cast("long").alias("shard"),
+        )
+    )
+    per = (
+        grid.join(
+            sweep.groupBy("n_shards", "shard").agg(
+                F.count(F.lit(1)).alias("c")
+            ),
+            ["n_shards", "shard"],
+            "left",
+        )
+        .select(
+            "n_shards",
+            "shard",
+            F.coalesce("c", F.lit(0).cast("long")).alias("n_docs"),
+        )
+    )
+    return per.groupBy("n_shards").agg(
+        F.sum("n_docs").alias("n_total"),
+        F.max("n_docs").alias("max_docs"),
+        F.min("n_docs").alias("min_docs"),
+        F.expr(
+            "CAST(MAX(n_docs) * n_shards AS DOUBLE)"
+            " / CAST(SUM(n_docs) AS DOUBLE)"
+        ).alias("max_skew_ratio"),
+        F.expr(
+            "CAST(n_shards * SUM(CAST(n_docs AS DECIMAL(38,0)) * n_docs)"
+            " - CAST(SUM(n_docs) AS DECIMAL(38,0)) * SUM(n_docs)"
+            " AS DOUBLE)"
+            " / CAST(CAST(SUM(n_docs) AS DECIMAL(38,0)) * SUM(n_docs)"
+            " AS DOUBLE)"
+        ).alias("rel_variance"),
+    ).select(
+        F.col("n_shards").cast("long").alias("n_shards"),
+        "n_total",
+        "max_docs",
+        "min_docs",
+        "max_skew_ratio",
+        "rel_variance",
+    )

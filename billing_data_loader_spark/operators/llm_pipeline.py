@@ -1419,3 +1419,169 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_b.alias("split_b"),
         (split_a != split_b).alias("is_leak"),
     )
+
+
+# --- ext_minhash_est_error ------------------------------------------------------
+
+#: Estimator-audit MinHash: 16 seeds, md5-based so BOTH engines compute
+#: the identical signatures (the production path's xxhash64 does not
+#: exist in DuckDB — this key audits the ESTIMATOR, so its hash family
+#: only needs to be shared and uniform). 15 hex digits < 2^60 keep the
+#: parsed value inside BIGINT.
+_MEE_SEEDS = 16
+
+_MEE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, lang,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS gram
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(
+             f"MIN(('0x' || substr(md5(gram || '#{s}'), 1, 15))::BIGINT)"
+             f" AS mh{s}" for s in range(_MEE_SEEDS))}
+  FROM tok GROUP BY doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM tok a JOIN tok b
+    ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS exact_j
+  FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.6
+)
+SELECT j.doc_a, j.doc_b, j.exact_j,
+       CAST(({" + ".join(
+           f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END"
+           for s in range(_MEE_SEEDS))}) AS BIGINT) AS n_seed_matches,
+       CAST(({" + ".join(
+           f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END"
+           for s in range(_MEE_SEEDS))}) AS DOUBLE)
+         / {_MEE_SEEDS} AS est_j,
+       abs(CAST(({" + ".join(
+           f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END"
+           for s in range(_MEE_SEEDS))}) AS DOUBLE)
+           / {_MEE_SEEDS} - j.exact_j) AS abs_err
+FROM jac j
+JOIN sig sa ON j.doc_a = sa.doc_id
+JOIN sig sb ON j.doc_b = sb.doc_id
+"""
+
+
+@query("ext_minhash_est_error", oracle=_MEE_ORACLE, tier=3)
+def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for every exact >= 0.6 near-dup
+    pair, the true shingle Jaccard, the 16-seed MinHash estimate
+    (matching-seed fraction — the unbiased estimator, Var = J(1-J)/k),
+    and the absolute error — the sketch-budget read a dedup owner
+    consults before trading seeds for recall (the production 64-seed
+    xxhash path's error is bounded by the same binomial law; this key
+    audits the ESTIMATOR itself with an md5 family both engines share).
+
+    Exactness: signatures are md5-derived BIGINT minima — bit-identical
+    in both engines, so seed-match counts are exact integers; exact
+    Jaccard and the estimate are single divisions of exact integers and
+    the error is one shared-text abs/subtract.
+
+    Shape: ONE distinct (doc, gram) shuffle feeds both the 16 parallel
+    MIN() signature aggregates (one doc-keyed exchange) and the exact
+    pair set (the prefix-filtered equi-join family); pair verification
+    joins the O(pairs) frame against the signature frame twice. At
+    100 TB pairs come from the LSH candidates, exactly as in the
+    production siblings."""
+    d = load(spark, sf_dir, "documents")
+    tok = scoped_persist(
+        d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(_SHINGLES_FROM_T)).alias("gram"),
+        )
+        .distinct()
+    )
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("gram"), F.lit(f"#{s}"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh{s}")
+            for s in range(_MEE_SEEDS)
+        ]
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = (
+        pairs.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("exact_j"),
+        )
+        .filter(F.col("exact_j") >= 0.6)
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(_MEE_SEEDS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(_MEE_SEEDS)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_MEE_SEEDS)
+    )
+    return (
+        jac.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "exact_j",
+            matches.cast("long").alias("n_seed_matches"),
+            (matches.cast("double") / _MEE_SEEDS).alias("est_j"),
+            F.abs(
+                matches.cast("double") / _MEE_SEEDS - F.col("exact_j")
+            ).alias("abs_err"),
+        )
+    )

@@ -1028,3 +1028,161 @@ def prof_inclusion_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- prof_eta_squared -----------------------------------------------------------
+
+#: Per-group mean-square terms quantize at 1e6 before the cross-group
+#: sum (each S_g^2/n_g is one exact-integer division; the eta-squared
+#: ratio then divides shared-text doubles). S^2 as a double product is
+#: exact while S < 2^26.5 — far past the fixture; DECIMAL widening
+#: documented for larger corpora.
+_ETA_FACTORS = ["lang", "source"]
+
+_ETA_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{fac}' AS factor,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       (CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * s / n * 1e6
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT))
+             AS DOUBLE) / 1e6
+        - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n))
+       / (CAST(SUM(q) AS DOUBLE)
+          - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n)) AS eta_squared
+FROM (
+  SELECT {fac}, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS s,
+         CAST(SUM(len(string_split(text, ' '))
+                  * len(string_split(text, ' '))) AS BIGINT) AS q
+  FROM documents GROUP BY {fac}
+)
+"""
+    for fac in _ETA_FACTORS
+)
+
+
+@query("prof_eta_squared", oracle=_ETA_ORACLE, tier=3)
+def prof_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation ratio (eta-squared) of document length against each
+    categorical factor (language, source): the share of token-count
+    variance EXPLAINED by the factor — the effect-size read that
+    completes prof_mutual_info (MI covers categorical-categorical
+    dependence; eta-squared covers categorical-numeric, the "do sources
+    differ in length enough to stratify on?" question a sampler owner
+    asks before keying strata).
+
+    Exactness: all group moments (n, sum, sum-of-squares) are exact
+    BIGINT; each group's S_g^2/n_g is ONE exact-integer division
+    floor-quantized at 1e6 before the cross-group sum; the final ratio
+    is shared-text IEEE over those exact inputs.
+
+    Shape: per factor ONE keyed counting/moment aggregate (full
+    map-side combine — the exchange carries three longs per group), and
+    the eta fold runs on the O(groups) frame; the two factor mini-plans
+    union to 2 rows (EXPECTED_FLAGS: 1-row folds)."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "source", F.size(F.split("text", " ")).alias("nt")
+    )
+    out = None
+    for fac in _ETA_FACTORS:
+        g = d.groupBy(fac).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("nt").alias("s"),
+            F.sum(F.col("nt") * F.col("nt")).alias("q"),
+        )
+        row = g.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.expr(
+                "(CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * s / n * 1e6"
+                " + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e6"
+                " - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n))"
+                " / (CAST(SUM(q) AS DOUBLE)"
+                " - CAST(SUM(s) AS DOUBLE) * SUM(s) / SUM(n))"
+            ).alias("eta_squared"),
+        ).select(
+            F.lit(fac).alias("factor"), "n_groups", "eta_squared"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# --- prof_length_deciles --------------------------------------------------------
+
+_LDEC_ORACLE = """
+WITH lens AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+g AS (
+  SELECT lang, nt, CAST(COUNT(*) AS BIGINT) AS c FROM lens
+  GROUP BY lang, nt
+),
+cu AS (
+  SELECT lang, nt, c,
+         CAST(SUM(c) OVER (PARTITION BY lang ORDER BY nt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM g
+)
+SELECT lang, MAX(n) AS n_docs,
+       MIN(CASE WHEN 10 * cum >= n THEN nt END) AS p10_tokens,
+       MIN(CASE WHEN 4 * cum >= n THEN nt END) AS p25_tokens,
+       MIN(CASE WHEN 2 * cum >= n THEN nt END) AS p50_tokens,
+       MIN(CASE WHEN 4 * cum >= 3 * n THEN nt END) AS p75_tokens,
+       MIN(CASE WHEN 10 * cum >= 9 * n THEN nt END) AS p90_tokens
+FROM cu GROUP BY lang
+"""
+
+
+@query("prof_length_deciles", oracle=_LDEC_ORACLE, tier=2)
+def prof_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length percentile profile per language (p10/p25/p50/
+    p75/p90 of token counts) — the truncation-budget read a pipeline
+    owner consults before fixing a context length or a min-length
+    filter (ext_pack_efficiency_sweep answers the packing side; this
+    answers what gets CUT at each candidate). Exact order statistics,
+    not approx_percentile, so the numbers are reproducible across
+    engines and partitionings.
+
+    Exactness: percentile picks are integer cross-multiplications over
+    the per-(lang, length) cumulative counts (the agg_weighted_median
+    discipline — no interpolation, no float anywhere).
+
+    Shape: ONE (lang, length) counting aggregate collapses the corpus
+    to distinct length values per language (full map-side combine);
+    the cumulative window rides a lang-keyed exchange over that
+    bounded-support frame; output is O(langs) rows."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("long").alias("nt")
+    )
+    g = d.groupBy("lang", "nt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy("nt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cu = g.select(
+        "lang",
+        "nt",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(W.partitionBy("lang")).alias("n"),
+    )
+    return cu.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.min(F.when(10 * F.col("cum") >= F.col("n"), F.col("nt"))).alias(
+            "p10_tokens"
+        ),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("nt"))).alias(
+            "p25_tokens"
+        ),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("nt"))).alias(
+            "p50_tokens"
+        ),
+        F.min(
+            F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("nt"))
+        ).alias("p75_tokens"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("nt"))
+        ).alias("p90_tokens"),
+    )

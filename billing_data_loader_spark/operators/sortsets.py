@@ -137,3 +137,53 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_custkey")
         .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
     )
+
+
+# --- set_symmetric_diff ---------------------------------------------------------
+
+#: The two order cohorts compared: the 1995 calendar year vs the
+#: even-customer slice — deliberately overlapping so all three regions
+#: (a-only, b-only, both-excluded) are non-trivial.
+_SYM_A = "year(o_orderdate) = 1995"
+_SYM_B = "o_custkey % 2 = 0"
+
+_SYMDIFF_ORACLE = f"""
+SELECT o_orderkey, side, o_totalprice FROM (
+  SELECT o_orderkey, 'a_only' AS side, o_totalprice
+  FROM orders WHERE ({_SYM_A}) AND NOT ({_SYM_B})
+  UNION ALL
+  SELECT o_orderkey, 'b_only' AS side, o_totalprice
+  FROM orders WHERE ({_SYM_B}) AND NOT ({_SYM_A})
+)
+"""
+
+
+@query("set_symmetric_diff", oracle=_SYMDIFF_ORACLE, tier=2)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference of two order cohorts (1995 orders vs
+    even-customer orders), each surviving row tagged with its side —
+    the reconciliation primitive behind snapshot diffs and A/B cohort
+    audits that completes the §2.6 set-op family (union / intersect /
+    except cover three of the four regions; this is the fourth). The
+    cohorts are predicate-defined slices of ONE table, so the plan is
+    two anti-joins' worth of semantics with ZERO joins: each side's
+    membership test is the other side's predicate evaluated map-side.
+
+    Exactness: integer keys and exact predicate membership; prices pass
+    through untouched.
+
+    Shape: one scan, two complementary map-side filters unioned — at
+    100 TB this is a single pass with both predicates pushed to the
+    parquet scan; the general two-TABLE symmetric diff swaps in a
+    full-outer null-test join on the key (set_except's documented
+    sibling)."""
+    o = load(spark, sf_dir, "orders")
+    a_pred = F.expr(_SYM_A)
+    b_pred = F.expr(_SYM_B)
+    a_only = o.filter(a_pred & ~b_pred).select(
+        "o_orderkey", F.lit("a_only").alias("side"), "o_totalprice"
+    )
+    b_only = o.filter(b_pred & ~a_pred).select(
+        "o_orderkey", F.lit("b_only").alias("side"), "o_totalprice"
+    )
+    return a_only.unionAll(b_only)

@@ -1889,3 +1889,112 @@ def ext_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- ext_lang_confusability -----------------------------------------------------
+
+#: Signature width for the confusability read: top-50 per language (wider
+#: than ext_lang_id's 20 so the overlap statistic has resolution).
+_CONFUS_TOPK = 50
+
+_CONFUS_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+sig AS (
+  SELECT lang, token FROM (
+    SELECT lang, token, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY COUNT(*) DESC, token ASC
+    ) AS rn
+    FROM tok GROUP BY lang, token
+  ) WHERE rn <= {_CONFUS_TOPK}
+),
+langs AS (SELECT DISTINCT lang FROM sig),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sig a JOIN sig b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT la.lang AS lang_a, lb.lang AS lang_b,
+       COALESCE(i.n_shared, 0) AS n_shared,
+       CAST(COALESCE(i.n_shared, 0) AS DOUBLE)
+         / CAST(2 * {_CONFUS_TOPK} - COALESCE(i.n_shared, 0) AS DOUBLE)
+         AS signature_jaccard
+FROM langs la JOIN langs lb ON la.lang < lb.lang
+LEFT JOIN inter i ON i.lang_a = la.lang AND i.lang_b = lb.lang
+"""
+
+
+@query("ext_lang_confusability", oracle=_CONFUS_ORACLE, tier=3)
+def ext_lang_confusability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language confusability matrix: for every language pair, how many
+    of their top-{_CONFUS_TOPK} token signatures coincide, and the
+    signature Jaccard — the a-priori explanation for ext_macro_f1's
+    confusion structure (two languages sharing vocabulary are exactly
+    where a token-overlap classifier like ext_lang_id must err) and the
+    signal a curator reads before trusting per-language corpus splits
+    built from that classifier. Zero-overlap pairs report explicitly
+    via the language-grid left join.
+
+    Exactness: signature membership is the deterministic (count desc,
+    token asc) total order; counts are exact integers; the Jaccard is
+    one shared-text division (signature sets have fixed size
+    {_CONFUS_TOPK}, so the union is 2k - shared).
+
+    Shape: one (lang, token) counting aggregate — the only data-sized
+    exchange — then the per-lang top-k window runs on the
+    vocabulary-sized count frame partitioned per language; the
+    signature self-join and pair grid are O(langs * k) frames."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    sig_w = W.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    sig = scoped_persist(
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(sig_w))
+        .filter(F.col("rn") <= _CONFUS_TOPK)
+        .select("lang", "token")
+    )
+    langs = sig.select("lang").distinct()
+    inter = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    grid = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .join(
+            F.broadcast(langs.select(F.col("lang").alias("lang_b"))),
+            F.col("lang_a") < F.col("lang_b"),
+        )
+    )
+    return (
+        grid.join(F.broadcast(inter), ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias(
+                "n_shared"
+            ),
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.expr(
+                f"CAST(n_shared AS DOUBLE)"
+                f" / CAST(2 * {_CONFUS_TOPK} - n_shared AS DOUBLE)"
+            ).alias("signature_jaccard"),
+        )
+    )

@@ -1194,3 +1194,91 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# --- ts_weekday_adjust ----------------------------------------------------------
+
+_WKADJ_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY day
+),
+wd AS (
+  SELECT day, cents,
+         CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+           AS weekday_idx
+  FROM daily
+),
+idx AS (
+  SELECT weekday_idx, CAST(SUM(cents) AS BIGINT) AS wsum,
+         CAST(COUNT(*) AS BIGINT) AS wn
+  FROM wd GROUP BY weekday_idx
+)
+SELECT wd.day, wd.weekday_idx,
+       CAST(wd.cents AS DOUBLE) / 1e2 AS actual,
+       CAST(idx.wsum AS DOUBLE) / (idx.wn * 1e2) AS weekday_expected,
+       CAST(wd.cents AS DOUBLE) / 1e2
+         - CAST(idx.wsum AS DOUBLE) / (idx.wn * 1e2) AS residual,
+       CAST(wd.cents AS DOUBLE) * idx.wn / CAST(idx.wsum AS DOUBLE)
+         AS seasonal_ratio
+FROM wd JOIN idx ON wd.weekday_idx = idx.weekday_idx
+"""
+
+
+@query("ts_weekday_adjust", oracle=_WKADJ_ORACLE, tier=2)
+def ts_weekday_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal ADJUSTMENT of the daily value series: each day's
+    actual total against its weekday's mean, the residual, and the
+    seasonal ratio — ts_seasonal_index computes the 7 indices; this
+    APPLIES them back per day, which is the frame an anomaly reviewer
+    actually reads (a Monday that is low for a Monday, not low
+    absolutely; win_moving_stddev's envelope is the trailing-window
+    sibling, this one is calendar-aware).
+
+    Cross-engine note: the weekday key is epoch-day mod 7 — Spark's
+    dayofweek() is 1-based-Sunday while DuckDB's is 0-based, so neither
+    builtin is shared; integer date arithmetic is.
+
+    Exactness: daily sums exact cents; the weekday mean is one division
+    of exact integers; residual and ratio are shared-text IEEE over
+    those exact inputs.
+
+    Shape: one day-keyed aggregate (the only data-sized exchange), a
+    7-row weekday aggregate, and a broadcast join back onto the O(days)
+    frame."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("ts").cast("date").alias("day"),
+            quantize_long("value", 2).alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wd = daily.select(
+        "day",
+        "cents",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7)
+        .cast("long")
+        .alias("weekday_idx"),
+    )
+    idx = wd.groupBy("weekday_idx").agg(
+        F.sum("cents").alias("wsum"), F.count(F.lit(1)).alias("wn")
+    )
+    return wd.join(F.broadcast(idx), "weekday_idx").select(
+        "day",
+        "weekday_idx",
+        F.expr("CAST(cents AS DOUBLE) / 1e2").alias("actual"),
+        F.expr("CAST(wsum AS DOUBLE) / (wn * 1e2)").alias(
+            "weekday_expected"
+        ),
+        F.expr(
+            "CAST(cents AS DOUBLE) / 1e2"
+            " - CAST(wsum AS DOUBLE) / (wn * 1e2)"
+        ).alias("residual"),
+        F.expr(
+            "CAST(cents AS DOUBLE) * wn / CAST(wsum AS DOUBLE)"
+        ).alias("seasonal_ratio"),
+    )

@@ -430,6 +430,15 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "O(max-lifetime-months) frame (~80 rows at any corpus; "
             "the ts_cusum two-pass swap applies) + 1-row horizon fold"
         ),
+        # round-13 bank
+        "ext_ann_recall_curve": (
+            "rank windows over the two 10-row helper outputs + the "
+            "3-row recall fold (inherits the knn/lsh 1-row folds)"
+        ),
+        "prof_eta_squared": (
+            "per-factor 1-row eta folds over the O(groups) moment "
+            "frames (O(tasks) partials, never docs)"
+        ),
         "ts_holt_linear": (
             "1-row sorted-series fold feeding the runtime Holt "
             "aggregate() (the ext_mmr_diversify small-array pattern; "
@@ -736,6 +745,16 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "agg_audience_overlap": (
             "type-pair grid: non-equi broadcast join of two O(types)-"
             "row size frames (5x5 at any corpus)"
+        ),
+        # round-13 bank
+        "ext_lang_confusability": (
+            "language-pair grid: non-equi broadcast join of two "
+            "O(langs)-row frames (the agg_audience_overlap pattern)"
+        ),
+        "ext_ann_recall_curve": (
+            "broadcast theta-join of the <= 10-row matched-rank frame "
+            "against the 3-row depth grid (inherits the knn/lsh 1-row "
+            "folds)"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
