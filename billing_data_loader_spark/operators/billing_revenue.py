@@ -648,7 +648,7 @@ _CHURN_ORACLE = """
 WITH active AS (
   SELECT DISTINCT o_custkey AS cust,
          CAST(EXTRACT(year FROM o_orderdate) * 12
-              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi
   FROM orders
 ),
 firsts AS (SELECT cust, MIN(mi) AS first_mi FROM active GROUP BY cust),
@@ -690,9 +690,12 @@ def bill_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently reported as total churn (no m+1 exists to observe — the
     bill_dso_fifo right-censoring stance).
 
-    Exactness: the month key is the integer year*12+month index (exact
-    calendar arithmetic, no date formatting or timezone surface), every
-    count is exact, and the two rates are shared-text IEEE divisions.
+    Exactness: the month key is the integer year*12 + month - 1 index
+    (the win_yoy_growth convention — ADVICE r12 fix: the earlier
+    1-based encode decoded December into the NEXT year with month0=0;
+    zero-based months make year = mi DIV 12 and month0 = mi % 12 exact
+    for every month), every count is exact, and the two rates are
+    shared-text IEEE divisions.
 
     Shape: one distinct over (cust, month) collapses the stream (the
     only data-sized exchange — activity grain, not order grain); the
@@ -706,7 +709,7 @@ def bill_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("cust"),
             F.expr(
                 "CAST(EXTRACT(year FROM o_orderdate) * 12"
-                " + EXTRACT(month FROM o_orderdate) AS BIGINT)"
+                " + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)"
             ).alias("mi"),
         )
         .distinct()

@@ -750,7 +750,14 @@ def ext_coverage_gain_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB with large k, the covered broadcast graduates to a bloom
     bitmap (ext_bloom_decontaminate's form) — same algebra
     (EXPECTED_FLAGS: 1-row pick/covered folds + the 4-row output
-    window)."""
+    window).
+
+    Degenerate rounds (ADVICE r12): each round keeps only candidates
+    with new_grams > 0 and anti-joins the already-picked doc_ids, so
+    when the gram universe is exhausted in fewer than k rounds BOTH
+    engines emit the same short pick list (the oracle's round-r frame
+    only contains docs with >=1 uncovered gram by construction) instead
+    of Spark padding a zero-gain repeat pick."""
     from ..session import scoped_persist
 
     d = load(spark, sf_dir, "documents")
@@ -787,8 +794,13 @@ def ext_coverage_gain_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.size(F.array_except("ths", "cv")).alias("new_grams"),
             )
+        if picks is not None:
+            scored = scored.join(
+                F.broadcast(picks.select("doc_id")), "doc_id", "left_anti"
+            )
         pick = (
-            scored.orderBy(F.desc("new_grams"), F.asc("doc_id"))
+            scored.filter(F.col("new_grams") > 0)
+            .orderBy(F.desc("new_grams"), F.asc("doc_id"))
             .limit(1)
             .select(
                 F.lit(r).cast("long").alias("sel_round"),

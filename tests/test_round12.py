@@ -191,7 +191,7 @@ class TestChurnRate:
             .selectExpr(
                 "o_custkey AS cust",
                 "CAST(EXTRACT(year FROM o_orderdate) * 12"
-                " + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi",
+                " + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi",
             )
             .collect()
         )
