@@ -2873,24 +2873,40 @@ def _arc_oracle() -> str:
     ks = ", ".join(str(k) for k in _ARC_KS)
     return f"""
 WITH exact AS MATERIALIZED ({_KNN_ORACLE}),
-ann AS MATERIALIZED ({_LSH_ORACLE}),
+lshr AS MATERIALIZED ({_LSH_ORACLE}),
+pqres AS MATERIALIZED ({_IVFPQR_ORACLE}),
 er AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
     AS rnk FROM exact
 ),
-ar AS (
+lr AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
-    AS rnk FROM ann
+    AS rnk FROM lshr
 ),
-m AS (
-  SELECT greatest(er.rnk, ar.rnk) AS maxr
-  FROM er JOIN ar ON er.vec_id = ar.vec_id
+qr AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY approx_dist ASC, vec_id)
+    AS rnk FROM pqres
+),
+ml AS (
+  SELECT greatest(er.rnk, lr.rnk) AS maxr
+  FROM er JOIN lr ON er.vec_id = lr.vec_id
+),
+mq AS (
+  SELECT greatest(er.rnk, qr.rnk) AS maxr
+  FROM er JOIN qr ON er.vec_id = qr.vec_id
 ),
 grid AS (SELECT unnest([{ks}]) AS k)
-SELECT CAST(g.k AS BIGINT) AS k,
-       CAST((SELECT COUNT(*) FROM m WHERE m.maxr <= g.k) AS BIGINT)
+SELECT 'lsh' AS method, CAST(g.k AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM ml WHERE ml.maxr <= g.k) AS BIGINT)
          AS n_hits,
-       CAST((SELECT COUNT(*) FROM m WHERE m.maxr <= g.k) AS DOUBLE)
+       CAST((SELECT COUNT(*) FROM ml WHERE ml.maxr <= g.k) AS DOUBLE)
+         / g.k AS recall_at_k
+FROM grid g
+UNION ALL
+SELECT 'ivfpq_residual' AS method, CAST(g.k AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM mq WHERE mq.maxr <= g.k) AS BIGINT)
+         AS n_hits,
+       CAST((SELECT COUNT(*) FROM mq WHERE mq.maxr <= g.k) AS DOUBLE)
          / g.k AS recall_at_k
 FROM grid g
 """
@@ -2902,49 +2918,68 @@ _ARC_ORACLE = _arc_oracle()
 @query("ext_ann_recall_curve", oracle=_ARC_ORACLE, tier=3)
 def ext_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall curve: recall@{{1,5,10}} of the LSH-bucketed search
-    (ext_ann_lsh) against the exact brute-force top-10 (ext_knn_cosine)
-    for the benchmark query — the acceptance test every approximate
-    index ships with (the per-k curve shows WHERE the approximation
-    loses: head misses are regressions, tail misses are the traded
-    recall). Intersection-at-depth uses the max-rank identity
-    (hit at k iff max(exact_rank, ann_rank) <= k — the
-    ext_rank_biased_overlap machinery at unit weights).
+    (ext_ann_lsh) AND the residual-IVFPQ serving path
+    (ext_ann_ivfpq_residual — VERDICT r12 item 5: the PQ family's
+    recall@k is driver-checked here, not just distance parity) against
+    the exact brute-force top-10 (ext_knn_cosine) for the benchmark
+    query — the acceptance test every approximate index ships with (the
+    per-k curve shows WHERE each approximation loses: head misses are
+    regressions, tail misses are the traded recall).
+    Intersection-at-depth uses the max-rank identity (hit at k iff
+    max(exact_rank, ann_rank) <= k — the ext_rank_biased_overlap
+    machinery at unit weights).
 
-    Exactness: both rankings re-derive ranks by the deterministic
-    (cos_sim desc, vec_id) total order over the helpers' own 10-row
-    outputs (each helper's key pins its ranking); hits are exact
+    Exactness: rankings re-derive ranks by each method's OWN
+    deterministic serving order over the helpers' 10-row outputs —
+    (cos_sim desc, vec_id) for exact/LSH, (approx_dist asc, vec_id) for
+    IVFPQ-residual, each pinned by the helper's key; hits are exact
     integers; recall is one shared-text division.
 
-    Shape: consumes the two helpers' plans (broadcast query vector +
-    map-side cosine + TakeOrdered for both; the LSH side adds its
-    bucket candidate join); everything after is arithmetic on <= 10-row
-    frames (EXPECTED_FLAGS inherited from the helpers' 1-row folds)."""
+    Shape: consumes the three helpers' plans (broadcast query vector +
+    map-side scoring + TakeOrdered for all; the LSH side adds its
+    bucket candidate join, the residual side reads the staged scratch
+    index); everything after is arithmetic on <= 10-row frames
+    (EXPECTED_FLAGS inherited from the helpers' 1-row folds)."""
     from ..session import scoped_persist
     from pyspark.sql import Window
     from .llm_pipeline import ext_knn_cosine
 
     exact = scoped_persist(ext_knn_cosine(spark, sf_dir))
-    ann = scoped_persist(ext_ann_lsh(spark, sf_dir))
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    er = exact.select(
-        "vec_id", F.row_number().over(w).alias("rnk")
-    )
-    ar = ann.select(
-        "vec_id", F.row_number().over(w).alias("rnk")
-    )
-    m = er.alias("e").join(
-        ar.alias("a"), F.col("e.vec_id") == F.col("a.vec_id")
-    ).select(F.greatest("e.rnk", "a.rnk").alias("maxr"))
-    grid = spark.createDataFrame(
-        [(k,) for k in _ARC_KS], "k long"
-    )
-    return (
-        grid.join(F.broadcast(m), F.col("maxr") <= F.col("k"), "left")
-        .groupBy("k")
-        .agg(F.count("maxr").alias("n_hits"))
-        .select(
-            "k",
-            "n_hits",
-            F.expr("CAST(n_hits AS DOUBLE) / k").alias("recall_at_k"),
+    w_cos = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    w_adc = Window.orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    er = exact.select("vec_id", F.row_number().over(w_cos).alias("rnk"))
+    grid = spark.createDataFrame([(k,) for k in _ARC_KS], "k long")
+    methods = [
+        (
+            "lsh",
+            scoped_persist(ext_ann_lsh(spark, sf_dir)).select(
+                "vec_id", F.row_number().over(w_cos).alias("rnk")
+            ),
+        ),
+        (
+            "ivfpq_residual",
+            scoped_persist(ext_ann_ivfpq_residual(spark, sf_dir)).select(
+                "vec_id", F.row_number().over(w_adc).alias("rnk")
+            ),
+        ),
+    ]
+    out = None
+    for name, ar in methods:
+        m = (
+            er.alias("e")
+            .join(ar.alias("a"), F.col("e.vec_id") == F.col("a.vec_id"))
+            .select(F.greatest("e.rnk", "a.rnk").alias("maxr"))
         )
-    )
+        cur = (
+            grid.join(F.broadcast(m), F.col("maxr") <= F.col("k"), "left")
+            .groupBy("k")
+            .agg(F.count("maxr").alias("n_hits"))
+            .select(
+                F.lit(name).alias("method"),
+                "k",
+                "n_hits",
+                F.expr("CAST(n_hits AS DOUBLE) / k").alias("recall_at_k"),
+            )
+        )
+        out = cur if out is None else out.unionAll(cur)
+    return out

@@ -244,32 +244,45 @@ class TestWeekdayAdjust:
 class TestAnnRecallCurve:
     def test_replay_off_helper_outputs(self, spark):
         exact = catalog()["ext_knn_cosine"].fn(spark, SF_DIR).collect()
-        ann = catalog()["ext_ann_lsh"].fn(spark, SF_DIR).collect()
+        lsh = catalog()["ext_ann_lsh"].fn(spark, SF_DIR).collect()
+        pqr = (
+            catalog()["ext_ann_ivfpq_residual"].fn(spark, SF_DIR).collect()
+        )
 
-        def ranks(rows):
-            srt = sorted(rows, key=lambda r: (-r["cos_sim"], r["vec_id"]))
+        def ranks(rows, key=lambda r: (-r["cos_sim"], r["vec_id"])):
+            srt = sorted(rows, key=key)
             return {r["vec_id"]: i + 1 for i, r in enumerate(srt)}
 
-        er, ar = ranks(exact), ranks(ann)
+        er = ranks(exact)
+        by_method = {
+            "lsh": ranks(lsh),
+            "ivfpq_residual": ranks(
+                pqr, key=lambda r: (r["approx_dist"], r["vec_id"])
+            ),
+        }
         got = {
-            r["k"]: r
+            (r["method"], r["k"]): r
             for r in catalog()["ext_ann_recall_curve"]
             .fn(spark, SF_DIR)
             .collect()
         }
-        assert set(got) == {1, 5, 10}
-        prev = -1
-        for k in (1, 5, 10):
-            hits = sum(
-                1
-                for v in set(er) & set(ar)
-                if max(er[v], ar[v]) <= k
-            )
-            assert got[k]["n_hits"] == hits
-            assert abs(got[k]["recall_at_k"] - hits / k) < 1e-15
-            assert 0.0 <= got[k]["recall_at_k"] <= 1.0
-            assert got[k]["n_hits"] >= prev  # hits non-decreasing in k
-            prev = got[k]["n_hits"]
+        assert set(got) == {
+            (m, k) for m in by_method for k in (1, 5, 10)
+        }
+        for method, ar in by_method.items():
+            prev = -1
+            for k in (1, 5, 10):
+                hits = sum(
+                    1
+                    for v in set(er) & set(ar)
+                    if max(er[v], ar[v]) <= k
+                )
+                g = got[(method, k)]
+                assert g["n_hits"] == hits
+                assert abs(g["recall_at_k"] - hits / k) < 1e-15
+                assert 0.0 <= g["recall_at_k"] <= 1.0
+                assert g["n_hits"] >= prev  # hits non-decreasing in k
+                prev = g["n_hits"]
 
 
 class TestEtaSquared:

@@ -432,8 +432,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         ),
         # round-13 bank
         "ext_ann_recall_curve": (
-            "rank windows over the two 10-row helper outputs + the "
-            "3-row recall fold (inherits the knn/lsh 1-row folds)"
+            "rank windows over the three 10-row helper outputs + the "
+            "per-method 3-row recall folds (inherits the knn/lsh/"
+            "residual-PQ 1-row folds)"
         ),
         "prof_eta_squared": (
             "per-factor 1-row eta folds over the O(groups) moment "
@@ -752,9 +753,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "O(langs)-row frames (the agg_audience_overlap pattern)"
         ),
         "ext_ann_recall_curve": (
-            "broadcast theta-join of the <= 10-row matched-rank frame "
-            "against the 3-row depth grid (inherits the knn/lsh 1-row "
-            "folds)"
+            "broadcast theta-joins of the <= 10-row matched-rank frames "
+            "against the 3-row depth grid (inherits the knn/lsh/"
+            "residual-PQ 1-row folds)"
         ),
         "join_cross_small": "deliberate cross join of two tiny dims",
         "join_theta_band": "theta component; equi key keeps the hash join",
