@@ -57,6 +57,21 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     specs["agg_q1_pricing"].fn(spark, sf_dir).toPandas()
 
+    # Streaming warm-stage (VERDICT r12 #7): a /tmp wipe (host reboot)
+    # deletes every content-addressed scratch corpus and checkpoint dir,
+    # so the first timed run of each streaming-state key after a wipe
+    # pays cold staging + checkpoint I/O and records a 2-8x "drift" that
+    # re-measures in band warm (r11/r12 lesson). Run each excluded key
+    # once UNTIMED before the timed pass so the recorded number is the
+    # warm micro-batch latency every round, and the exclusion list can
+    # never hide a real regression behind staging noise.
+    for _k in sorted(_NON_HEADLINE):
+        try:
+            specs[_k].fn(spark, sf_dir).toPandas()
+        except Exception:  # noqa: BLE001, S110 - the timed pass reports it
+            pass
+    spark.catalog.clearCache()
+
     # Two full warm passes per batch key, min kept — UNIFORMLY. The box has
     # external tenants (load-average ~3 while idle) and single-shot timings
     # are bimodal — one stolen-CPU episode inflated fn_unpivot 12x in a
@@ -196,6 +211,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_drifts_vs_prior": len(drifts),
         "n_failures": len(failures),
+        # per-run streaming warmth witness (the excluded keys are warm-
+        # staged in setup; cross-run variance here should stay < 1.5x)
+        "streaming_sum": round(sum(excluded.values()), 4),
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
     }
@@ -263,7 +281,9 @@ def main() -> None:
                     "burst guard; fires only when the prior record's "
                     "protocol_tag matches this one) — same rule for "
                     "every batch key (contended multi-tenant host); raw "
-                    "first-pass timings recorded for comparability"
+                    "first-pass timings recorded for comparability; "
+                    "streaming-state keys warm-staged untimed in setup, "
+                    "then timed single-shot (r13)"
                 ),
                 "protocol_tag": _PROTOCOL_TAG,
                 "prior_queries": prior_q_recorded,

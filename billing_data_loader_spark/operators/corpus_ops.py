@@ -1574,3 +1574,124 @@ def ext_shard_skew_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_skew_ratio",
         "rel_variance",
     )
+
+
+# --- ext_cross_source_overlap ---------------------------------------------------
+
+_XSRC_ORACLE = """
+WITH g AS (
+  SELECT DISTINCT source, unnest(list_transform(
+    range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    AS gram
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+),
+sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g
+  GROUP BY source
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, i.n_common,
+       sa.n_grams AS n_a, sb.n_grams AS n_b,
+       CAST(i.n_common AS DOUBLE) / CAST(sa.n_grams AS DOUBLE)
+         AS containment_a,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(sa.n_grams + sb.n_grams - i.n_common AS DOUBLE)
+         AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.src_a
+JOIN sz sb ON sb.source = i.src_b
+"""
+
+
+@query("ext_cross_source_overlap", oracle=_XSRC_ORACLE, tier=3)
+def ext_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram overlap between SOURCES — the provenance-level
+    contamination audit ("which feeds are re-serving each other's
+    content?") that sits above document-level near-dup: a source pair
+    with high containment means one feed is a mirror/scrape of the
+    other, so dedup budgets and domain-mix weights should treat them
+    as one (ext_overlap_kmv sketches train-vs-test; this is the exact
+    all-pairs source matrix, bounded by the source count). Emits
+    intersection size, per-source gram counts, directional containment
+    |A∩B|/|A|, and Jaccard per co-occurring pair.
+
+    Exactness: grams are distinct strings (no hashing — the join IS the
+    equality test); counts exact; the two ratios are single IEEE
+    divisions of exact integers.
+
+    Shape: one distinct (source, gram) shuffle collapses the corpus
+    (grams dedupe map-side first); the pair intersection is a
+    gram-keyed equi self-join — co-partitioned on the gram key, never
+    a source-pair cross — aggregated straight to the O(sources^2)
+    pair frame; the size frame is O(sources) and broadcast-joined.
+    At 100 TB the gram-keyed join shuffles gram ids (xxhash64 the gram
+    string — documented swap), and hot boilerplate grams are exactly
+    the skew AQE's skew-join split handles."""
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select("source", F.split("text", " ").alias("t"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 3 THEN transform("
+                    "sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                    " ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    from ..session import scoped_persist
+
+    g = scoped_persist(g)
+    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n_grams").alias("n_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sz.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_grams").alias("n_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common").cast("double") / F.col("n_a").cast("double"))
+            .alias("containment_a"),
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -999,3 +999,61 @@ def ext_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+# --- ext_dedup_soft_weight ------------------------------------------------------
+
+_SOFT_WEIGHT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS th FROM documents
+),
+g AS (
+  SELECT th, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         CAST(MIN(doc_id) AS BIGINT) AS rep_id
+  FROM h GROUP BY th
+)
+SELECT h.doc_id, g.cluster_size,
+       CAST(1 AS DOUBLE) / CAST(g.cluster_size AS DOUBLE) AS weight,
+       (h.doc_id = g.rep_id) AS is_canonical
+FROM h JOIN g ON h.th = g.th
+"""
+
+
+@query("ext_dedup_soft_weight", oracle=_SOFT_WEIGHT_ORACLE, tier=3)
+def ext_dedup_soft_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication by downweighting instead of dropping: every
+    document keeps a sampling weight 1/|exact-dup cluster| so a
+    training-mix sampler sees each distinct TEXT with total mass 1
+    regardless of how many times the crawl re-fetched it — the
+    "repetition-aware reweighting" alternative to ext_dedup_apply's
+    hard drop (dropping loses provenance diversity; weighting keeps
+    every copy addressable while neutralizing the repetition bias).
+    The cluster representative (lowest doc_id) is flagged so a
+    downstream hard-dedup can reuse the same frame.
+
+    Exactness: clusters key on the md5 text digest (cross-engine hash,
+    the house dedup discipline); sizes are exact counts; the weight is
+    one IEEE division 1/n — bit-identical for any integer n.
+
+    Shape: one (digest)-keyed counting aggregate over the scan (the
+    exchange carries digests, not documents — full map-side combine),
+    then one digest-keyed join back to the per-doc frame; both sides
+    of that join are co-keyed on the digest so at 100 TB it
+    co-partitions with zero extra exchanges. Output is one row per
+    document — the weight column rides along into any downstream
+    sampler (ext_sample_weighted consumes exactly this shape)."""
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("th")
+    )
+    g = h.groupBy("th").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("rep_id"),
+    )
+    return h.join(g, "th").select(
+        "doc_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias(
+            "weight"
+        ),
+        (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
+    )

@@ -1573,3 +1573,55 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_view.vid")).alias("view_event_id"),
         F.coalesce(in_tol, F.lit(False)).alias("matched"),
     )
+
+
+# --- join_lateral_topk ----------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) c
+"""
+
+
+@query("join_lateral_topk", oracle=_LATERAL_ORACLE, tier=1)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT —
+    the top-2 customers by account balance FOR EACH nation, expressed
+    as the ANSI lateral join both engines now support (Spark 3.4+
+    lateral correlated subqueries; the declared SQL surface a user
+    migrating per-group-top-k queries brings verbatim). Same result
+    set as the win_topk_per_group rank<=k form — this key pins the
+    LATERAL syntax path specifically, including the deterministic
+    (balance desc, custkey) tie-break inside the lateral.
+
+    Exactness: membership is an integer rank decision inside each
+    lateral; emitted columns are raw fixture values — no float
+    arithmetic at all.
+
+    Shape: Catalyst DECORRELATES the lateral into a partitioned rank
+    window over customer (explain shows Window + filter, not a
+    nested-loop re-execution per nation row) — exactly the
+    win_topk_per_group physical plan, which is the correct 100 TB
+    shape: one exchange on the correlation key, rank, filter. The
+    lateral syntax costs nothing over the window form once optimized."""
+    from ..session import prep
+
+    spark = prep(spark)
+    load(spark, sf_dir, "nation").createOrReplaceTempView("bdl_lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bdl_lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM bdl_lat_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM bdl_lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) c
+        """
+    )

@@ -19,6 +19,9 @@ shared-text IEEE division over exact integers wherever possible.
 
 from __future__ import annotations
 
+import itertools
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -612,4 +615,417 @@ def ext_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {_LL_Q})"
         ).alias("class_log_loss"),
         F.col("log_loss").alias("overall_log_loss"),
+    )
+
+
+# --- ext_ndcg_eval ------------------------------------------------------------
+
+#: Rank-discount integers: round(1e9 / log2(rank + 1)) for ranks 1..10,
+#: computed ONCE in Python and baked as literals into BOTH engine texts —
+#: zero cross-engine libm surface (log2 of non-powers-of-two is not
+#: guaranteed identically rounded across engines; baked integers are).
+_NDCG_DISC = tuple(
+    round(1e9 / math.log2(r + 1)) for r in range(1, 11)
+)
+#: Prefix sums of the discounts: _NDCG_PREFIX[j-1] = ideal DCG (x 1e9)
+#: of j relevant docs in the top-j positions.
+_NDCG_PREFIX = tuple(itertools.accumulate(_NDCG_DISC))
+
+_NDCG_KS = (1, 5, 10)
+
+
+def _ndcg_oracle() -> str:
+    from .llm_pipeline import _KNN_ORACLE
+
+    disc_rows = ", ".join(
+        f"({r + 1}, {d})" for r, d in enumerate(_NDCG_DISC)
+    )
+    prefix_list = ", ".join(str(p) for p in _NDCG_PREFIX)
+    ks = ", ".join(str(k) for k in _NDCG_KS)
+    return f"""
+WITH topk AS MATERIALIZED ({_KNN_ORACLE}),
+q AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0),
+nrel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0 AND e.label = q.qlabel
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY t.cos_sim DESC, t.vec_id ASC)
+           AS rnk,
+         CASE WHEN l.label = q.qlabel THEN 1 ELSE 0 END AS rel
+  FROM topk t
+  JOIN embeddings l ON t.vec_id = l.vec_id
+  CROSS JOIN q
+),
+disc(rnk, disc) AS (VALUES {disc_rows}),
+grid AS (SELECT unnest([{ks}]) AS k)
+SELECT CAST(g.k AS BIGINT) AS k,
+       n_rel,
+       CAST(COALESCE(SUM(r.rel), 0) AS BIGINT) AS n_rel_topk,
+       CAST(COALESCE(SUM(r.rel * d.disc), 0) AS BIGINT) AS dcg_q,
+       CAST(CASE WHEN least(g.k, n_rel) = 0 THEN 0
+            ELSE ([{prefix_list}])[least(g.k, CAST(n_rel AS INTEGER))]
+            END AS BIGINT) AS idcg_q,
+       CASE WHEN least(g.k, n_rel) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(SUM(r.rel * d.disc), 0) AS DOUBLE)
+                 / CAST(([{prefix_list}])[least(g.k,
+                        CAST(n_rel AS INTEGER))] AS DOUBLE)
+       END AS ndcg
+FROM grid g
+CROSS JOIN nrel
+LEFT JOIN ranked r ON r.rnk <= g.k
+LEFT JOIN disc d ON d.rnk = r.rnk
+GROUP BY g.k, n_rel
+"""
+
+
+_NDCG_ORACLE = _ndcg_oracle()
+
+
+@query("ext_ndcg_eval", oracle=_NDCG_ORACLE, tier=3)
+def ext_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{1,5,10} of the exact-cosine retrieval (ext_knn_cosine's
+    top-10) with binary label relevance — the graded-ranking quality
+    metric every retrieval/reranking pipeline reports next to recall
+    (ext_ann_recall_curve): a hit at rank 1 is worth 1/log2(2), at rank
+    10 only 1/log2(11), so NDCG rewards putting the right neighbors
+    FIRST. Relevance = candidate label equals the query vector's label;
+    ideal DCG caps at min(k, corpus positives) per the standard
+    definition.
+
+    Exactness: rank discounts are round(1e9/log2(r+1)) INTEGERS baked
+    as literals into both engine texts from one Python computation (no
+    cross-engine libm log2 surface); DCG/IDCG are exact integer sums of
+    those literals; NDCG is one IEEE division of two exact integers.
+
+    Shape: consumes the knn helper's broadcast-query + map-side cosine
+    + TakeOrdered plan; ranking is a window over the 10-row result;
+    relevance labels arrive via one 10-row join; the k-grid expansion
+    and folds are O(1)-row (EXPECTED_FLAGS: model-sized global window +
+    1-row folds, the ext_ann_recall_curve pattern)."""
+    from ..session import scoped_persist
+    from .llm_pipeline import ext_knn_cosine
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("label").alias("qlabel")
+    )
+    nrel = (
+        e.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != 0) & (F.col("label") == F.col("qlabel")))
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = scoped_persist(
+        ext_knn_cosine(spark, sf_dir)
+        .join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.row_number().over(w).alias("rnk"),
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+        )
+    )
+    disc = spark.createDataFrame(
+        [(r + 1, d) for r, d in enumerate(_NDCG_DISC)], "rnk int, disc long"
+    )
+    prefix_arr = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    grid = spark.createDataFrame([(k,) for k in _NDCG_KS], "k long")
+    m = F.least(F.col("k"), F.col("n_rel")).cast("int")
+    idcg = F.when(m == 0, F.lit(0).cast("long")).otherwise(
+        F.element_at(prefix_arr, m)
+    )
+    return (
+        grid.crossJoin(F.broadcast(nrel))
+        .join(F.broadcast(ranked), F.col("rnk") <= F.col("k"), "left")
+        .join(F.broadcast(disc), "rnk", "left")
+        .groupBy("k", "n_rel")
+        .agg(
+            F.coalesce(F.sum("rel"), F.lit(0)).alias("n_rel_topk"),
+            F.coalesce(F.sum(F.col("rel") * F.col("disc")), F.lit(0))
+            .alias("dcg_q"),
+        )
+        .select(
+            "k",
+            "n_rel",
+            "n_rel_topk",
+            "dcg_q",
+            idcg.alias("idcg_q"),
+            F.when(m == 0, F.lit(0.0))
+            .otherwise(
+                F.col("dcg_q").cast("double")
+                / F.element_at(prefix_arr, m).cast("double")
+            )
+            .alias("ndcg"),
+        )
+    )
+
+
+# --- ext_avg_precision --------------------------------------------------------
+
+_AP_KS = (1, 5, 10)
+
+
+def _ap_oracle() -> str:
+    from .llm_pipeline import _KNN_ORACLE
+
+    ks = ", ".join(str(k) for k in _AP_KS)
+    return f"""
+WITH topk AS MATERIALIZED ({_KNN_ORACLE}),
+q AS (SELECT label AS qlabel FROM embeddings WHERE vec_id = 0),
+nrel AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0 AND e.label = q.qlabel
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY t.cos_sim DESC, t.vec_id ASC)
+           AS rnk,
+         CASE WHEN l.label = q.qlabel THEN 1 ELSE 0 END AS rel
+  FROM topk t
+  JOIN embeddings l ON t.vec_id = l.vec_id
+  CROSS JOIN q
+),
+c AS (
+  SELECT rnk, rel,
+         CAST(SUM(rel) OVER (ORDER BY rnk
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_rel
+  FROM ranked
+),
+grid AS (SELECT unnest([{ks}]) AS k)
+SELECT CAST(g.k AS BIGINT) AS k,
+       n_rel,
+       CAST(COALESCE(MAX(CASE WHEN c.rnk = g.k THEN c.cum_rel END), 0)
+            AS BIGINT) AS n_hits,
+       CASE WHEN least(g.k, n_rel) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(SUM(CASE WHEN c.rel = 1
+                       THEN c.cum_rel * 1000000000 // c.rnk
+                       ELSE 0 END), 0) AS DOUBLE)
+                 / (CAST(least(g.k, n_rel) AS DOUBLE) * 1e9)
+       END AS avg_precision,
+       CAST(COALESCE(MAX(CASE WHEN c.rnk = g.k THEN c.cum_rel END), 0)
+            AS DOUBLE) / CAST(g.k AS DOUBLE) AS precision_at_k,
+       CASE WHEN n_rel = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(COALESCE(MAX(CASE WHEN c.rnk = g.k
+                      THEN c.cum_rel END), 0) AS DOUBLE)
+                 / CAST(n_rel AS DOUBLE)
+       END AS recall_at_k
+FROM grid g
+CROSS JOIN nrel
+LEFT JOIN c ON c.rnk <= g.k
+GROUP BY g.k, n_rel
+"""
+
+
+_AP_ORACLE = _ap_oracle()
+
+
+@query("ext_avg_precision", oracle=_AP_ORACLE, tier=3)
+def ext_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision @ {1,5,10} (plus precision@k / recall@k) for
+    the exact-cosine retrieval with binary label relevance — the
+    area-under-PR-curve companion to ext_ndcg_eval (NDCG reads graded
+    position value, AP reads precision AT each relevant hit), the pair
+    every retrieval eval harness reports. AP@k = sum over relevant
+    ranks r <= k of precision@r, normalized by min(k, corpus
+    positives).
+
+    Exactness: precision@r is quantized as the exact integer
+    cum_rel * 1e9 DIV r (positive integer floor division — identical in
+    both engines), summed exactly; AP is one IEEE division by the exact
+    integer cap x 1e9; precision/recall@k are single divisions of exact
+    integers.
+
+    Shape: identical to ext_ndcg_eval — the knn helper's plan, a 10-row
+    rank window, O(1)-row grid joins and folds (EXPECTED_FLAGS:
+    model-sized global window + 1-row folds)."""
+    from ..session import scoped_persist
+    from .llm_pipeline import ext_knn_cosine
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("label").alias("qlabel")
+    )
+    nrel = (
+        e.crossJoin(F.broadcast(q))
+        .filter((F.col("vec_id") != 0) & (F.col("label") == F.col("qlabel")))
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    w = W.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    cum = scoped_persist(
+        ext_knn_cosine(spark, sf_dir)
+        .join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.row_number().over(w).alias("rnk"),
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+        )
+        .select(
+            "rnk",
+            "rel",
+            F.sum("rel")
+            .over(
+                W.orderBy("rnk").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            )
+            .alias("_cum_pre"),
+        )
+        .select(
+            "rnk", "rel", F.col("_cum_pre").cast("long").alias("cum_rel")
+        )
+    )
+    grid = spark.createDataFrame([(k,) for k in _AP_KS], "k long")
+    cap = F.least(F.col("k"), F.col("n_rel"))
+    hits = F.coalesce(
+        F.max(F.when(F.col("rnk") == F.col("k"), F.col("cum_rel"))),
+        F.lit(0),
+    )
+    ap_num = F.coalesce(
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                F.expr("cum_rel * 1000000000 DIV rnk"),
+            ).otherwise(F.lit(0))
+        ),
+        F.lit(0),
+    )
+    return (
+        grid.crossJoin(F.broadcast(nrel))
+        .join(F.broadcast(cum), F.col("rnk") <= F.col("k"), "left")
+        .groupBy("k", "n_rel")
+        .agg(
+            hits.alias("n_hits"),
+            ap_num.alias("_ap_num"),
+        )
+        .select(
+            "k",
+            "n_rel",
+            "n_hits",
+            F.when(cap == 0, F.lit(0.0))
+            .otherwise(
+                F.col("_ap_num").cast("double")
+                / (cap.cast("double") * F.lit(1e9))
+            )
+            .alias("avg_precision"),
+            (F.col("n_hits").cast("double") / F.col("k").cast("double"))
+            .alias("precision_at_k"),
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_hits").cast("double")
+                / F.col("n_rel").cast("double")
+            )
+            .alias("recall_at_k"),
+        )
+    )
+
+
+# --- ext_mcnemar_test ---------------------------------------------------------
+
+def _mcnemar_oracle() -> str:
+    from .text_analysis import _LANG_ID_ORACLE
+
+    return f"""
+WITH lid AS MATERIALIZED ({_LANG_ID_ORACLE}),
+cls AS ({_SCORED_SQL}),
+j AS (
+  SELECT c.doc_id, c.y,
+         CASE WHEN c.w_sum > 0 THEN 1 ELSE 0 END AS pred_a,
+         CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS pred_b
+  FROM cls c JOIN lid l ON c.doc_id = l.doc_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN pred_a = y AND pred_b = y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+         CAST(SUM(CASE WHEN pred_a <> y AND pred_b <> y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+         CAST(SUM(CASE WHEN pred_a = y AND pred_b <> y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+         CAST(SUM(CASE WHEN pred_a <> y AND pred_b = y
+                  THEN 1 ELSE 0 END) AS BIGINT) AS only_b
+  FROM j
+)
+SELECT n, both_right, both_wrong, only_a, only_b,
+       CASE WHEN only_a + only_b = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(greatest(abs(only_a - only_b) - 1, 0)
+                      * greatest(abs(only_a - only_b) - 1, 0) AS DOUBLE)
+                 / CAST(only_a + only_b AS DOUBLE)
+       END AS mcnemar_chi2
+FROM m
+"""
+
+
+_MCNEMAR_ORACLE = _mcnemar_oracle()
+
+
+@query("ext_mcnemar_test", oracle=_MCNEMAR_ORACLE, tier=3)
+def ext_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the two English detectors the repo
+    ships — the hashed linear quality classifier (pred = w_sum > 0, the
+    ext_confusion_matrix pairing) and the n-gram language identifier
+    (pred = lang_id picks 'en') — on the shared gold label lang = 'en'.
+    This is THE statistic for "is classifier A actually better than B
+    on the same data": accuracy deltas mislead when both models err on
+    the same rows, while McNemar reads only the DISCORDANT pairs
+    (only_a / only_b), with the continuity-corrected chi-square
+    (|b - c| - 1)^2 / (b + c), clamped at zero.
+
+    Exactness: both predictions and the gold label are integer
+    decisions; the 2x2 discordance cells are exact counts; the
+    statistic is one IEEE division of exact integers (0 when no
+    discordant pairs exist).
+
+    Shape: the two classifier helpers' plans (each scan -> explode ->
+    doc-keyed aggregate), one doc-keyed equi-join between their per-doc
+    frames, then a single 1-row counting fold (EXPECTED_FLAGS; the
+    cells are O(1), never docs). At 100 TB both helper aggregates and
+    the join key on doc_id — co-partitioned, no extra exchange beyond
+    the helpers' own."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    a = (
+        ext_quality_classifier(spark, sf_dir)
+        .select("doc_id", (F.col("w_sum") > 0).cast("int").alias("pred_a"))
+    )
+    b = ext_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == "en").cast("int").alias("pred_b")
+    )
+    j = a.join(b, "doc_id").join(lab, "doc_id")
+    m = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("pred_a") == F.col("y")) & (F.col("pred_b") == F.col("y")))
+            .cast("int")
+        ).alias("both_right"),
+        F.sum(
+            ((F.col("pred_a") != F.col("y")) & (F.col("pred_b") != F.col("y")))
+            .cast("int")
+        ).alias("both_wrong"),
+        F.sum(
+            ((F.col("pred_a") == F.col("y")) & (F.col("pred_b") != F.col("y")))
+            .cast("int")
+        ).alias("only_a"),
+        F.sum(
+            ((F.col("pred_a") != F.col("y")) & (F.col("pred_b") == F.col("y")))
+            .cast("int")
+        ).alias("only_b"),
+    )
+    d = F.greatest(
+        F.abs(F.col("only_a") - F.col("only_b")) - 1, F.lit(0)
+    )
+    return m.select(
+        "n",
+        "both_right",
+        "both_wrong",
+        "only_a",
+        "only_b",
+        F.when(F.col("only_a") + F.col("only_b") == 0, F.lit(0.0))
+        .otherwise(
+            (d * d).cast("double")
+            / (F.col("only_a") + F.col("only_b")).cast("double")
+        )
+        .alias("mcnemar_chi2"),
     )

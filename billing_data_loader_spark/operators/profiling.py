@@ -1186,3 +1186,371 @@ def prof_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("nt"))
         ).alias("p90_tokens"),
     )
+
+
+# --- prof_ks_test -------------------------------------------------------------
+
+#: The two order-priority samples compared: finance asks whether URGENT
+#: orders price like LOW ones (a routing/pricing audit). Integer cents
+#: keep the pooled value grid exact.
+_KS_A = "1-URGENT"
+_KS_B = "5-LOW"
+
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 ELSE 0 END AS in_a
+  FROM orders
+  WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+),
+tot AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n1,
+         CAST(SUM(1 - in_a) AS BIGINT) AS n2
+  FROM s
+),
+g AS (
+  SELECT cents, CAST(SUM(in_a) AS BIGINT) AS a,
+         CAST(SUM(1 - in_a) AS BIGINT) AS b
+  FROM s GROUP BY cents
+),
+c AS (
+  SELECT cents,
+         CAST(SUM(a) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS ca,
+         CAST(SUM(b) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cb
+  FROM g
+),
+d AS (
+  SELECT cents, abs(ca * n2 - cb * n1) AS gap_num
+  FROM c CROSS JOIN tot
+),
+mx AS (SELECT MAX(gap_num) AS d_num FROM d)
+SELECT n1, n2,
+       CAST(d_num AS BIGINT) AS d_num,
+       CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat,
+       CAST((SELECT MIN(cents) FROM d WHERE gap_num = mx.d_num)
+            AS BIGINT) AS at_cents
+FROM mx CROSS JOIN tot
+"""
+
+
+@query("prof_ks_test", oracle=_KS_ORACLE, tier=2)
+def prof_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the URGENT and
+    LOW order-priority total-price distributions — the nonparametric
+    "are these two segments drawn from the same distribution?" profile
+    a warehouse runs before trusting a segment split (complementing
+    prof_psi_drift's binned divergence with the exact sup-norm ECDF
+    gap, which needs no bin choice). Emits D, its exact integer
+    numerator, and the price where the maximum gap occurs (lowest such
+    value on ties).
+
+    Exactness: prices floor-quantize to integer cents; the ECDF gap at
+    value v is |ca*n2 - cb*n1| / (n1*n2) with an EXACT BIGINT numerator
+    (cum counts x sample sizes stay far inside int64), so the argmax
+    and the tie-break are integer decisions; D is one IEEE division.
+
+    Shape: one scan -> filter -> (cents)-keyed counting aggregate with
+    full map-side combine (the exchange carries distinct price points,
+    not orders), a prefix-sum window over the distinct-value frame, and
+    1-row folds. The window is global over the value support — bounded
+    by distinct prices, not rows; at true 100 TB the swap is the
+    ext_auc_rank two-pass form (range-bucketed partial prefix sums +
+    broadcast bucket offsets), documented not needed at fixture scale
+    (EXPECTED_FLAGS)."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(_KS_A, _KS_B)
+    )
+    s = o.select(
+        quantize_long("o_totalprice", 2).alias("cents"),
+        (F.col("o_orderpriority") == _KS_A).cast("int").alias("in_a"),
+    )
+    tot = s.agg(
+        F.sum("in_a").alias("n1"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("n2"),
+    )
+    g = s.groupBy("cents").agg(
+        F.sum("in_a").alias("a"),
+        F.sum(F.lit(1) - F.col("in_a")).alias("b"),
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "cents",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n1",
+        "n2",
+        F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")).alias(
+            "gap_num"
+        ),
+    )
+    mx = d.agg(F.max("gap_num").alias("d_num"))
+    return (
+        d.join(F.broadcast(mx), F.col("gap_num") == F.col("d_num"))
+        .groupBy("n1", "n2", "d_num")
+        .agg(F.min("cents").alias("at_cents"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("d_stat"),
+            "at_cents",
+        )
+    )
+
+
+# --- prof_cramers_v -----------------------------------------------------------
+
+#: Per-cell chi-square terms quantize to a 1e-9 grid before the exact
+#: integer sum (the ext_calibration_ece cross-row stance).
+_CV_Q = "1e9"
+
+_CRAMERS_ORACLE = f"""
+WITH o AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM documents GROUP BY lang, source
+),
+r AS (SELECT lang, CAST(SUM(n_obs) AS BIGINT) AS n_row FROM o GROUP BY lang),
+c AS (
+  SELECT source, CAST(SUM(n_obs) AS BIGINT) AS n_col FROM o GROUP BY source
+),
+t AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM o
+),
+cells AS (
+  SELECT r.lang, c.source, r.n_row, c.n_col,
+         COALESCE(o.n_obs, 0) AS n_obs
+  FROM r CROSS JOIN c
+  LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+),
+q AS (
+  SELECT CAST(SUM(CAST(floor(
+           CAST((n_obs * n - n_row * n_col) AS DOUBLE)
+           * CAST((n_obs * n - n_row * n_col) AS DOUBLE)
+           / CAST(n_row * n_col * n AS DOUBLE)
+           * {_CV_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+           AS chi2_q
+  FROM cells CROSS JOIN t
+)
+SELECT n, n_langs, n_sources,
+       CAST(chi2_q AS DOUBLE) / {_CV_Q} AS chi2,
+       (n_langs - 1) * (n_sources - 1) AS dof,
+       sqrt(CAST(chi2_q AS DOUBLE) / {_CV_Q}
+            / (CAST(n AS DOUBLE)
+               * CAST(least(n_langs - 1, n_sources - 1) AS DOUBLE)))
+         AS cramers_v
+FROM q CROSS JOIN t
+"""
+
+
+@query("prof_cramers_v", oracle=_CRAMERS_ORACLE, tier=2)
+def prof_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between the documents corpus's two
+    categorical axes (lang x source) — the normalized chi-square
+    independence profile ([0, 1]: 0 = provenance and language are
+    independent, 1 = one determines the other) that a curation owner
+    reads before stratifying a domain mix on either axis (if V is
+    high, stratifying on one axis silently stratifies the other;
+    ext_split_balance_chi2 reads the same machinery against SPLITS).
+    Zero-count grid cells enter the expected-count sum as real cells
+    (the full r x c outer grid, not just observed pairs).
+
+    Exactness: cell counts and marginals are exact integers; each
+    cell's term ((o*n - row*col)^2 / (row*col*n)) is evaluated as IEEE
+    arithmetic on exactly-representable integers, floor-quantized to
+    the 1e-9 grid per cell BEFORE the exact integer sum (the
+    calibration-ece cross-row stance); V's sqrt is a single correctly-
+    rounded IEEE operation on the quantized chi2.
+
+    Shape: ONE (lang, source)-keyed counting aggregate over the scan
+    (map-side combine; the exchange carries the contingency grid, not
+    documents), marginals derive from that O(langs x sources) frame,
+    the outer grid is a broadcast cross of two model-sized marginal
+    frames, and the fold is 1-row (EXPECTED_FLAGS)."""
+    o = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    from ..session import scoped_persist
+
+    o = scoped_persist(o)
+    r = o.groupBy("lang").agg(F.sum("n_obs").alias("n_row"))
+    c = o.groupBy("source").agg(F.sum("n_obs").alias("n_col"))
+    t = o.agg(
+        F.sum("n_obs").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_row",
+            "n_col",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        )
+    )
+    q = (
+        cells.crossJoin(F.broadcast(t))
+        .select(
+            F.expr(
+                f"CAST(floor("
+                f"CAST((n_obs * n - n_row * n_col) AS DOUBLE)"
+                f" * CAST((n_obs * n - n_row * n_col) AS DOUBLE)"
+                f" / CAST(n_row * n_col * n AS DOUBLE)"
+                f" * {_CV_Q} + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+            ).alias("term_q")
+        )
+        .agg(F.sum("term_q").alias("chi2_q"))
+    )
+    return q.crossJoin(F.broadcast(t)).select(
+        "n",
+        "n_langs",
+        "n_sources",
+        (F.col("chi2_q").cast("double") / F.lit(1e9)).alias("chi2"),
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        F.sqrt(
+            F.col("chi2_q").cast("double")
+            / F.lit(1e9)
+            / (
+                F.col("n").cast("double")
+                * F.least(
+                    F.col("n_langs") - 1, F.col("n_sources") - 1
+                ).cast("double")
+            )
+        ).alias("cramers_v"),
+    )
+
+
+# --- prof_outlier_iqr ---------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH s AS (
+  SELECT c_mktsegment AS segment,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS cents
+  FROM customer
+),
+rk AS (
+  SELECT segment, cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cents ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM s
+),
+qs AS (
+  SELECT segment, n,
+         CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END)
+              AS BIGINT) AS q1_cents,
+         CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END)
+              AS BIGINT) AS q3_cents
+  FROM rk GROUP BY segment, n
+)
+SELECT q.segment, q.n, q.q1_cents, q.q3_cents,
+       q.q3_cents - q.q1_cents AS iqr_cents,
+       CAST(SUM(CASE WHEN 2 * s.cents < 5 * q.q1_cents - 3 * q.q3_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * s.cents > 5 * q.q3_cents - 3 * q.q1_cents
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN 2 * s.cents < 5 * q.q1_cents - 3 * q.q3_cents
+                  OR 2 * s.cents > 5 * q.q3_cents - 3 * q.q1_cents
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST(q.n AS DOUBLE)
+         AS outlier_frac
+FROM qs q JOIN s ON s.segment = q.segment
+GROUP BY q.segment, q.n, q.q1_cents, q.q3_cents
+"""
+
+
+@query("prof_outlier_iqr", oracle=_IQR_ORACLE, tier=2)
+def prof_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier profile of customer account balances per
+    market segment — the box-plot screen (values beyond Q1/Q3 by 1.5x
+    the interquartile range) every data-quality pass runs next to the
+    z-score/MAD detectors (ts_anomaly_mad reads time series; this reads
+    cross-sectional segments). Emits the exact discrete quartiles, the
+    fence-violation counts on each side, and the outlier fraction.
+
+    Exactness: balances floor-quantize to integer cents; quartiles are
+    DISCRETE order statistics picked at ceil(n/4) / ceil(3n/4) by
+    integer row position (no interpolation, no float percentile
+    surface); the 1.5x-IQR fences clear denominators — cents < q1 -
+    1.5*iqr iff 2*cents < 5*q1 - 3*q3 — so every fence test is exact
+    BIGINT arithmetic; the fraction is one IEEE division.
+
+    Shape: one scan -> per-segment rank window (the window input is
+    the segment's rows — at 100 TB the swap is percentile_approx or
+    the two-pass bucketed rank, documented), a per-segment quartile
+    pick, then one broadcast join of the O(segments) quartile frame
+    back onto the sample for the counting aggregate — the exchange
+    carries segment keys, full map-side combine."""
+    s = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        quantize_long("c_acctbal", 2).alias("cents"),
+    )
+    from ..session import scoped_persist
+
+    s = scoped_persist(s)
+    wseg = W.partitionBy("segment")
+    rk = s.select(
+        "segment",
+        "cents",
+        F.row_number().over(wseg.orderBy(F.asc("cents"))).alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    qs = rk.groupBy("segment", "n").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("cents")
+            )
+        ).alias("q1_cents"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("cents")
+            )
+        ).alias("q3_cents"),
+    )
+    lo = 5 * F.col("q1_cents") - 3 * F.col("q3_cents")
+    hi = 5 * F.col("q3_cents") - 3 * F.col("q1_cents")
+    return (
+        s.join(F.broadcast(qs), "segment")
+        .groupBy("segment", "n", "q1_cents", "q3_cents")
+        .agg(
+            F.sum((2 * F.col("cents") < lo).cast("int")).alias("n_low"),
+            F.sum((2 * F.col("cents") > hi).cast("int")).alias("n_high"),
+            (
+                F.sum(
+                    (
+                        (2 * F.col("cents") < lo)
+                        | (2 * F.col("cents") > hi)
+                    ).cast("int")
+                ).cast("double")
+                / F.first("n").cast("double")
+            ).alias("outlier_frac"),
+        )
+        .select(
+            "segment",
+            "n",
+            "q1_cents",
+            "q3_cents",
+            (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+            "n_low",
+            "n_high",
+            "outlier_frac",
+        )
+    )

@@ -1282,3 +1282,117 @@ def ts_weekday_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(cents AS DOUBLE) * wn / CAST(wsum AS DOUBLE)"
         ).alias("seasonal_ratio"),
     )
+
+
+# --- ts_theil_sen ---------------------------------------------------------------
+
+#: Quantized pairwise slope: floor(1e9 * (c2-c1)/(d2-d1) + 0.5). The
+#: division is IEEE on exactly-representable integers (counts and day
+#: gaps), so the quantized slope is bit-identical in both engines and
+#: the median pick is an integer decision.
+_SEN_QS = (
+    "CAST(floor(1e9 * CAST({dc} AS DOUBLE) / CAST({dd} AS DOUBLE)"
+    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+_SEN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pairs AS (
+  SELECT a.event_type,
+         {_SEN_QS.format(dc="b.c - a.c", dd="b.d - a.d")} AS qs
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d > a.d
+),
+rk AS (
+  SELECT event_type, qs,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY qs ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_pairs
+  FROM pairs
+),
+med AS (
+  SELECT event_type, n_pairs,
+         CAST(MAX(CASE WHEN rn = (n_pairs + 1) // 2 THEN qs END)
+              AS BIGINT) AS med_qs
+  FROM rk GROUP BY event_type, n_pairs
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY event_type
+)
+SELECT m.event_type, nd.n_days, m.n_pairs,
+       CAST(m.med_qs AS DOUBLE) / 1e9 AS sen_slope
+FROM med m JOIN nd ON m.event_type = nd.event_type
+"""
+
+
+@query("ts_theil_sen", oracle=_SEN_ORACLE, tier=2)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes (c_j - c_i) / (d_j - d_i) over the daily count
+    series — the slope estimator with a 29% breakdown point that
+    ts_trend_by_type's OLS lacks (one bursty day drags least-squares;
+    the pairwise-slope median shrugs it off), the standard robust
+    companion every monitoring stack reports next to the fitted
+    trend. Median-low convention on even pair counts (the discrete
+    order statistic at ceil(n/2) — no averaging, keeps the estimate
+    an actually-observed slope).
+
+    Exactness: day indices and counts are exact integers; each pair
+    slope is floor-quantized to the 1e-9 grid from one IEEE division
+    of exactly-representable integers (shared text), so ranking and
+    the median pick are integer decisions with a total order.
+
+    Shape: ONE (type, day) counting aggregate collapses the stream
+    (map-side combine — the only data-sized exchange); the pairwise
+    expansion is a type-keyed equi self-join of the O(types x days)
+    model frame (30 days -> 435 pairs/type — never the event grain);
+    the median is a per-type rank window over that model-sized pair
+    frame. At 100 TB the daily frame stays O(days x types) regardless
+    of event volume — the pair stage's cost is fixed by the calendar,
+    and a longer horizon swaps in the windowed median-of-slopes over
+    a bounded trailing window (documented)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from ..session import scoped_persist
+
+    daily = scoped_persist(daily)
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, "event_type").filter(F.col("d2") > F.col("d1")).select(
+        "event_type",
+        F.expr(
+            _SEN_QS.format(dc="c2 - c1", dd="d2 - d1")
+        ).alias("qs"),
+    )
+    wt = W.partitionBy("event_type")
+    rk = pairs.select(
+        "event_type",
+        "qs",
+        F.row_number().over(wt.orderBy(F.asc("qs"))).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n_pairs"),
+    )
+    med = rk.groupBy("event_type", "n_pairs").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n_pairs + 1) DIV 2"), F.col("qs")
+            )
+        ).alias("med_qs")
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return med.join(nd, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        (F.col("med_qs").cast("double") / F.lit(1e9)).alias("sen_slope"),
+    )

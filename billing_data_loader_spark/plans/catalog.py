@@ -110,6 +110,29 @@ _GRADING_PRIORITY = [
 ]
 
 
+#: Keys added mid-round-13 AFTER the grading window was frozen (the
+#: late-round-2 precedent): the r13 window is exactly 10 unrecorded +
+#: 4 changed + the full 36-key r6 re-grade cohort (VERDICT r12 #4), so
+#: these sort LAST regardless of their unrecorded status instead of
+#: evicting the cohort. EMPTY this list at the r14 start — the keys
+#: then become ordinary unrecorded tier-1 entries and rotate to the
+#: front of the window.
+_DEFER_BEHIND_WINDOW = frozenset(
+    {
+        "ext_ndcg_eval",
+        "ext_avg_precision",
+        "ext_mcnemar_test",
+        "prof_ks_test",
+        "prof_cramers_v",
+        "prof_outlier_iqr",
+        "ext_dedup_soft_weight",
+        "ext_cross_source_overlap",
+        "ts_theil_sen",
+        "join_lateral_topk",
+    }
+)
+
+
 def _scan_records() -> tuple[dict[str, int], dict[str, int]]:
     """(hash-green key -> latest round, rows-only key -> latest round)
     across all CORRECTNESS files on disk."""
@@ -154,9 +177,16 @@ def catalog() -> dict[str, QuerySpec]:
         if k in registered and registered[k].oracle is None:
             recorded[k] = max(rnd, recorded.get(k, 0))
     stale = stale_keys(registered) & set(recorded)
-    unrecorded = [k for k in base if k not in recorded]
+    deferred = [
+        k
+        for k in base
+        if k in _DEFER_BEHIND_WINDOW and k not in recorded
+    ]
+    unrecorded = [
+        k for k in base if k not in recorded and k not in set(deferred)
+    ]
     changed = [k for k in base if k in stale]
     fresh = [k for k in base if k in recorded and k not in stale]
     fresh.sort(key=lambda k: recorded[k])  # stable: ties keep base order
-    ordered = unrecorded + changed + fresh
+    ordered = unrecorded + changed + fresh + deferred
     return {k: registered[k] for k in ordered}

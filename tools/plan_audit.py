@@ -626,6 +626,28 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "inherits ext_pq_encode_residual's 1-row/16-row folds plus "
             "the nprobe-row (8) per-cell distance-table aggregate"
         ),
+        # round-13 deferred bank
+        "ext_ndcg_eval": (
+            "rank window + k-grid folds over the knn helper's 10-row "
+            "output (1-row n_rel/query-label folds)"
+        ),
+        "ext_avg_precision": (
+            "rank/prefix windows + k-grid folds over the knn helper's "
+            "10-row output (1-row n_rel fold)"
+        ),
+        "ext_mcnemar_test": (
+            "single 1-row discordance fold over the per-doc agreement "
+            "frame (cells are O(1))"
+        ),
+        "prof_ks_test": (
+            "ECDF prefix-sum window over the distinct price support + "
+            "1-row sample-size/argmax folds; 100 TB swap is the "
+            "ext_auc_rank bucketed two-pass prefix sum"
+        ),
+        "prof_cramers_v": (
+            "1-row chi-square fold over the O(langs x sources) "
+            "contingency grid"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -865,6 +887,23 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_mmr_diversify": (
             "1-row broadcast query vector (the ext_knn_cosine pattern) + "
             "10x10 candidate-pair similarity join (model-sized frames)"
+        ),
+        # round-13 deferred bank: 1-row / model-sized broadcast folds
+        "ext_ndcg_eval": (
+            "1-row broadcasts (query label, n_rel fold) + 3-row k-grid "
+            "theta-join against the 10-row ranked frame"
+        ),
+        "ext_avg_precision": (
+            "1-row broadcasts (query label, n_rel fold) + 3-row k-grid "
+            "theta-join against the 10-row cumulative frame"
+        ),
+        "prof_ks_test": (
+            "1-row broadcast sample-size and argmax folds onto the "
+            "distinct-price frame"
+        ),
+        "prof_cramers_v": (
+            "broadcast cross of the O(langs) x O(sources) marginal "
+            "frames + 1-row total/chi2 folds"
         ),
     },
     # CartesianProduct without broadcast: never acceptable.
