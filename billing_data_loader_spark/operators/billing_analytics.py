@@ -1150,3 +1150,79 @@ def bill_discount_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("item_share"),
         F.expr("(gross - net) / gross").alias("effective_rate"),
     )
+
+
+# --- bill_cohort_arpu -----------------------------------------------------------
+
+_COHORT_ARPU_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS mi,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+              AS BIGINT) AS cents
+  FROM orders
+),
+cm AS (
+  SELECT cust, mi, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM o GROUP BY cust, mi
+),
+firsts AS (SELECT cust, MIN(mi) AS cohort_mi FROM cm GROUP BY cust)
+SELECT f.cohort_mi, c.mi - f.cohort_mi AS age_months,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(c.cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(c.cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS arpu_cents
+FROM cm c JOIN firsts f ON c.cust = f.cust
+GROUP BY f.cohort_mi, c.mi - f.cohort_mi
+"""
+
+
+@query("bill_cohort_arpu", oracle=_COHORT_ARPU_ORACLE, tier=2)
+def bill_cohort_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort ARPU triangle: customers grouped by their FIRST active
+    month (the acquisition cohort), revenue per active customer at
+    each cohort age — the revenue-dimension completion of
+    agg_retention_cohort's count triangle (retention says who came
+    back; ARPU says what the returners were worth, the number a
+    payback-period model consumes directly). Month index uses the
+    zero-based year*12 + month - 1 convention (the bill_churn_rate /
+    win_yoy_growth house key).
+
+    Exactness: revenue floor-quantizes to integer cents at the order
+    grain before any sum; active counts are exact; ARPU is one IEEE
+    division of exact integers per (cohort, age) cell.
+
+    Shape: one (cust, month) aggregate collapses the order stream to
+    the activity grain (the only data-sized exchange, map-side
+    combined); first-month is a cust-keyed MIN on that frame; the
+    cohort join is cust-keyed (co-partitioned with the frame it
+    feeds); the final rollup's key space is O(months^2 / 2) — the
+    calendar triangle, model-sized at any corpus scale."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.expr(
+            "CAST(EXTRACT(year FROM o_orderdate) * 12"
+            " + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT)"
+        ).alias("mi"),
+        quantize_long("o_totalprice", 2).alias("cents"),
+    )
+    cm = o.groupBy("cust", "mi").agg(F.sum("cents").alias("cents"))
+    from ..session import scoped_persist
+
+    cm = scoped_persist(cm)
+    firsts = cm.groupBy("cust").agg(F.min("mi").alias("cohort_mi"))
+    return (
+        cm.join(firsts, "cust")
+        .groupBy(
+            "cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("age_months")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("arpu_cents"),
+        )
+    )

@@ -530,3 +530,70 @@ def ext_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sil").alias("min_silhouette"),
         F.max("sil").alias("max_silhouette"),
     )
+
+
+# --- ext_label_noise_knn --------------------------------------------------------
+
+def _label_noise_oracle() -> str:
+    from .ann import _KNNG_ORACLE
+
+    return f"""
+WITH knng AS MATERIALIZED ({_KNNG_ORACLE}),
+agg AS (
+  SELECT vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+         CAST(SUM(same_label) AS BIGINT) AS n_same
+  FROM knng GROUP BY vec_id
+)
+SELECT a.vec_id, CAST(e.label AS BIGINT) AS label, a.n_nbrs, a.n_same,
+       CAST(a.n_same AS DOUBLE) / CAST(a.n_nbrs AS DOUBLE)
+         AS same_frac,
+       (2 * a.n_same < a.n_nbrs) AS noise_suspect
+FROM agg a JOIN embeddings e ON a.vec_id = e.vec_id
+"""
+
+
+_LABEL_NOISE_ORACLE = _label_noise_oracle()
+
+
+@query("ext_label_noise_knn", oracle=_LABEL_NOISE_ORACLE, tier=3)
+def ext_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening by neighborhood disagreement (the
+    confident-learning / Cleanlab-style heuristic, distributed): a
+    vector whose k=3 nearest neighbors MOSTLY carry a different label
+    is a relabeling candidate — mislabeled training points sit inside
+    the wrong class's neighborhood, and pruning or re-weighting them
+    is a standard curation pass before fine-tuning on labeled data.
+    Emits every vector's neighbor-agreement fraction and the
+    majority-disagreement flag (2*n_same < k).
+
+    Exactness: consumes ext_knn_graph's pinned deterministic edge set
+    (fold-exact cosine ranks with buffered tile re-ranking); agreement
+    counts are exact integers; the fraction is one IEEE division; the
+    flag is an integer decision.
+
+    Shape: the knn-graph helper's tiled pairwise scan (its key
+    documents the 100 TB blocked form) followed by ONE vec-keyed
+    counting aggregate of the O(n*k) edge frame and a vec-keyed join
+    back to labels — both co-partitioned on vec_id, no new data-sized
+    exchange beyond the helper's own."""
+    from .ann import ext_knn_graph
+
+    edges = ext_knn_graph(spark, sf_dir)
+    agg = edges.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum("same_label").alias("n_same"),
+    )
+    lab = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    return agg.join(lab, "vec_id").select(
+        "vec_id",
+        "label",
+        "n_nbrs",
+        "n_same",
+        (
+            F.col("n_same").cast("double") / F.col("n_nbrs").cast("double")
+        ).alias("same_frac"),
+        (2 * F.col("n_same") < F.col("n_nbrs")).alias("noise_suspect"),
+    )

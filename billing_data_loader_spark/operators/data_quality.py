@@ -438,3 +438,106 @@ def prof_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniqueness",
         )
     )
+
+
+# --- prof_id_gaps ---------------------------------------------------------------
+
+_ID_GAPS_ORACLE = """
+WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+nxt AS (
+  SELECT id,
+         LEAD(id) OVER (ORDER BY id) AS next_id
+  FROM ids
+),
+gaps AS (
+  SELECT id, next_id, next_id - id - 1 AS gap_len
+  FROM nxt WHERE next_id IS NOT NULL AND next_id - id > 1
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+         CAST(MIN(id) AS BIGINT) AS min_id,
+         CAST(MAX(id) AS BIGINT) AS max_id
+  FROM ids
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(SUM(gap_len), 0) AS BIGINT) AS missing_total,
+         CAST(COALESCE(MAX(gap_len), 0) AS BIGINT) AS max_gap_len,
+         CAST(MIN(CASE WHEN gap_len = (SELECT MAX(gap_len) FROM gaps)
+                  THEN id + 1 END) AS BIGINT) AS max_gap_start
+  FROM gaps
+)
+SELECT t.n_ids, t.min_id, t.max_id, g.n_gaps, g.missing_total,
+       g.max_gap_len, g.max_gap_start,
+       CAST(t.n_ids AS DOUBLE)
+         / CAST(t.max_id - t.min_id + 1 AS DOUBLE) AS density
+FROM t CROSS JOIN g
+"""
+
+
+@query("prof_id_gaps", oracle=_ID_GAPS_ORACLE, tier=2)
+def prof_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit over the order keys: gap count,
+    total missing ids, the largest hole (length + where it starts) and
+    the id-space density — the sequence screen a warehouse runs on any
+    monotonically-assigned key to catch dropped ingest batches (a
+    cluster of consecutive missing ids IS a lost file; uniform
+    sparseness is just the generator's id-space stride; TPC-H
+    orderkeys are deliberately sparse, making the fixture a realistic
+    positive). prof_candidate_keys asks "is it unique"; this asks
+    "is it complete".
+
+    Exactness: every output is exact BIGINT arithmetic on distinct
+    ids; density is one IEEE division; the largest-gap location takes
+    the LOWEST start on ties (integer decision).
+
+    Shape: one distinct over the key column (map-side dedup), a LEAD
+    window over the sorted distinct-id frame, then 1-row folds. The
+    window is global over the id support — the ext_auc_rank stance: at
+    100 TB the swap is range-bucketed two-pass (per-bucket adjacent
+    gaps + boundary pairs from the broadcast bucket min/max frame),
+    documented not needed at fixture scale (EXPECTED_FLAGS)."""
+    from pyspark.sql import Window as W
+
+    ids = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id")
+    ).distinct()
+    nxt = ids.select(
+        "id", F.lead("id").over(W.orderBy("id")).alias("next_id")
+    )
+    gaps = nxt.filter(
+        F.col("next_id").isNotNull() & (F.col("next_id") - F.col("id") > 1)
+    ).select("id", (F.col("next_id") - F.col("id") - 1).alias("gap_len"))
+    from ..session import scoped_persist
+
+    gaps = scoped_persist(gaps)
+    t = ids.agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    mg = gaps.agg(F.max("gap_len").alias("_mx"))
+    g = (
+        gaps.crossJoin(F.broadcast(mg))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.coalesce(F.sum("gap_len"), F.lit(0)).alias("missing_total"),
+            F.coalesce(F.max("gap_len"), F.lit(0)).alias("max_gap_len"),
+            F.min(
+                F.when(F.col("gap_len") == F.col("_mx"), F.col("id") + 1)
+            ).alias("max_gap_start"),
+        )
+    )
+    return t.crossJoin(F.broadcast(g)).select(
+        "n_ids",
+        "min_id",
+        "max_id",
+        "n_gaps",
+        "missing_total",
+        "max_gap_len",
+        "max_gap_start",
+        (
+            F.col("n_ids").cast("double")
+            / (F.col("max_id") - F.col("min_id") + 1).cast("double")
+        ).alias("density"),
+    )

@@ -1396,3 +1396,79 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         (F.col("med_qs").cast("double") / F.lit(1e9)).alias("sen_slope"),
     )
+
+
+# --- ts_dow_hour_profile --------------------------------------------------------
+
+_DOW_HOUR_ORACLE = """
+WITH e AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+           AS weekday_idx,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS cents
+  FROM events
+),
+g AS (
+  SELECT weekday_idx, hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM e GROUP BY weekday_idx, hour
+),
+t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+SELECT g.weekday_idx, g.hour, g.n_events, g.value_cents,
+       CAST(g.n_events AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       CAST(g.n_events * 168 AS DOUBLE) / CAST(t.total AS DOUBLE)
+         AS uniform_lift
+FROM g CROSS JOIN t
+"""
+
+
+@query("ts_dow_hour_profile", oracle=_DOW_HOUR_ORACLE, tier=2)
+def ts_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour load grid over the event stream: event count,
+    value sum, traffic share, and the lift against a uniform 168-slot
+    week — the calendar heat map every capacity/anomaly dashboard
+    draws first (lift >> 1 slots are the peak-load cells a scheduler
+    avoids; a weekday pattern that suddenly flattens flags
+    instrumentation loss). Weekday key = epoch-day mod 7 (the
+    ts_weekday_adjust house convention — Spark and DuckDB disagree on
+    dayofweek bases); hour via EXTRACT on the session-pinned-UTC
+    timestamps.
+
+    Exactness: slot keys are integer arithmetic; values floor-quantize
+    to cents pre-sum; share and lift are single IEEE divisions of
+    exact integers.
+
+    Shape: ONE (weekday, hour) counting aggregate over the scan — 168
+    result rows at ANY scale, full map-side combine, the exchange
+    carries slot keys — plus a 1-row total fold broadcast back
+    (EXPECTED_FLAGS)."""
+    e = load(spark, sf_dir, "events").select(
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long")
+            % 7
+        ).alias("weekday_idx"),
+        F.expr("CAST(EXTRACT(hour FROM ts) AS BIGINT)").alias("hour"),
+        quantize_long("value", 2).alias("cents"),
+    )
+    g = e.groupBy("weekday_idx", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    from ..session import scoped_persist
+
+    g = scoped_persist(g)
+    t = g.agg(F.sum("n_events").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "weekday_idx",
+        "hour",
+        "n_events",
+        "value_cents",
+        (F.col("n_events").cast("double") / F.col("total").cast("double"))
+        .alias("share"),
+        (
+            (F.col("n_events") * 168).cast("double")
+            / F.col("total").cast("double")
+        ).alias("uniform_lift"),
+    )

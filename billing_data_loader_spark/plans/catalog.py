@@ -129,6 +129,10 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "ext_cross_source_overlap",
         "ts_theil_sen",
         "join_lateral_topk",
+        "prof_id_gaps",
+        "bill_cohort_arpu",
+        "ext_label_noise_knn",
+        "ts_dow_hour_profile",
     }
 )
 

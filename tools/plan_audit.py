@@ -648,6 +648,14 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row chi-square fold over the O(langs x sources) "
             "contingency grid"
         ),
+        "prof_id_gaps": (
+            "LEAD window over the distinct-id support + 1-row "
+            "total/gap folds; 100 TB swap is range-bucketed two-pass "
+            "adjacency with broadcast bucket boundaries"
+        ),
+        "ts_dow_hour_profile": (
+            "1-row total fold broadcast onto the fixed 168-slot grid"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -904,6 +912,16 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "prof_cramers_v": (
             "broadcast cross of the O(langs) x O(sources) marginal "
             "frames + 1-row total/chi2 folds"
+        ),
+        "prof_id_gaps": (
+            "1-row broadcast max-gap / summary folds onto the gap frame"
+        ),
+        "ts_dow_hour_profile": (
+            "1-row broadcast total fold onto the 168-row grid"
+        ),
+        "ext_label_noise_knn": (
+            "inherits ext_knn_graph's broadcast tile-task table "
+            "(model-sized; n x n pairs never materialize)"
         ),
     },
     # CartesianProduct without broadcast: never acceptable.
