@@ -753,11 +753,15 @@ def ext_coverage_gain_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     window).
 
     Degenerate rounds (ADVICE r12): each round keeps only candidates
-    with new_grams > 0 and anti-joins the already-picked doc_ids, so
-    when the gram universe is exhausted in fewer than k rounds BOTH
-    engines emit the same short pick list (the oracle's round-r frame
-    only contains docs with >=1 uncovered gram by construction) instead
-    of Spark padding a zero-gain repeat pick."""
+    with new_grams > 0, so when the gram universe is exhausted in fewer
+    than k rounds BOTH engines emit the same short pick list (the
+    oracle's round-r frame only contains docs with >=1 uncovered gram
+    by construction) instead of Spark padding a zero-gain repeat pick.
+    The filter alone also excludes every already-picked doc — its grams
+    are all covered, so its marginal gain is exactly 0 — and an
+    explicit anti-join against the growing picks frame would re-execute
+    the whole pick lineage each round (the round-11 twice-referenced-
+    iterative-frame trap: measured 1.94x slower at sf0.1)."""
     from ..session import scoped_persist
 
     d = load(spark, sf_dir, "documents")
@@ -793,10 +797,6 @@ def ext_coverage_gain_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored = sets.crossJoin(F.broadcast(cov)).select(
                 "doc_id",
                 F.size(F.array_except("ths", "cv")).alias("new_grams"),
-            )
-        if picks is not None:
-            scored = scored.join(
-                F.broadcast(picks.select("doc_id")), "doc_id", "left_anti"
             )
         pick = (
             scored.filter(F.col("new_grams") > 0)

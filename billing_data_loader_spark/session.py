@@ -243,7 +243,10 @@ def get_spark(app_name: str = "billing-data-loader-spark") -> SparkSession:
         # borderline as the catalog grew; 4096 again at 314 keys in
         # round 12 — the tell is a uniform +0.3-1s drift across
         # unrelated cheap agg keys in a full-catalog run).
-        .config("spark.sql.codegen.cache.maxEntries", "8192")
+        # 8192 -> 16384 at the 345-key catalog (round 13): the tell
+        # reappeared as a uniform 1.5-2x drift band across unrelated
+        # cheap agg/join keys in the full-catalog bench run.
+        .config("spark.sql.codegen.cache.maxEntries", "16384")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
