@@ -1226,3 +1226,130 @@ def bill_cohort_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arpu_cents"),
         )
     )
+
+
+# --- ext_funnel_latency ---------------------------------------------------------
+
+_FUNNEL_LAT_ORACLE = """
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.signup_us
+  GROUP BY e.user_id
+),
+u AS (
+  SELECT su.user_id, su.signup_us // 86400000000 AS signup_day,
+         pu.purchase_us - su.signup_us AS lat_us
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+),
+rk AS (
+  SELECT signup_day, lat_us,
+         ROW_NUMBER() OVER (PARTITION BY signup_day
+                            ORDER BY lat_us ASC, user_id ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY signup_day) AS BIGINT) AS nc
+  FROM u WHERE lat_us IS NOT NULL
+),
+med AS (
+  SELECT signup_day,
+         CAST(MAX(CASE WHEN rn = (nc + 1) // 2 THEN lat_us END)
+              AS BIGINT) AS med_lat_us,
+         CAST(MIN(lat_us) AS BIGINT) AS min_lat_us,
+         CAST(MAX(lat_us) AS BIGINT) AS max_lat_us,
+         CAST(COUNT(*) AS BIGINT) AS n_converted
+  FROM rk GROUP BY signup_day
+),
+base AS (
+  SELECT signup_day, CAST(COUNT(*) AS BIGINT) AS n_signups
+  FROM u GROUP BY signup_day
+)
+SELECT b.signup_day, b.n_signups,
+       COALESCE(m.n_converted, 0) AS n_converted,
+       CAST(COALESCE(m.n_converted, 0) AS DOUBLE)
+         / CAST(b.n_signups AS DOUBLE) AS conversion_rate,
+       m.min_lat_us, m.med_lat_us, m.max_lat_us
+FROM base b LEFT JOIN med m ON b.signup_day = m.signup_day
+"""
+
+
+@query("ext_funnel_latency", oracle=_FUNNEL_LAT_ORACLE, tier=2)
+def ext_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase conversion LATENCY by signup-day cohort: per
+    day the signup count, how many converted (first purchase at or
+    after their first signup), the conversion rate, and the exact
+    min/median/max time-to-convert — the funnel completion of
+    agg_funnel_steps (which counts stage reach; this reads how LONG
+    the funnel takes, the metric growth teams alert on when checkout
+    latency drifts). Unconverted cohort days emit NULL latencies, not
+    fabricated zeros.
+
+    Exactness: timestamps become exact epoch-microsecond BIGINTs
+    (Spark unix_micros == DuckDB epoch_us on the session-pinned UTC
+    values); latencies and day buckets are integer arithmetic; the
+    median is the discrete order statistic at ceil(n/2) with a
+    (latency, user) total order; the rate is one IEEE division.
+
+    Shape: two user-keyed MIN aggregates over the filtered stream
+    (map-side combine; the purchase pass semi-joins the signup frame
+    on the same key — co-partitioned), one per-day rank window over
+    the O(users) converted frame, and a day-keyed rollup join of two
+    O(days) frames. At 100 TB everything stays keyed on user_id then
+    day — the event grain never survives past the first aggregate."""
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("signup_us"))
+    )
+    from ..session import scoped_persist
+
+    su = scoped_persist(su)
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.expr("unix_micros(ts) >= signup_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("purchase_us"))
+    )
+    u = scoped_persist(
+        su.join(pu, "user_id", "left").select(
+            "user_id",
+            F.expr("signup_us DIV 86400000000").alias("signup_day"),
+            (F.col("purchase_us") - F.col("signup_us")).alias("lat_us"),
+        )
+    )
+    wd = W.partitionBy("signup_day")
+    rk = u.filter(F.col("lat_us").isNotNull()).select(
+        "signup_day",
+        "lat_us",
+        F.row_number()
+        .over(wd.orderBy(F.asc("lat_us"), F.asc("user_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("nc"),
+    )
+    med = rk.groupBy("signup_day").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(nc + 1) DIV 2"), F.col("lat_us"))
+        ).alias("med_lat_us"),
+        F.min("lat_us").alias("min_lat_us"),
+        F.max("lat_us").alias("max_lat_us"),
+        F.count(F.lit(1)).alias("n_converted"),
+    )
+    base = u.groupBy("signup_day").agg(
+        F.count(F.lit(1)).alias("n_signups")
+    )
+    return base.join(med, "signup_day", "left").select(
+        "signup_day",
+        "n_signups",
+        F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"),
+        (
+            F.coalesce(F.col("n_converted"), F.lit(0)).cast("double")
+            / F.col("n_signups").cast("double")
+        ).alias("conversion_rate"),
+        "min_lat_us",
+        "med_lat_us",
+        "max_lat_us",
+    )

@@ -1695,3 +1695,184 @@ def ext_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- ext_er_blocking_audit ------------------------------------------------------
+
+def _er_blocking_oracle() -> str:
+    from .llm_pipeline import _JACCARD_ORACLE
+
+    return f"""
+WITH gold AS MATERIALIZED ({_JACCARD_ORACLE}),
+corpus AS ({_CORPUS_SQL}),
+keys AS (
+  SELECT doc_id, lang, strategy, k FROM (
+    SELECT doc_id, lang,
+           'prefix4' AS strategy,
+           array_to_string(string_split(text, ' ')[1:4], ' ') AS k
+    FROM corpus
+    UNION ALL
+    SELECT doc_id, lang, 'lenbucket',
+           CAST(len(string_split(text, ' ')) // 16 AS VARCHAR)
+    FROM corpus
+    UNION ALL
+    SELECT doc_id, lang, 'firstlast',
+           string_split(text, ' ')[1] || '|' ||
+           string_split(text, ' ')[len(string_split(text, ' '))]
+    FROM corpus
+  )
+),
+blocks AS (
+  SELECT strategy, lang, k, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM keys GROUP BY strategy, lang, k
+),
+cand AS (
+  SELECT strategy,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS cand_pairs
+  FROM blocks GROUP BY strategy
+),
+lt AS (
+  SELECT CAST(SUM(nl * (nl - 1) // 2) AS BIGINT) AS total_pairs FROM (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM corpus GROUP BY lang
+  )
+),
+gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold),
+cob AS (
+  SELECT ka.strategy, CAST(COUNT(DISTINCT (g.doc_a, g.doc_b)) AS BIGINT)
+           AS gold_coblocked
+  FROM gold g
+  JOIN keys ka ON ka.doc_id = g.doc_a
+  JOIN keys kb ON kb.doc_id = g.doc_b
+   AND kb.strategy = ka.strategy AND kb.k = ka.k
+   AND kb.lang = ka.lang
+  GROUP BY ka.strategy
+)
+SELECT c.strategy, c.n_blocks, c.cand_pairs,
+       CAST(1 AS DOUBLE) - CAST(c.cand_pairs AS DOUBLE)
+         / CAST(lt.total_pairs AS DOUBLE) AS reduction_ratio,
+       gt.n_gold,
+       COALESCE(cob.gold_coblocked, 0) AS gold_coblocked,
+       CASE WHEN gt.n_gold = 0 THEN CAST(1 AS DOUBLE)
+            ELSE CAST(COALESCE(cob.gold_coblocked, 0) AS DOUBLE)
+                 / CAST(gt.n_gold AS DOUBLE)
+       END AS pair_completeness
+FROM cand c
+CROSS JOIN lt CROSS JOIN gt
+LEFT JOIN cob ON cob.strategy = c.strategy
+"""
+
+
+_ER_BLOCKING_ORACLE = _er_blocking_oracle()
+
+
+@query("ext_er_blocking_audit", oracle=_ER_BLOCKING_ORACLE, tier=3)
+def ext_er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution BLOCKING-strategy audit: for three candidate
+    blocking keys (first-4-token prefix, length bucket, first+last
+    token) the block count, candidate-pair volume sum nb*(nb-1)/2, the
+    reduction ratio against the same-language all-pairs universe, and
+    PAIR COMPLETENESS — the fraction of gold near-dup pairs (the exact
+    >= 0.6 Jaccard set that ext_neardup_jaccard pins) whose two docs
+    share a block. This is THE trade-off table every dedup/ER pipeline
+    reads before fixing its blocking scheme: a key with 0.99 reduction
+    but 0.6 completeness silently loses 40% of true matches before
+    any matcher runs.
+
+    Exactness: block keys are deterministic string/integer functions of
+    the text; pair volumes are exact integer combinatorics; both ratios
+    are single IEEE divisions of exact integers (completeness defined
+    as 1.0 on an empty gold set).
+
+    Shape: the gold set reuses ext_neardup_jaccard's prefix-filtered
+    exact join (its key pins it); the blocking side is ONE union of
+    three map-side key projections -> one (strategy, lang, key)
+    counting aggregate (the exchange carries block keys, not docs) ->
+    an O(strategies)-row rollup; the completeness join brings only the
+    gold PAIRS (model-sized) against the per-doc key frames. At 100 TB
+    the audit never materializes candidate pairs — only their counts."""
+    from .llm_pipeline import _corpus_with_dups, ext_neardup_jaccard
+
+    corpus = _corpus_with_dups(spark, sf_dir).select(
+        "doc_id", "lang", F.split("text", " ").alias("t")
+    )
+    from ..session import scoped_persist
+
+    keys = scoped_persist(
+        corpus.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "stack(3,"
+                " 'prefix4', concat_ws(' ', slice(t, 1, 4)),"
+                " 'lenbucket', CAST(size(t) DIV 16 AS STRING),"
+                " 'firstlast', concat(element_at(t, 1), '|',"
+                "                     element_at(t, size(t)))"
+                ") AS (strategy, k)"
+            ),
+        )
+    )
+    blocks = keys.groupBy("strategy", "lang", "k").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    cand = blocks.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.expr("nb * (nb - 1) DIV 2")).alias("cand_pairs"),
+    )
+    lt = (
+        corpus.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .agg(F.sum(F.expr("nl * (nl - 1) DIV 2")).alias("total_pairs"))
+    )
+    gold = scoped_persist(
+        ext_neardup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    gt = gold.agg(F.count(F.lit(1)).alias("n_gold"))
+    ka = keys.select(
+        F.col("doc_id").alias("doc_a"), "lang", "strategy", "k"
+    )
+    kb = keys.select(
+        F.col("doc_id").alias("doc_b2"),
+        F.col("lang").alias("lang_b"),
+        F.col("strategy").alias("strategy_b"),
+        F.col("k").alias("k_b"),
+    )
+    cob = (
+        gold.join(ka, "doc_a")
+        .join(
+            kb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("strategy") == F.col("strategy_b"))
+            & (F.col("k") == F.col("k_b"))
+            & (F.col("lang") == F.col("lang_b")),
+        )
+        .select("strategy", "doc_a", "doc_b")
+        .distinct()
+        .groupBy("strategy")
+        .agg(F.count(F.lit(1)).alias("gold_coblocked"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(gt))
+        .join(F.broadcast(cob), "strategy", "left")
+        .select(
+            "strategy",
+            "n_blocks",
+            "cand_pairs",
+            (
+                F.lit(1.0)
+                - F.col("cand_pairs").cast("double")
+                / F.col("total_pairs").cast("double")
+            ).alias("reduction_ratio"),
+            "n_gold",
+            F.coalesce(F.col("gold_coblocked"), F.lit(0)).alias(
+                "gold_coblocked"
+            ),
+            F.when(F.col("n_gold") == 0, F.lit(1.0))
+            .otherwise(
+                F.coalesce(F.col("gold_coblocked"), F.lit(0)).cast("double")
+                / F.col("n_gold").cast("double")
+            )
+            .alias("pair_completeness"),
+        )
+    )

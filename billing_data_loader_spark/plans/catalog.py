@@ -46,6 +46,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.data_quality",
     "billing_data_loader_spark.operators.market_basket",
     "billing_data_loader_spark.operators.model_eval",
+    "billing_data_loader_spark.operators.feature_prep",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",
@@ -133,6 +134,10 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "bill_cohort_arpu",
         "ext_label_noise_knn",
         "ts_dow_hour_profile",
+        "ext_quantile_bin_features",
+        "ext_target_encode",
+        "ext_funnel_latency",
+        "ext_er_blocking_audit",
     }
 )
 

@@ -656,6 +656,17 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ts_dow_hour_profile": (
             "1-row total fold broadcast onto the fixed 168-slot grid"
         ),
+        "ext_quantile_bin_features": (
+            "global rank window over the value support (equal-frequency "
+            "bin assignment); 100 TB swap is the two-pass bucketed rank "
+            "(range-partition by value + broadcast offsets)"
+        ),
+        "ext_target_encode": (
+            "1-row global-mean fold over the O(segments) frame"
+        ),
+        "ext_er_blocking_audit": (
+            "1-row total-pairs/gold-count folds over O(strategies) rows"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -922,6 +933,13 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_label_noise_knn": (
             "inherits ext_knn_graph's broadcast tile-task table "
             "(model-sized; n x n pairs never materialize)"
+        ),
+        "ext_target_encode": (
+            "1-row broadcast global-mean fold onto the O(segments) frame"
+        ),
+        "ext_er_blocking_audit": (
+            "1-row broadcast total-pairs/gold-count folds onto the "
+            "O(strategies) rollup"
         ),
     },
     # CartesianProduct without broadcast: never acceptable.
