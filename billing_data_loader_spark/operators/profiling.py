@@ -1554,3 +1554,188 @@ def prof_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_frac",
         )
     )
+
+
+# --- ext_bootstrap_ci_mean ------------------------------------------------------
+
+#: Poisson(1) CDF thresholds x 1e6, baked from one Python computation
+#: into BOTH engine texts (round(CDF(k) * 1e6) for k = 0..6; draws past
+#: the last threshold cap at k = 7). The Poisson bootstrap replaces
+#: multinomial resampling with independent per-row Poisson(1) counts —
+#: the estimator large-scale systems use because it needs NO global
+#: coordination: each row decides its own replicate multiplicities from
+#: a hash, map-side.
+_BOOT_T = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+_BOOT_B = 64
+_BOOT_SALT = ":bdl-boot-13"
+
+#: Shared CASE text mapping a uniform draw u in [0, 1e6) to the
+#: Poisson(1) count (identical token stream in Spark SQL and DuckDB).
+_BOOT_K_CASE = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+) + " ELSE 7 END"
+
+_BOOT_ORACLE = f"""
+WITH spend AS (
+  SELECT o_custkey AS cust,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+cust AS (
+  SELECT c.c_custkey AS cust, COALESCE(s.cents, 0) AS cents
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.cust
+),
+draws AS (
+  SELECT cust, cents, rb.b,
+         ('0x' || substr(md5(CAST(cust AS VARCHAR) || '{_BOOT_SALT}'
+                             || CAST(rb.b AS VARCHAR)), 1, 12))::BIGINT
+           % 1000000 AS u
+  FROM cust, unnest(range(0, {_BOOT_B})) AS rb(b)
+),
+rep AS (
+  SELECT b,
+         CAST(SUM({_BOOT_K_CASE}) AS BIGINT) AS sum_k,
+         CAST(SUM(({_BOOT_K_CASE}) * cents) AS BIGINT) AS sum_kc
+  FROM draws GROUP BY b
+),
+rk AS (
+  SELECT b, sum_k, sum_kc,
+         (sum_kc * 1000000) // sum_k AS mq,
+         ROW_NUMBER() OVER (ORDER BY (sum_kc * 1000000) // sum_k ASC,
+                            b ASC) AS rn
+  FROM rep WHERE sum_k > 0
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS gs
+  FROM cust
+)
+SELECT g.n, CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+       CAST(g.gs AS DOUBLE) / CAST(g.n AS DOUBLE) AS point_mean_cents,
+       CAST(MAX(CASE WHEN rn = 2 THEN sum_kc END) AS DOUBLE)
+         / CAST(MAX(CASE WHEN rn = 2 THEN sum_k END) AS DOUBLE)
+         AS ci_lo_cents,
+       CAST(MAX(CASE WHEN rn = {_BOOT_B} - 1 THEN sum_kc END) AS DOUBLE)
+         / CAST(MAX(CASE WHEN rn = {_BOOT_B} - 1 THEN sum_k END)
+                AS DOUBLE) AS ci_hi_cents
+FROM rk CROSS JOIN g
+GROUP BY g.n, g.gs
+"""
+
+
+@query("ext_bootstrap_ci_mean", oracle=_BOOT_ORACLE, tier=3)
+def ext_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean customer
+    lifetime spend — the resampling scheme built for data too large to
+    multinomial-sample: each row contributes an INDEPENDENT Poisson(1)
+    multiplicity to each of 64 replicates, drawn deterministically from
+    md5(cust || salt || replicate), so the whole bootstrap is one
+    map-side expansion + one 64-group aggregate with zero coordination
+    (no global n needed per draw — the property that makes this the
+    standard streaming/massive-data bootstrap). CI = the 2nd and 63rd
+    order statistics of the 64 replicate means (~2.5%/97.5%).
+
+    Exactness: the uniform draw is an exact md5-derived integer mod
+    1e6; the Poisson inverse-CDF is a BAKED integer threshold CASE
+    (one Python computation f-stringed into both engine texts);
+    replicate sums are exact BIGINTs; replicate ranking orders by the
+    exact integer (sum_kc*1e6) DIV sum_k with a replicate-id tie-break;
+    each emitted mean is one IEEE division of exact integers.
+    Zero-count replicates (impossible in practice, P ~ e^-n) are
+    excluded from ranking, documented.
+
+    Shape: the custkey spend aggregate (map-side combine), a broadcast
+    64-row replicate grid exploding map-side (x64 rows BEFORE the
+    combine — partial aggregation collapses per (replicate) inside the
+    scan task, so the exchange carries 64 rows), a 64-row rank window,
+    and 1-row folds (EXPECTED_FLAGS). At 100 TB this is exactly the
+    production Poisson-bootstrap plan: no shuffle grows with data."""
+    from ..functions.determinism import quantize_long
+    from ..session import scoped_persist
+
+    spend = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("cust"),
+            quantize_long("o_totalprice", 2).alias("cents"),
+        )
+        .groupBy("cust")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    cust = scoped_persist(
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("ck"))
+        .join(spend, F.col("ck") == F.col("cust"), "left")
+        .select(
+            F.col("ck").alias("cust"),
+            F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+        )
+    )
+    reps = spark.createDataFrame([(b,) for b in range(_BOOT_B)], "b int")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("cust").cast("string"),
+                        F.lit(_BOOT_SALT),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    draws = cust.crossJoin(F.broadcast(reps)).select(
+        "cents", "b", u.alias("u")
+    )
+    k = F.expr(_BOOT_K_CASE)
+    rep = draws.groupBy("b").agg(
+        F.sum(k).alias("sum_k"),
+        F.sum(k * F.col("cents")).alias("sum_kc"),
+    )
+    rk = (
+        rep.filter(F.col("sum_k") > 0)
+        .select(
+            "b",
+            "sum_k",
+            "sum_kc",
+            F.row_number()
+            .over(
+                W.orderBy(
+                    F.expr("(sum_kc * 1000000) DIV sum_k").asc(),
+                    F.col("b").asc(),
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    g = cust.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("gs")
+    )
+    pick = rk.groupBy().agg(
+        F.max(F.when(F.col("rn") == 2, F.col("sum_kc"))).alias("lo_kc"),
+        F.max(F.when(F.col("rn") == 2, F.col("sum_k"))).alias("lo_k"),
+        F.max(
+            F.when(F.col("rn") == _BOOT_B - 1, F.col("sum_kc"))
+        ).alias("hi_kc"),
+        F.max(
+            F.when(F.col("rn") == _BOOT_B - 1, F.col("sum_k"))
+        ).alias("hi_k"),
+    )
+    return g.crossJoin(F.broadcast(pick)).select(
+        "n",
+        F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        (F.col("gs").cast("double") / F.col("n").cast("double")).alias(
+            "point_mean_cents"
+        ),
+        (F.col("lo_kc").cast("double") / F.col("lo_k").cast("double"))
+        .alias("ci_lo_cents"),
+        (F.col("hi_kc").cast("double") / F.col("hi_k").cast("double"))
+        .alias("ci_hi_cents"),
+    )

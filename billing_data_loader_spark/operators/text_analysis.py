@@ -1998,3 +1998,116 @@ def ext_lang_confusability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("signature_jaccard"),
         )
     )
+
+
+# --- ext_code_switch_detect -----------------------------------------------------
+
+_CODESW_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+sig AS (
+  SELECT lang AS sig_lang, token FROM (
+    SELECT lang, token, ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY COUNT(*) DESC, token ASC
+    ) AS rn
+    FROM tok GROUP BY lang, token
+  ) WHERE rn <= 20
+),
+doc_tok AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+marked AS (
+  SELECT d.doc_id, d.lang, d.token,
+         MAX(CASE WHEN s.sig_lang = d.lang THEN 1 ELSE 0 END) AS own,
+         greatest(MAX(CASE WHEN s.sig_lang IS NOT NULL
+                       AND s.sig_lang <> d.lang THEN 1 ELSE 0 END)
+                  - MAX(CASE WHEN s.sig_lang = d.lang
+                        THEN 1 ELSE 0 END), 0) AS frgn
+  FROM doc_tok d LEFT JOIN sig s ON d.token = s.token
+  GROUP BY d.doc_id, d.lang, d.token
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tok_distinct,
+       CAST(SUM(own) AS BIGINT) AS n_own_sig,
+       CAST(SUM(frgn) AS BIGINT) AS n_foreign_sig,
+       CAST(SUM(frgn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS foreign_frac,
+       (5 * SUM(frgn) >= COUNT(*)) AS mixed_flag
+FROM marked
+GROUP BY doc_id, lang
+"""
+
+
+@query("ext_code_switch_detect", oracle=_CODESW_ORACLE, tier=3)
+def ext_code_switch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / language-mix screening per document: the
+    fraction of a doc's DISTINCT tokens that belong to ANOTHER
+    language's top-20 token signature while NOT belonging to the doc's
+    own language's signature (foreign-EXCLUSIVE vocabulary — head
+    tokens shared across languages carry no switching signal and are
+    excluded by construction) — the curation read that
+    separates genuinely multilingual documents (worth keeping, maybe
+    routing to both languages' buckets) from mislabeled ones BEFORE a
+    hard per-language filter silently drops them; flags docs whose
+    foreign-signature share reaches 20% (an integer 5*n >= total
+    decision). Completes the lang-ID family: ext_lang_id predicts the
+    winner, ext_lang_confusability reads pairwise signature overlap,
+    this reads per-document mixing.
+
+    Exactness: signature membership is the deterministic (count desc,
+    token asc) top-20 per language (the ext_lang_id signature); own /
+    foreign marks are integer MAX flags per distinct (doc, token);
+    counts exact; the fraction is one IEEE division.
+
+    Shape: one (lang, token) counting aggregate builds the signatures
+    (model-sized: 20 rows x languages, broadcast); the doc side is the
+    distinct (doc, token) frame left-joined against that broadcast,
+    collapsed by ONE (doc, token) aggregate then ONE doc-keyed rollup —
+    both keyed on the doc, co-partitioned, with the token-grain
+    exchange being the same distinct every text operator already pays.
+    At 100 TB nothing new shuffles beyond the lang-ID plan itself."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    sig_w = W.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    sig = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(sig_w))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("sig_lang"), "token")
+    )
+    doc_tok = tok.distinct()
+    marked = (
+        doc_tok.join(F.broadcast(sig), "token", "left")
+        .groupBy("doc_id", "lang", "token")
+        .agg(
+            F.max(
+                (F.col("sig_lang") == F.col("lang")).cast("int")
+            ).alias("own"),
+            F.greatest(
+                F.max(
+                    (
+                        F.col("sig_lang").isNotNull()
+                        & (F.col("sig_lang") != F.col("lang"))
+                    ).cast("int")
+                )
+                - F.max(
+                    (F.col("sig_lang") == F.col("lang")).cast("int")
+                ),
+                F.lit(0),
+            ).alias("frgn"),
+        )
+    )
+    return marked.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok_distinct"),
+        F.sum("own").alias("n_own_sig"),
+        F.sum("frgn").alias("n_foreign_sig"),
+        (
+            F.sum("frgn").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("foreign_frac"),
+        (5 * F.sum("frgn") >= F.count(F.lit(1))).alias("mixed_flag"),
+    )

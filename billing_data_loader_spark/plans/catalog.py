@@ -138,6 +138,8 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "ext_target_encode",
         "ext_funnel_latency",
         "ext_er_blocking_audit",
+        "ext_bootstrap_ci_mean",
+        "ext_code_switch_detect",
     }
 )
 

@@ -667,6 +667,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_er_blocking_audit": (
             "1-row total-pairs/gold-count folds over O(strategies) rows"
         ),
+        "ext_bootstrap_ci_mean": (
+            "64-row replicate rank window + 1-row CI/point folds (the "
+            "replicate frame is fixed-size at any corpus scale)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -940,6 +944,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_er_blocking_audit": (
             "1-row broadcast total-pairs/gold-count folds onto the "
             "O(strategies) rollup"
+        ),
+        "ext_bootstrap_ci_mean": (
+            "64-row broadcast replicate grid (map-side expansion) + "
+            "1-row CI pick fold"
         ),
     },
     # CartesianProduct without broadcast: never acceptable.
