@@ -1029,3 +1029,226 @@ def ext_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mcnemar_chi2"),
     )
+
+
+# --- ext_mrr_eval ---------------------------------------------------------------
+
+#: Reciprocal-rank integers round(1e9 / r) for ranks 1..3 (the knn-graph
+#: k), computed ONCE in Python and baked as literals into BOTH engine
+#: texts — the _NDCG_DISC stance: no cross-engine float-division-then-
+#: round surface, every per-query contribution is an exact BIGINT.
+_MRR_RECIP = tuple(round(1e9 / r) for r in range(1, 4))
+
+
+def _mrr_oracle() -> str:
+    from .ann import _KNNG_ORACLE
+
+    case = " ".join(
+        f"WHEN {r + 1} THEN {v}" for r, v in enumerate(_MRR_RECIP)
+    )
+    return f"""
+WITH knng AS MATERIALIZED ({_KNNG_ORACLE}),
+fr AS (
+  SELECT vec_id, CAST(MIN(rnk) AS BIGINT) AS first_rel
+  FROM knng WHERE same_label = 1 GROUP BY vec_id
+),
+per_q AS (
+  SELECT CAST(e.label AS BIGINT) AS label,
+         CASE f.first_rel {case} ELSE 0 END AS rr_scaled
+  FROM embeddings e LEFT JOIN fr f ON e.vec_id = f.vec_id
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN rr_scaled > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(SUM(rr_scaled) AS BIGINT) AS sum_rr_scaled,
+       CAST(SUM(rr_scaled) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mrr_at_3,
+       CAST(SUM(CASE WHEN rr_scaled > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hit_rate_at_3
+FROM per_q GROUP BY label
+"""
+
+
+_MRR_ORACLE = _mrr_oracle()
+
+
+@query("ext_mrr_eval", oracle=_MRR_ORACLE, tier=3)
+def ext_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank @3 of the corpus-wide exact-cosine retrieval
+    (every vector queries its ext_knn_graph top-3; relevance = neighbor
+    shares the query's label) — the first-hit metric every retrieval /
+    RAG pipeline reports next to NDCG (position-weighted) and recall
+    (coverage): MRR reads "how far down does a user scan before the
+    first right answer", per label class, with the hit rate (any
+    relevant in top-3) alongside. Unlike ext_ndcg_eval's single-anchor
+    read this is a TRUE mean over all n queries, so per-class retrieval
+    asymmetries (a label whose members sit in another class's
+    neighborhood) are visible.
+
+    Exactness: reciprocals are round(1e9/r) INTEGERS baked as literals
+    into both engine texts from one Python computation (the _NDCG_DISC
+    stance); per-query contributions and class sums are exact BIGINT;
+    MRR and hit rate are one shared-text IEEE division each.
+
+    Shape: the knn-graph helper's tiled pairwise scan (its key
+    documents the 100 TB blocked form), then ONE vec-keyed filter-
+    aggregate of the O(n*k) edge frame, a vec-keyed left join back to
+    the label frame, and ONE label-keyed rollup — everything after the
+    helper is co-partitioned on vec_id and output-bounded by the label
+    arity."""
+    from .ann import ext_knn_graph
+
+    fr = (
+        ext_knn_graph(spark, sf_dir)
+        .filter(F.col("same_label") == 1)
+        .groupBy("vec_id")
+        .agg(F.min("rnk").cast("long").alias("first_rel"))
+    )
+    rr = F.coalesce(
+        F.when(F.col("first_rel") == 1, F.lit(_MRR_RECIP[0]))
+        .when(F.col("first_rel") == 2, F.lit(_MRR_RECIP[1]))
+        .when(F.col("first_rel") == 3, F.lit(_MRR_RECIP[2])),
+        F.lit(0),
+    ).cast("long")
+    per_q = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("label").cast("long").alias("label"))
+        .join(fr, "vec_id", "left")
+        .select("label", rr.alias("rr_scaled"))
+    )
+    return per_q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("rr_scaled") > 0).cast("int"))
+        .cast("long")
+        .alias("n_hit"),
+        F.sum("rr_scaled").alias("sum_rr_scaled"),
+        (
+            F.sum("rr_scaled").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9))
+        ).alias("mrr_at_3"),
+        (
+            F.sum((F.col("rr_scaled") > 0).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hit_rate_at_3"),
+    )
+
+
+# --- ext_lift_gain --------------------------------------------------------------
+
+#: Decile count for the gains table (the marketing/filter-ops standard).
+_LIFT_N_BINS = 10
+
+_LIFT_ORACLE = f"""
+WITH scored AS ({_SCORED_SQL}),
+rk AS (
+  SELECT y,
+         ROW_NUMBER() OVER (ORDER BY w_sum DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+),
+d AS (
+  SELECT CAST(({_LIFT_N_BINS} * (rn - 1)) // n AS BIGINT) AS decile,
+         y, n
+  FROM rk
+),
+g AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(ANY_VALUE(n) AS BIGINT) AS total_n
+  FROM d GROUP BY decile
+)
+SELECT decile, n_rows, n_pos,
+       CAST(SUM(n_rows) OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+       CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos,
+       CAST(SUM(n_pos) OVER w AS DOUBLE)
+         / CAST(SUM(n_pos) OVER () AS DOUBLE) AS cum_gain,
+       CAST(SUM(n_pos) OVER w * total_n AS DOUBLE)
+         / CAST(SUM(n_rows) OVER w * SUM(n_pos) OVER () AS DOUBLE)
+         AS cum_lift
+FROM g
+WINDOW w AS (ORDER BY decile ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("ext_lift_gain", oracle=_LIFT_ORACLE, tier=3)
+def ext_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of the quality classifier's ranking
+    (the decile view every campaign-targeting and filter-ops review
+    reads next to AUC): rank all docs by the integer classifier score,
+    cut into 10 equal-frequency deciles, and report per decile the
+    cumulative share of positives captured (gain) and the capture rate
+    relative to random targeting (lift — decile-1 lift near 1/base-rate
+    means the classifier front-loads essentially all positives).
+    Completes the threshold-free audit family: ext_auc_rank integrates
+    this curve to one number, this emits the operating table a human
+    picks a cutoff from.
+
+    Exactness: scores are the classifier's integer weight sums and the
+    rank order is the total (w_sum DESC, doc_id ASC); decile membership
+    is exact integer floor division (the ext_quantile_bin_features
+    form, bins differ by at most one row); counts, cumulative sums, and
+    cross products are exact BIGINT; gain and lift are one shared-text
+    IEEE division each over exact integers.
+
+    Shape: the classifier's scan -> explode -> doc-keyed aggregate,
+    then a global rank window (the ext_auc_rank stance: at 100 TB the
+    swap is the two-pass bucketed rank — range-partition by score,
+    per-partition ranks + broadcast offsets — documented, not needed at
+    fixture scale; EXPECTED_FLAGS), ONE 10-group aggregate with
+    map-side combine, and 10-row window folds."""
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    scored = (
+        ext_quality_classifier(spark, sf_dir)
+        .select("doc_id", "w_sum")
+        .join(lab, "doc_id")
+    )
+    rk = scored.select(
+        "y",
+        F.row_number()
+        .over(W.orderBy(F.desc("w_sum"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    g = (
+        rk.select(
+            "y",
+            "n",
+            F.expr(
+                f"CAST(({_LIFT_N_BINS} * (rn - 1)) DIV n AS BIGINT)"
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.any_value(F.col("n")).cast("long").alias("total_n"),
+        )
+    )
+    w = W.orderBy(F.asc("decile")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy()
+    cum_n = F.sum("n_rows").over(w)
+    cum_pos = F.sum("n_pos").over(w)
+    total_pos = F.sum("n_pos").over(wall)
+    return g.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        cum_n.alias("cum_n"),
+        cum_pos.alias("cum_pos"),
+        total_pos.alias("total_pos"),
+        (cum_pos.cast("double") / total_pos.cast("double")).alias(
+            "cum_gain"
+        ),
+        (
+            (cum_pos * F.col("total_n")).cast("double")
+            / (cum_n * total_pos).cast("double")
+        ).alias("cum_lift"),
+    )

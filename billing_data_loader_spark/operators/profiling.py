@@ -1739,3 +1739,157 @@ def ext_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hi_kc").cast("double") / F.col("hi_k").cast("double"))
         .alias("ci_hi_cents"),
     )
+
+
+# --- prof_spearman_corr ---------------------------------------------------------
+
+#: The two audited metric pairs. In the synthetic fixture both read
+#: near zero (columns are independent draws — the "healthy drop"
+#: baseline the replay test pins); on a real billing feed (quantity,
+#: extendedprice) rank-correlates strongly, and a pair moving off its
+#: baseline in either direction is the drift the profiler flags.
+_SPEAR_PAIRS = (
+    ("qty_vs_price", "q_qty", "q_prc"),
+    ("disc_vs_tax", "q_dsc", "q_tax"),
+)
+
+_SPEAR_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_quantity * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS q_qty,
+         CAST(floor(l_extendedprice * 1e2 + CAST(0.5 AS DOUBLE))
+           AS BIGINT) AS q_prc,
+         CAST(floor(l_discount * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS q_dsc,
+         CAST(floor(l_tax * 1e2 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS q_tax
+  FROM lineitem
+),
+ranked AS MATERIALIZED (
+  SELECT grp,
+         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+         CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY q_qty ASC)
+              + COUNT(*) OVER (PARTITION BY grp, q_qty) - 1 AS BIGINT)
+           AS r_qty,
+         CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY q_prc ASC)
+              + COUNT(*) OVER (PARTITION BY grp, q_prc) - 1 AS BIGINT)
+           AS r_prc,
+         CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY q_dsc ASC)
+              + COUNT(*) OVER (PARTITION BY grp, q_dsc) - 1 AS BIGINT)
+           AS r_dsc,
+         CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY q_tax ASC)
+              + COUNT(*) OVER (PARTITION BY grp, q_tax) - 1 AS BIGINT)
+           AS r_tax
+  FROM base
+),
+pairs AS (
+  SELECT grp, 'qty_vs_price' AS pair, n,
+         r_qty - (n + 1) AS dx, r_prc - (n + 1) AS dy
+  FROM ranked
+  UNION ALL
+  SELECT grp, 'disc_vs_tax' AS pair, n,
+         r_dsc - (n + 1) AS dx, r_tax - (n + 1) AS dy
+  FROM ranked
+),
+m AS (
+  SELECT grp, pair,
+         CAST(ANY_VALUE(n) AS BIGINT) AS n,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM pairs GROUP BY grp, pair
+)
+SELECT grp AS l_returnflag, pair, n, sxy, sxx, syy,
+       CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(sxy AS DOUBLE)
+                 / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+       END AS spearman_rho
+FROM m
+"""
+
+
+@query("prof_spearman_corr", oracle=_SPEAR_ORACLE, tier=3)
+def prof_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return-flag segment for two metric
+    pairs — the monotone-association profile that catches what
+    prof_corr_matrix's Pearson misses (nonlinear-but-monotone links,
+    outlier-dominated covariances). Each pair carries a baseline (near
+    zero on the fixture's independent draws; strongly positive for
+    quantity-price on a real billing feed), and a pair moving off its
+    baseline is the data-quality signal on a new drop.
+
+    Exactness: values floor-quantize to cents first; tie handling is
+    the exact midrank DOUBLED so half-integers stay integral
+    (2*avg_rank = 2*RANK() + tie_count - 1, the ext_auc_rank midrank
+    identity), centered by the integer n+1; all moment sums are exact
+    BIGINT (documented widening to DECIMAL(38,0) past ~10^6 rows per
+    group); rho is one shared-text chain CAST -> multiply -> sqrt ->
+    divide, each step correctly-rounded IEEE so both engines emit the
+    identical double.
+
+    Shape: one scan -> rank windows all partitioned by the SAME group
+    key (one exchange, per-key sorts) -> the pair stack explodes
+    MAP-SIDE via one generator (no UNION re-read of the windowed frame
+    — the r11 twice-referenced-frame lesson; the oracle keeps the
+    UNION form as the independent mirror) -> one (group, pair)
+    aggregate with map-side combine. At 100 TB ranks swap to the
+    two-pass bucketed form (range-partition by value, per-partition
+    ranks + broadcast offsets — the ext_auc_rank stance)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        quantize_long("l_quantity", 2).alias("q_qty"),
+        quantize_long("l_extendedprice", 2).alias("q_prc"),
+        quantize_long("l_discount", 2).alias("q_dsc"),
+        quantize_long("l_tax", 2).alias("q_tax"),
+    )
+    n = F.count(F.lit(1)).over(W.partitionBy("grp")).cast("long")
+
+    def _drank(col: str):
+        r = F.rank().over(W.partitionBy("grp").orderBy(F.asc(col)))
+        t = F.count(F.lit(1)).over(W.partitionBy("grp", col))
+        return (2 * r + t - 1).cast("long")
+
+    ranked = li.select(
+        "grp",
+        n.alias("n"),
+        _drank("q_qty").alias("r_qty"),
+        _drank("q_prc").alias("r_prc"),
+        _drank("q_dsc").alias("r_dsc"),
+        _drank("q_tax").alias("r_tax"),
+    )
+    pair_structs = [
+        F.struct(
+            F.lit(name).alias("pair"),
+            (F.col(cx) - (F.col("n") + 1)).alias("dx"),
+            (F.col(cy) - (F.col("n") + 1)).alias("dy"),
+        )
+        for name, cx, cy in (
+            ("qty_vs_price", "r_qty", "r_prc"),
+            ("disc_vs_tax", "r_dsc", "r_tax"),
+        )
+    ]
+    pairs = ranked.select(
+        "grp", "n", F.explode(F.array(*pair_structs)).alias("e")
+    ).select("grp", F.col("e.pair").alias("pair"), "n", "e.dx", "e.dy")
+    m = pairs.groupBy("grp", "pair").agg(
+        F.any_value(F.col("n")).alias("n"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    rho = F.when(
+        (F.col("sxx") == 0) | (F.col("syy") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("sxy").cast("double")
+        / F.sqrt(F.col("sxx").cast("double") * F.col("syy").cast("double"))
+    )
+    return m.select(
+        F.col("grp").alias("l_returnflag"),
+        "pair",
+        "n",
+        "sxy",
+        "sxx",
+        "syy",
+        rho.alias("spearman_rho"),
+    )

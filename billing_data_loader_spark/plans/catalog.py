@@ -140,6 +140,9 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "ext_er_blocking_audit",
         "ext_bootstrap_ci_mean",
         "ext_code_switch_detect",
+        "ext_mrr_eval",
+        "ext_lift_gain",
+        "prof_spearman_corr",
     }
 )
 

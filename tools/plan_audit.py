@@ -671,6 +671,12 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "64-row replicate rank window + 1-row CI/point folds (the "
             "replicate frame is fixed-size at any corpus scale)"
         ),
+        "ext_lift_gain": (
+            "global rank window over the classifier score order (decile "
+            "assignment) + 10-row cumulative/total folds; 100 TB swap is "
+            "the two-pass bucketed rank (range-partition by score + "
+            "broadcast offsets — the ext_auc_rank stance)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
