@@ -899,3 +899,187 @@ def ext_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# --- ext_gopher_rules -----------------------------------------------------------
+
+#: The audited rule set (the Gopher/MassiveText quality heuristics,
+#: Rae et al. 2021, re-expressed as pure integer decisions): word-count
+#: bounds, mean-word-length band, duplicate-bigram ceiling, top-token
+#: concentration ceiling, distinct-token floor.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+
+_GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+map_stats AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(length(text) - (len(t) - 1) AS BIGINT) AS n_chars,
+         CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+         CAST(length(list_distinct(
+           list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1]))) AS BIGINT)
+           AS n_distinct_bigrams,
+         CAST(length(list_distinct(t)) AS BIGINT) AS n_distinct
+  FROM base
+),
+top_tok AS (
+  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_cnt FROM (
+    SELECT doc_id, COUNT(*) AS cnt FROM (
+      SELECT doc_id, unnest(t) AS token FROM base
+    ) GROUP BY doc_id, token
+  ) GROUP BY doc_id
+),
+flags AS (
+  SELECT m.doc_id, m.n_words, m.n_chars, m.n_bigrams,
+         m.n_bigrams - m.n_distinct_bigrams AS n_dup_bigrams,
+         m.n_distinct, tt.top_cnt,
+         (m.n_words >= {_GOPHER_MIN_WORDS}
+          AND m.n_words <= {_GOPHER_MAX_WORDS}) AS r_word_count,
+         (3 * m.n_words <= m.n_chars
+          AND m.n_chars <= 10 * m.n_words) AS r_mean_word_len,
+         (5 * (m.n_bigrams - m.n_distinct_bigrams)
+            < GREATEST(m.n_bigrams, 1)) AS r_dup_bigram,
+         (5 * tt.top_cnt < m.n_words) AS r_top_token,
+         (10 * m.n_distinct >= 3 * m.n_words) AS r_distinct_ratio
+  FROM map_stats m JOIN top_tok tt ON m.doc_id = tt.doc_id
+)
+SELECT doc_id, n_words, n_chars, n_dup_bigrams, n_distinct, top_cnt,
+       CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS mean_word_len,
+       CAST(n_dup_bigrams AS DOUBLE)
+         / CAST(GREATEST(n_bigrams, 1) AS DOUBLE) AS dup_bigram_frac,
+       CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS top_token_frac,
+       CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+         AS distinct_ratio,
+       r_word_count, r_mean_word_len, r_dup_bigram, r_top_token,
+       r_distinct_ratio,
+       (r_word_count AND r_mean_word_len AND r_dup_bigram
+        AND r_top_token AND r_distinct_ratio) AS pass_all,
+       CAST(5 - (CAST(r_word_count AS INTEGER)
+                 + CAST(r_mean_word_len AS INTEGER)
+                 + CAST(r_dup_bigram AS INTEGER)
+                 + CAST(r_top_token AS INTEGER)
+                 + CAST(r_distinct_ratio AS INTEGER)) AS BIGINT)
+         AS n_rules_failed
+FROM flags
+"""
+
+
+@query("ext_gopher_rules", oracle=_GOPHER_ORACLE, tier=3)
+def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText rule-set audit per document (Rae et al.
+    2021's published pretraining filters, the bundle behind C4/RefinedWeb
+    -style curation): word-count bounds [50, 100k], mean word length in
+    [3, 10], duplicate-bigram fraction < 20% (the ext_repetition_score
+    signal, here as a gate), top-token concentration < 20%, and
+    distinct-token ratio >= 30% — each emitted as its own flag PLUS the
+    composite, so a filter owner reads WHICH rule kills a document, not
+    just that something did. Complements ext_quality_score (a blended
+    score) with hard named gates.
+
+    Exactness: every rule is a pure integer inequality (5*dup <
+    n_bigrams, not dup/n < 0.2 — no float thresholds anywhere); the
+    reported fractions are one IEEE division each over exact counts.
+
+    Shape: the map-side frame (word/char/bigram/distinct counts from
+    the split array, whole-stage codegen) joins the one explode ->
+    (doc, token) counting aggregate that yields the top-token count —
+    both keyed on doc_id, so the only data-sized exchange is the
+    doc-keyed token shuffle every text operator pays. At 100 TB both
+    sides partition by doc_id and the join co-locates."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", F.split("text", " ").alias("t"))
+    nw = F.size("t").cast("long")
+    m = base.select(
+        "doc_id",
+        nw.alias("n_words"),
+        (F.length("text") - (nw - 1)).cast("long").alias("n_chars"),
+        (nw - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(F.expr(_BIGRAMS_FROM_T)))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+    )
+    tt = (
+        base.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("top_cnt"))
+    )
+    f = m.join(tt, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).alias(
+            "n_dup_bigrams"
+        ),
+        "n_distinct",
+        "top_cnt",
+        "n_bigrams",
+        (
+            (F.col("n_words") >= _GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= _GOPHER_MAX_WORDS)
+        ).alias("r_word_count"),
+        (
+            (3 * F.col("n_words") <= F.col("n_chars"))
+            & (F.col("n_chars") <= 10 * F.col("n_words"))
+        ).alias("r_mean_word_len"),
+        (
+            5 * (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+            < F.greatest(F.col("n_bigrams"), F.lit(1))
+        ).alias("r_dup_bigram"),
+        (5 * F.col("top_cnt") < F.col("n_words")).alias("r_top_token"),
+        (10 * F.col("n_distinct") >= 3 * F.col("n_words")).alias(
+            "r_distinct_ratio"
+        ),
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_dup_bigrams",
+        "n_distinct",
+        "top_cnt",
+        (F.col("n_chars").cast("double") / F.col("n_words").cast("double"))
+        .alias("mean_word_len"),
+        (
+            F.col("n_dup_bigrams").cast("double")
+            / F.greatest(F.col("n_bigrams"), F.lit(1)).cast("double")
+        ).alias("dup_bigram_frac"),
+        (F.col("top_cnt").cast("double") / F.col("n_words").cast("double"))
+        .alias("top_token_frac"),
+        (
+            F.col("n_distinct").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("distinct_ratio"),
+        "r_word_count",
+        "r_mean_word_len",
+        "r_dup_bigram",
+        "r_top_token",
+        "r_distinct_ratio",
+        (
+            F.col("r_word_count")
+            & F.col("r_mean_word_len")
+            & F.col("r_dup_bigram")
+            & F.col("r_top_token")
+            & F.col("r_distinct_ratio")
+        ).alias("pass_all"),
+        (
+            F.lit(5)
+            - (
+                F.col("r_word_count").cast("int")
+                + F.col("r_mean_word_len").cast("int")
+                + F.col("r_dup_bigram").cast("int")
+                + F.col("r_top_token").cast("int")
+                + F.col("r_distinct_ratio").cast("int")
+            )
+        )
+        .cast("long")
+        .alias("n_rules_failed"),
+    )

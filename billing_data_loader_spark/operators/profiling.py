@@ -1893,3 +1893,190 @@ def prof_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syy",
         rho.alias("spearman_rho"),
     )
+
+
+# --- ext_hll_error_sweep --------------------------------------------------------
+
+#: Register-count sweep: p bits of the 60-bit md5 hash index m = 2^p
+#: registers; the remaining W = 60 - p bits feed the leading-zero rank.
+_HLL_PS = (4, 6, 8)
+
+#: Standard HyperLogLog bias constants alpha_m (Flajolet et al. 2007).
+_HLL_ALPHA = {16: 0.673, 64: 0.709, 256: 0.7213 / (1 + 1.079 / 256)}
+
+
+def _hll_term_case(p: int, tail: str) -> str:
+    """Shared-text CASE mapping the W-bit tail directly to the SCALED
+    register term 2^(K - rho) (K = W + 1): rho = leading-zero count + 1,
+    and because a larger rho means a smaller term, MIN(term) over a
+    register is exactly 2^(K - MAX(rho)) — one chain, no second
+    power-of-two decode, all exact integers."""
+    w = 60 - p
+    branches = " ".join(
+        f"WHEN {tail} >= {1 << (w - r)} THEN {1 << (w + 1 - r)}"
+        for r in range(1, w + 1)
+    )
+    return f"CASE {branches} ELSE 1 END"
+
+
+def _hll_oracle() -> str:
+    per_p = []
+    for p in _HLL_PS:
+        w = 60 - p
+        m = 1 << p
+        k = w + 1
+        c = _HLL_ALPHA[m] * m * m * (1 << k)
+        per_p.append(f"""
+  SELECT grp, {p} AS p, CAST({m} AS BIGINT) AS m,
+         CAST({1 << k} AS BIGINT) AS empty_term,
+         CAST({c!r} AS DOUBLE) AS est_num,
+         h // {1 << w} AS idx,
+         {_hll_term_case(p, f"(h % {1 << w})")} AS term
+  FROM hashed""")
+    stacked = "\n  UNION ALL".join(per_p)
+    return f"""
+WITH base AS (
+  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS ck FROM orders
+),
+hashed AS (
+  SELECT grp,
+         ('0x' || substr(md5(CAST(ck AS VARCHAR) || '#hll'), 1, 15))::BIGINT
+           AS h
+  FROM base
+),
+stacked AS ({stacked}
+),
+reg AS (
+  SELECT grp, p, m, empty_term, est_num, idx,
+         MIN(term) AS reg_term
+  FROM stacked GROUP BY grp, p, m, empty_term, est_num, idx
+),
+per AS (
+  SELECT grp, p, m, est_num,
+         CAST(COUNT(*) AS BIGINT) AS n_used,
+         CAST(SUM(reg_term) + (m - COUNT(*)) * ANY_VALUE(empty_term)
+              AS BIGINT) AS s_scaled
+  FROM reg GROUP BY grp, p, m, est_num
+),
+exact AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_exact FROM base GROUP BY grp
+)
+SELECT per.grp AS o_orderpriority, CAST(per.p AS BIGINT) AS p, per.m,
+       per.n_used, per.m - per.n_used AS n_zero_registers, per.s_scaled,
+       e.n_exact,
+       per.est_num / CAST(per.s_scaled AS DOUBLE) AS est,
+       (per.est_num / CAST(per.s_scaled AS DOUBLE)
+          - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE)
+         AS rel_err,
+       (per.est_num / CAST(per.s_scaled AS DOUBLE)
+          <= 2.5 * CAST(per.m AS DOUBLE)) AS small_range_flag
+FROM per JOIN exact e ON per.grp = e.grp
+"""
+
+
+_HLL_ORACLE = _hll_oracle()
+
+
+@query("ext_hll_error_sweep", oracle=_HLL_ORACLE, tier=3)
+def ext_hll_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog accuracy sweep: estimate distinct customers per
+    order-priority with a MANUAL (shared-hash) HLL at m = 16/64/256
+    registers and report each estimate against the exact count — the
+    sizing table an engineer reads before wiring approx_count_distinct
+    into a 100 TB rollup (expected error 1.04/sqrt(m): ~26% / 13% /
+    6.5%), the ext_minhash_est_error stance applied to the cardinality
+    sketch family (agg_approx_distinct / agg_hll_partitioned_merge ship
+    the production path; this key audits the estimator itself, so both
+    engines must compute the identical sketch — md5, not xxhash64).
+
+    Exactness: the 60-bit md5 hash splits into p index bits and a
+    W-bit tail; the tail maps to the SCALED register term 2^(K - rho)
+    through one Python-generated integer CASE chain shared by both
+    engine texts (MIN(term) == 2^(K - MAX(rho)) — no transcendental
+    anywhere, the raw-estimator path only); the harmonic denominator is
+    an exact BIGINT sum (max m * 2^K = 2^61); the estimate is ONE IEEE
+    division by a Python-baked constant literal; the small-range
+    regime (where ln-based linear counting would apply) is FLAGGED,
+    not applied — keeping the surface libm-free (group cardinalities
+    here sit above 2.5m for every swept m, pinned in the replay test).
+
+    Shape: one distinct on (priority, custkey) — the same exchange the
+    exact count pays — then a map-side 3-way register stack (explode of
+    3 structs per row) into ONE (grp, p, idx) aggregate whose output is
+    m-bounded (336 register rows max at any scale), a model-sized
+    rollup, and a broadcast join of the 5-row exact frame. At 100 TB
+    registers partial-aggregate map-side exactly like production HLL."""
+    o = load(spark, sf_dir, "orders")
+    base = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .distinct()
+    )
+    from ..session import scoped_persist
+
+    base = scoped_persist(base)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("ck").cast("string"), F.lit("#hll"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = base.select("grp", h.alias("h"))
+    structs = []
+    for p in _HLL_PS:
+        w = 60 - p
+        m = 1 << p
+        k = w + 1
+        c = _HLL_ALPHA[m] * m * m * (1 << k)
+        structs.append(
+            F.struct(
+                F.lit(p).cast("long").alias("p"),
+                F.lit(m).cast("long").alias("m"),
+                F.lit(1 << k).cast("long").alias("empty_term"),
+                F.lit(c).cast("double").alias("est_num"),
+                F.expr(f"h DIV {1 << w}").alias("idx"),
+                F.expr(_hll_term_case(p, f"(h % {1 << w})")).alias(
+                    "term"
+                ),
+            )
+        )
+    stacked = hashed.select(
+        "grp", F.explode(F.array(*structs)).alias("e")
+    ).select("grp", "e.p", "e.m", "e.empty_term", "e.est_num", "e.idx", "e.term")
+    reg = stacked.groupBy("grp", "p", "m", "empty_term", "est_num", "idx").agg(
+        F.min("term").alias("reg_term")
+    )
+    per = reg.groupBy("grp", "p", "m", "est_num").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        (
+            F.sum("reg_term")
+            + (F.col("m") - F.count(F.lit(1)))
+            * F.any_value(F.col("empty_term"))
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    exact = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.col("est_num") / F.col("s_scaled").cast("double")
+    return per.join(F.broadcast(exact), "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "p",
+        "m",
+        "n_used",
+        (F.col("m") - F.col("n_used")).alias("n_zero_registers"),
+        "s_scaled",
+        "n_exact",
+        est.alias("est"),
+        (
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+        (est <= 2.5 * F.col("m").cast("double")).alias(
+            "small_range_flag"
+        ),
+    )

@@ -2111,3 +2111,160 @@ def ext_code_switch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("foreign_frac"),
         (5 * F.sum("frgn") >= F.count(F.lit(1))).alias("mixed_flag"),
     )
+
+
+# --- ext_winnowing_fingerprint --------------------------------------------------
+
+#: Winnowing window: each run of _WINNOW_W consecutive k-gram hashes
+#: contributes its (rightmost) minimum — guarantees any shared run of
+#: k + _WINNOW_W - 1 tokens between two documents shares a fingerprint
+#: (the MOSS detection guarantee).
+_WINNOW_W = 4
+
+#: Position packing: combined = hash * 2^20 + (2^20 - 1 - pos), so ONE
+#: integer MIN per window yields (min hash, rightmost position) — the
+#: tie rule of robust winnowing — and both decode exactly.
+_WINNOW_POS_M = 1 << 20
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         CAST(len(t) - 2 AS BIGINT) AS m,
+         CAST(i AS BIGINT) AS p,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT doc_id, m, p,
+         list_reduce(list_transform(string_split(sh, ''),
+                                    c -> CAST(ascii(c) AS BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS h
+  FROM pos
+),
+packed AS (
+  SELECT doc_id, m, p,
+         h * {_WINNOW_POS_M} + ({_WINNOW_POS_M} - 1 - p) AS comb
+  FROM hashed
+),
+wins AS (
+  SELECT doc_id, m, p,
+         MIN(comb) OVER (PARTITION BY doc_id ORDER BY p ASC
+                         ROWS BETWEEN CURRENT ROW
+                         AND {_WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM packed
+),
+sel AS (
+  SELECT DISTINCT doc_id, m,
+         wmin // {_WINNOW_POS_M} AS fp,
+         {_WINNOW_POS_M} - 1 - (wmin % {_WINNOW_POS_M}) AS sel_p
+  FROM wins WHERE p <= m - {_WINNOW_W - 1}
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(m) AS BIGINT) AS n_grams,
+       CAST(ANY_VALUE(m) - {_WINNOW_W - 1} AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       CAST(MIN(fp) AS BIGINT) AS min_fp,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(ANY_VALUE(m) - {_WINNOW_W - 1} AS DOUBLE) AS density
+FROM sel
+GROUP BY doc_id
+"""
+
+
+@query("ext_winnowing_fingerprint", oracle=_WINNOW_ORACLE, tier=3)
+def ext_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (the MOSS fingerprint selection, Schleimer/
+    Wilkerson/Aiken): slide a w=4 window over each document's ORDERED
+    3-token-shingle hash sequence and keep the (rightmost) minimum of
+    every window — the position-aware complement to
+    ext_doc_fingerprint's min-k sketch. Winnowing's guarantee is what a
+    plagiarism / near-dup LOCALIZER needs: any shared run of
+    k + w - 1 = 6 tokens between two documents is certain to share a
+    selected fingerprint, while the min-k sketch can miss local overlap
+    entirely on long documents. Emits the per-doc selection audit
+    (selected count, distinct fingerprints, density vs the 2/(w+1)
+    theoretical rate).
+
+    Exactness: the shingle hash is the shared polynomial rolling hash
+    (ext_doc_fingerprint's); the window minimum runs on the PACKED
+    integer hash*2^20 + (2^20-1-pos) so one MIN yields both the minimal
+    hash and its rightmost position exactly; counts exact; density one
+    IEEE division.
+
+    Shape: scan -> posexplode of the shingle array -> per-row hash
+    (whole-stage codegen, the doc_fingerprint path) -> ONE doc-keyed
+    running-min window (co-partitioned with the doc key, frame bounded
+    by w) -> distinct + ONE doc-keyed aggregate. The only data-sized
+    exchange is the doc-keyed shuffle every text operator pays; at
+    100 TB nothing is corpus-global — selection is per-document and
+    embarrassingly parallel."""
+    from ..session import widen_scan
+    from .llm_pipeline import _SHINGLES_FROM_T
+
+    d = widen_scan(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        (F.size("t") - 2).cast("long").alias("m"),
+        F.posexplode(F.expr(_SHINGLES_FROM_T)).alias("pos0", "sh"),
+    ).select(
+        "doc_id", "m", (F.col("pos0") + 1).cast("long").alias("p"), "sh"
+    )
+    codes = sh.select(
+        "doc_id",
+        "m",
+        "p",
+        F.expr(
+            "transform(split(sh, ''), c -> CAST(ascii(c) AS BIGINT))"
+        ).alias("cs"),
+    )
+    h = F.expr(
+        "aggregate(slice(cs, 2, size(cs) - 1), cs[0], "
+        "(a, b) -> (a * 31 + b) % 2147483647)"
+    )
+    packed = codes.select(
+        "doc_id",
+        "m",
+        "p",
+        (
+            h * F.lit(_WINNOW_POS_M)
+            + (F.lit(_WINNOW_POS_M - 1) - F.col("p"))
+        ).alias("comb"),
+    )
+    wmin = F.min("comb").over(
+        W.partitionBy("doc_id").orderBy(F.asc("p")).rowsBetween(
+            0, _WINNOW_W - 1
+        )
+    )
+    sel = (
+        packed.select("doc_id", "m", "p", wmin.alias("wmin"))
+        .filter(F.col("p") <= F.col("m") - (_WINNOW_W - 1))
+        .select(
+            "doc_id",
+            "m",
+            F.expr(f"wmin DIV {_WINNOW_POS_M}").alias("fp"),
+            (
+                F.lit(_WINNOW_POS_M - 1)
+                - (F.col("wmin") % F.lit(_WINNOW_POS_M))
+            ).alias("sel_p"),
+        )
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.any_value(F.col("m")).alias("n_grams"),
+        (F.any_value(F.col("m")) - (_WINNOW_W - 1)).alias("n_windows"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        F.min("fp").alias("min_fp"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / (F.any_value(F.col("m")) - (_WINNOW_W - 1)).cast("double")
+        ).alias("density"),
+    )

@@ -143,6 +143,9 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "ext_mrr_eval",
         "ext_lift_gain",
         "prof_spearman_corr",
+        "ext_winnowing_fingerprint",
+        "ext_gopher_rules",
+        "ext_hll_error_sweep",
     }
 )
 
