@@ -840,3 +840,108 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# --- agg_higher_moments ---------------------------------------------------------
+
+#: Shared-text power-sum -> standardized-moment chain. Values quantize
+#: to DECI-units (floor(v*10 + 0.5)): the per-row 4th power must stay
+#: inside BIGINT, which bounds the grid at q <= 55108 — deci-units
+#: carry values to 5510 units (fixture max 560), cents would overflow
+#: at 551. Sums accumulate as DECIMAL(38,0) (never overflow); every
+#: division/multiplication after the exact sums is one shared-text IEEE
+#: chain, so both engines emit identical doubles.
+_MOM_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_MOM_M2 = f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_MOM_MEAN} * {_MOM_MEAN})"
+_MOM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 3e0 * {_MOM_MEAN} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 2e0 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+_MOM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" - 4e0 * {_MOM_MEAN} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" + 6e0 * {_MOM_MEAN} * {_MOM_MEAN}"
+    f" * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" - 3e0 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+
+_MOM_ORACLE = f"""
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(value * 1e1 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qv
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(qv AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(qv * qv AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(qv * qv * qv AS DECIMAL(38,0))) AS s3,
+         SUM(CAST(qv * qv * qv * qv AS DECIMAL(38,0))) AS s4
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n,
+       {_MOM_MEAN} AS mean_deci,
+       {_MOM_M2} AS var_deci2,
+       CASE WHEN {_MOM_M2} <= 0e0 THEN CAST(0 AS DOUBLE)
+            ELSE {_MOM_M3} / ({_MOM_M2} * sqrt({_MOM_M2}))
+       END AS skewness,
+       CASE WHEN {_MOM_M2} <= 0e0 THEN CAST(0 AS DOUBLE)
+            ELSE {_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3e0
+       END AS kurtosis_excess
+FROM s
+"""
+
+
+@query("agg_higher_moments", oracle=_MOM_ORACLE, tier=2)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per event type from exact quantized
+    power sums — the higher-moment extension of agg_stats (which stops
+    at variance/correlation): a billing-events profile where skewness
+    reads revenue concentration (a few large purchases vs many small)
+    and kurtosis reads tail risk, the two numbers an anomaly-threshold
+    owner needs before trusting z-score rules (ts_anomaly_mad's MAD
+    exists precisely because these are high on real feeds).
+
+    Exactness: values floor-quantize to DECI-units (the grid bound that
+    keeps the per-row 4th power inside BIGINT up to 5510 units —
+    documented; cents would overflow at 551); the four power sums
+    accumulate as DECIMAL(38,0) (exact at any corpus size); every
+    post-sum step is the SAME f-string expression text evaluated by
+    both engines — correctly-rounded IEEE casts, divisions, and one
+    sqrt — so the emitted doubles are bit-identical; zero-variance
+    groups emit 0 by an explicit guard.
+
+    Shape: one scan -> ONE group-by with map-side partial decimal sums
+    (the agg_stats plan; 5 output rows); nothing else. At 100 TB this
+    is the canonical single-shuffle moment profile."""
+    q = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(floor(value * 1e1 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("qv"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(qv AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(qv * qv AS DECIMAL(38,0))")).alias("s2"),
+        F.sum(F.expr("CAST(qv * qv * qv AS DECIMAL(38,0))")).alias("s3"),
+        F.sum(F.expr("CAST(qv * qv * qv * qv AS DECIMAL(38,0))")).alias(
+            "s4"
+        ),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr(_MOM_MEAN).alias("mean_deci"),
+        F.expr(_MOM_M2).alias("var_deci2"),
+        F.expr(
+            f"CASE WHEN {_MOM_M2} <= 0e0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE {_MOM_M3} / ({_MOM_M2} * sqrt({_MOM_M2})) END"
+        ).alias("skewness"),
+        F.expr(
+            f"CASE WHEN {_MOM_M2} <= 0e0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE {_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3e0 END"
+        ).alias("kurtosis_excess"),
+    )

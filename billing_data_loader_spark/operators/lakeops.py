@@ -947,3 +947,193 @@ def ext_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("layout"))
         .alias("layout_rows_skipped"),
     )
+
+
+# --- ext_hilbert_layout ---------------------------------------------------------
+
+#: Grid size per dimension (2^_Z_BITS, shared with the z-order key so
+#: the two layouts bin identically and compare head-to-head).
+_H_N = 1 << _Z_BITS
+
+
+def _hilbert_rxry_sql(s: int, idiv: str = "DIV") -> tuple[str, str]:
+    """Level-s bit tests, portable integer arithmetic (x, y < 256).
+    ``idiv`` is the one-token integer-division dialect divergence:
+    Spark spells it DIV, DuckDB // — identical semantics on
+    non-negative BIGINTs."""
+    return (f"(x {idiv} {s}) % 2", f"(y {idiv} {s}) % 2")
+
+
+def _hilbert_step_sql(s: int) -> dict[str, str]:
+    """One unrolled level of the standard xy->d walk (Wikipedia's
+    xy2d/rot): quadrant digit (3*rx) XOR ry expressed arithmetically as
+    ry + 3*rx - 2*rx*ry (exact on 0/1 operands), reflection against the
+    FULL grid (n-1 = 255, per rot()), swap when ry = 0."""
+    return {
+        "d": f"d + {s * s} * (ry + 3 * rx - 2 * rx * ry)",
+        "x": (
+            f"CASE WHEN ry = 1 THEN x "
+            f"WHEN rx = 1 THEN {_H_N - 1} - y ELSE y END"
+        ),
+        "y": (
+            f"CASE WHEN ry = 1 THEN y "
+            f"WHEN rx = 1 THEN {_H_N - 1} - x ELSE x END"
+        ),
+    }
+
+
+def _hilbert_levels() -> list[int]:
+    return [1 << i for i in range(_Z_BITS - 1, -1, -1)]
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        """
+lv0 AS MATERIALIZED (
+  SELECT o_orderkey, ck, day, o_totalprice,
+         xbin AS x, ybin AS y, 0 AS d
+  FROM binned
+)"""
+    ]
+    prev = "lv0"
+    for i, s in enumerate(_hilbert_levels(), start=1):
+        rx, ry = _hilbert_rxry_sql(s, idiv="//")
+        step = _hilbert_step_sql(s)
+        ctes.append(f"""
+lv{i} AS MATERIALIZED (
+  SELECT o_orderkey, ck, day, o_totalprice,
+         {step['x'].replace('rx', f'({rx})').replace('ry', f'({ry})')} AS x,
+         {step['y'].replace('rx', f'({rx})').replace('ry', f'({ry})')} AS y,
+         {step['d'].replace('rx', f'({rx})').replace('ry', f'({ry})')} AS d
+  FROM {prev}
+)""")
+        prev = f"lv{i}"
+    chain = ",".join(ctes)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey AS ck, o_totalprice,
+         datediff('day', DATE '{_Z_EPOCH}', o_orderdate) AS day
+  FROM orders
+),
+ext AS (
+  SELECT MIN(ck) AS mn_ck, MAX(ck) AS mx_ck,
+         MIN(day) AS mn_d, MAX(day) AS mx_d
+  FROM base
+),
+binned AS (
+  SELECT o_orderkey, ck, day, o_totalprice,
+         ((ck - mn_ck) * 256) // (mx_ck - mn_ck + 1) AS xbin,
+         ((day - mn_d) * 256) // (mx_d - mn_d + 1) AS ybin
+  FROM base, ext
+),{chain}
+SELECT d >> {_Z_FILES_SHIFT} AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+       MIN(day) AS min_day, MAX(day) AS max_day,
+       {o_dsum("o_totalprice", "sum_price")},
+       (MIN(day) <= datediff('day', DATE '{_Z_EPOCH}', DATE '{_Z_BOX_HI}')
+        AND MAX(day) >= datediff('day', DATE '{_Z_EPOCH}', DATE '{_Z_BOX_LO}'))
+         AS hits_date_box
+FROM {prev}
+GROUP BY d >> {_Z_FILES_SHIFT}
+"""
+
+
+_HILBERT_ORACLE = _hilbert_oracle()
+
+
+def _hilbert_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(row -> Hilbert file_id) assignment, factored for the pruning pin."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff("o_orderdate", F.lit(_Z_EPOCH)).alias("day"),
+        "o_totalprice",
+    )
+    ext = base.agg(
+        F.min("ck").alias("mn_ck"),
+        F.max("ck").alias("mx_ck"),
+        F.min("day").alias("mn_d"),
+        F.max("day").alias("mx_d"),
+    )
+    cur = base.crossJoin(F.broadcast(ext)).select(
+        "ck",
+        "day",
+        "o_totalprice",
+        F.expr("((ck - mn_ck) * 256) DIV (mx_ck - mn_ck + 1)").alias("x"),
+        F.expr("((day - mn_d) * 256) DIV (mx_d - mn_d + 1)").alias("y"),
+        F.lit(0).alias("d"),
+    )
+    for s in _hilbert_levels():
+        rx, ry = _hilbert_rxry_sql(s)
+        step = _hilbert_step_sql(s)
+        # two selects per level: rx/ry bind as real columns first, so
+        # the CASE reflections reference attributes (no Catalyst
+        # projection-collapse re-expansion of the arithmetic)
+        cur = cur.selectExpr(
+            "ck",
+            "day",
+            "o_totalprice",
+            "x",
+            "y",
+            "d",
+            f"{rx} AS rx",
+            f"{ry} AS ry",
+        ).selectExpr(
+            "ck",
+            "day",
+            "o_totalprice",
+            f"{step['x']} AS x",
+            f"{step['y']} AS y",
+            f"{step['d']} AS d",
+        )
+    return cur.select(
+        "ck",
+        "day",
+        "o_totalprice",
+        F.expr(f"d >> {_Z_FILES_SHIFT}").alias("file_id"),
+    )
+
+
+@query("ext_hilbert_layout", oracle=_HILBERT_ORACLE, tier=3)
+def ext_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve multi-dimensional clustering + the min/max skipping
+    index it yields — the successor layout to ext_zorder_layout's
+    Morton interleave (what Delta Lake's liquid clustering and modern
+    OPTIMIZE implementations moved to): the Hilbert walk visits every
+    cell of the 256x256 (custkey, day) grid through ADJACENT cells
+    only, so consecutive d-ranges tile into compact squarish regions
+    with no Morton "seam jumps" — per-file bounding boxes are tighter
+    on average at the same file count, which is exactly what min/max
+    pruning buys from. Same binning, same top-byte file split, same
+    skipping-index output schema as the z-order key, so the two layouts
+    compare head-to-head row for row.
+
+    Exactness: the xy->d walk is the standard 8-level unroll (quadrant
+    digit (3*rx) XOR ry written arithmetically as ry + 3*rx - 2*rx*ry,
+    exact on 0/1; reflection 255-x; swap when ry=0) in PURE integer
+    arithmetic, with identical Python-generated level text driving both
+    engines; money sums floor-quantized (dsum/o_dsum).
+
+    Shape: scan -> 1-row global min/max fold (broadcast back — the
+    z-order EXPECTED_FLAGS justification) -> 8 chained map-side integer
+    projections (rx/ry bind as columns per level so Catalyst keeps the
+    chain linear — the r10 projection-reference lesson) -> one
+    groupBy(file_id) with map-side combine. No global sort, no window;
+    at 100 TB the physical rewrite is repartitionByRange(d) +
+    sortWithinPartitions(d) before the write, identical to the z-order
+    key's documented swap."""
+    zed = _hilbert_files(spark, sf_dir)
+    lo = F.datediff(F.lit(_Z_BOX_LO), F.lit(_Z_EPOCH))
+    hi = F.datediff(F.lit(_Z_BOX_HI), F.lit(_Z_EPOCH))
+    return zed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ck").alias("min_ck"),
+        F.max("ck").alias("max_ck"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        dsum("o_totalprice", "sum_price"),
+        ((F.min("day") <= hi) & (F.max("day") >= lo)).alias(
+            "hits_date_box"
+        ),
+    )

@@ -146,6 +146,10 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "ext_winnowing_fingerprint",
         "ext_gopher_rules",
         "ext_hll_error_sweep",
+        "ext_woe_iv",
+        "ext_feature_hash_cross",
+        "ext_hilbert_layout",
+        "agg_higher_moments",
     }
 )
 

@@ -677,6 +677,18 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "the two-pass bucketed rank (range-partition by score + "
             "broadcast offsets — the ext_auc_rank stance)"
         ),
+        "ext_woe_iv": (
+            "1-row corpus-horizon fold + O(categories) per-feature "
+            "marginal/IV window folds (<= 30 rows at any corpus scale)"
+        ),
+        "ext_feature_hash_cross": (
+            "O(buckets) load-fraction window fold (64 rows at any "
+            "corpus scale)"
+        ),
+        "ext_hilbert_layout": (
+            "1-row global min/max bin-extent fold broadcast back (the "
+            "ext_zorder_layout justification; O(tasks) partials)"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
@@ -818,6 +830,12 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_tfidf": "1-row broadcast n_docs frame (IDF denominator)",
         "ext_zorder_layout": (
             "1-row broadcast global min/max extents fold (the bin scale)"
+        ),
+        "ext_hilbert_layout": (
+            "1-row broadcast global min/max extents fold (the bin scale)"
+        ),
+        "ext_woe_iv": (
+            "1-row broadcast corpus-horizon fold onto the cust frame"
         ),
         "prof_psi_drift": (
             "1-row broadcast folds: combined-range extents + the two "
