@@ -1353,3 +1353,112 @@ def ext_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med_lat_us",
         "max_lat_us",
     )
+
+
+# --- bill_tier_migration --------------------------------------------------------
+
+#: Monthly-spend tier edges in exact cents (fixture monthly quartiles
+#: sit at ~13M / 26M / 39M cents, so S/M/L splits the base near thirds).
+_TIER_MID = 20_000_000
+_TIER_HIGH = 40_000_000
+
+_TIER_CASE = (
+    f"CASE WHEN cents < {_TIER_MID} THEN 'S' "
+    f"WHEN cents < {_TIER_HIGH} THEN 'M' ELSE 'L' END"
+)
+
+_TIER_ORACLE = f"""
+WITH cm AS (
+  SELECT o_custkey AS cust,
+         YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1 AS mi,
+         CAST(SUM(CAST(floor(o_totalprice * 1e2 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+tiered AS (
+  SELECT cust, mi, cents, {_TIER_CASE} AS tier FROM cm
+),
+trans AS (
+  SELECT cust, mi, tier AS to_tier,
+         CASE WHEN LAG(mi) OVER w = mi - 1 THEN LAG(tier) OVER w
+              ELSE 'NEW' END AS from_tier
+  FROM tiered
+  WINDOW w AS (PARTITION BY cust ORDER BY mi ASC)
+),
+g AS (
+  SELECT from_tier, to_tier, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM trans GROUP BY from_tier, to_tier
+)
+SELECT from_tier, to_tier, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_tier)
+                AS DOUBLE) AS row_share
+FROM g
+"""
+
+
+@query("bill_tier_migration", oracle=_TIER_ORACLE, tier=2)
+def bill_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month spend-tier transition matrix (S < 200k, M <
+    400k, L >= 400k currency units of monthly billed volume): every
+    consecutive active month-pair books one (from_tier -> to_tier)
+    transition, a month after a gap (or a customer's first month)
+    books from the NEW pseudo-state — the plan-migration view a
+    pricing/retention team reads that bill_mrr_waterfall's
+    dollar-bridge aggregates away: the waterfall says HOW MUCH
+    expansion revenue booked, this says HOW MANY customers crossed
+    which tier boundary, and the row-share column is the empirical
+    transition probability a Markov LTV model consumes directly.
+
+    Exactness: month totals are exact cent integers (the shared floor
+    quantizer); tier membership and gap detection are integer
+    decisions on exact cents and month indexes (year*12+month-1, the
+    win_yoy_growth convention); the row share is one IEEE division of
+    exact counts.
+
+    Shape: one (customer, month) aggregate collapses the fact table
+    (the only data-sized shuffle — the bill_mrr_waterfall plan), a
+    per-customer LAG window on the REDUCED frame (co-partitioned on
+    the customer key), then ONE tier-pair aggregate whose output is
+    bounded by the 4x3 state grid, with an O(grid) window fold. At
+    100 TB both exchanges key on the customer."""
+    o = load(spark, sf_dir, "orders")
+    cm = (
+        o.select(
+            F.col("o_custkey").alias("cust"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .alias("mi"),
+            quantize_long("o_totalprice", 2).alias("c0"),
+        )
+        .groupBy("cust", "mi")
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    tiered = cm.select(
+        "cust", "mi", "cents", F.expr(_TIER_CASE).alias("tier")
+    )
+    wc = W.partitionBy("cust").orderBy(F.asc("mi"))
+    trans = tiered.select(
+        "cust",
+        "mi",
+        F.col("tier").alias("to_tier"),
+        F.when(
+            F.lag("mi").over(wc) == F.col("mi") - 1,
+            F.lag("tier").over(wc),
+        )
+        .otherwise(F.lit("NEW"))
+        .alias("from_tier"),
+    )
+    g = trans.groupBy("from_tier", "to_tier").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    return g.select(
+        "from_tier",
+        "to_tier",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions")
+            .over(W.partitionBy("from_tier"))
+            .cast("double")
+        ).alias("row_share"),
+    )

@@ -1472,3 +1472,113 @@ def ts_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total").cast("double")
         ).alias("uniform_lift"),
     )
+
+
+# --- ts_peak_detect -------------------------------------------------------------
+
+#: Peak neighborhood half-width (hours on each side) and the strength
+#: rule: a peak is STRONG when its margin over the tallest neighbor is
+#: at least 20% of its own height (integer 5*margin >= cnt).
+_PEAK_K = 3
+
+_PEAK_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+spine AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+),
+dense AS (
+  SELECT s.hr, COALESCE(h.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+),
+w AS (
+  SELECT hr, cnt,
+         MAX(cnt) OVER (ORDER BY hr ASC ROWS BETWEEN {_PEAK_K} PRECEDING
+                        AND 1 PRECEDING) AS max_prev,
+         MAX(cnt) OVER (ORDER BY hr ASC ROWS BETWEEN 1 FOLLOWING
+                        AND {_PEAK_K} FOLLOWING) AS max_next,
+         COUNT(*) OVER (ORDER BY hr ASC ROWS BETWEEN {_PEAK_K} PRECEDING
+                        AND 1 PRECEDING) AS n_prev,
+         COUNT(*) OVER (ORDER BY hr ASC ROWS BETWEEN 1 FOLLOWING
+                        AND {_PEAK_K} FOLLOWING) AS n_next
+  FROM dense
+)
+SELECT hr, cnt,
+       CAST(max_prev AS BIGINT) AS max_prev3,
+       CAST(max_next AS BIGINT) AS max_next3,
+       CAST(cnt - GREATEST(max_prev, max_next) AS BIGINT) AS margin,
+       (5 * (cnt - GREATEST(max_prev, max_next)) >= cnt) AS strong_flag
+FROM w
+WHERE n_prev = {_PEAK_K} AND n_next = {_PEAK_K}
+  AND cnt > max_prev AND cnt > max_next
+"""
+
+
+@query("ts_peak_detect", oracle=_PEAK_ORACLE, tier=2)
+def ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection over the hourly event-volume series: an
+    hour is a peak when it STRICTLY exceeds every count within +/-3
+    hours (full neighborhoods only — boundary hours can't be judged),
+    with its margin over the tallest neighbor and a strength flag
+    (margin >= 20% of the peak, the integer 5*margin >= cnt test) —
+    the burst-localizer beside ts_anomaly_mad (global robust outliers)
+    and ts_cusum_changepoint (level shifts): MAD flags WHICH hours are
+    extreme, this pins WHERE load spikes crest, the read a capacity
+    planner and an incident-review both start from. Gap hours count 0
+    via the dense spine (the ts_gapfill stance), so a peak beside a
+    silent hour is judged against the true zero, not a missing row.
+
+    Exactness: counts are exact integers on the dense hour spine;
+    every decision (strict dominance, full-neighborhood, strength) is
+    an integer comparison; no floats anywhere.
+
+    Shape: one hour-keyed counting aggregate (the only data-sized
+    exchange), a 1-row bounds fold exploded into the O(hours) spine,
+    and bounded-frame windows over the aggregated series — model-sized
+    at any corpus scale (hours, not events; EXPECTED_FLAGS: the global
+    hour-ordered window is O(hours), with the range-bucketed two-pass
+    swap documented for multi-year spans)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")
+        ).alias("hr")
+    )
+    dense = spine.join(hourly, "hr", "left").select(
+        "hr", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    wp = W.orderBy(F.asc("hr")).rowsBetween(-_PEAK_K, -1)
+    wn = W.orderBy(F.asc("hr")).rowsBetween(1, _PEAK_K)
+    w = dense.select(
+        "hr",
+        "cnt",
+        F.max("cnt").over(wp).alias("max_prev"),
+        F.max("cnt").over(wn).alias("max_next"),
+        F.count(F.lit(1)).over(wp).alias("n_prev"),
+        F.count(F.lit(1)).over(wn).alias("n_next"),
+    )
+    margin = F.col("cnt") - F.greatest("max_prev", "max_next")
+    return (
+        w.filter(
+            (F.col("n_prev") == _PEAK_K)
+            & (F.col("n_next") == _PEAK_K)
+            & (F.col("cnt") > F.col("max_prev"))
+            & (F.col("cnt") > F.col("max_next"))
+        )
+        .select(
+            "hr",
+            "cnt",
+            F.col("max_prev").cast("long").alias("max_prev3"),
+            F.col("max_next").cast("long").alias("max_next3"),
+            margin.cast("long").alias("margin"),
+            (5 * margin >= F.col("cnt")).alias("strong_flag"),
+        )
+    )

@@ -150,6 +150,8 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "ext_feature_hash_cross",
         "ext_hilbert_layout",
         "agg_higher_moments",
+        "ts_peak_detect",
+        "bill_tier_migration",
     }
 )
 

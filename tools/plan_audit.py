@@ -689,6 +689,12 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row global min/max bin-extent fold broadcast back (the "
             "ext_zorder_layout justification; O(tasks) partials)"
         ),
+        "ts_peak_detect": (
+            "bounded +/-3 windows over the AGGREGATED hour series "
+            "(O(hours) rows at any corpus scale; range-bucketed "
+            "two-pass swap documented for multi-year spans) + the "
+            "1-row spine-bounds fold"
+        ),
     },
     # BroadcastNestedLoopJoin: only acceptable when one side is O(1) rows
     # (a scalar query vector, a 1-row pivot array, a tiny task table).
