@@ -47,6 +47,7 @@ _MODULES = [
     "billing_data_loader_spark.operators.market_basket",
     "billing_data_loader_spark.operators.model_eval",
     "billing_data_loader_spark.operators.feature_prep",
+    "billing_data_loader_spark.operators.privacy",
     "billing_data_loader_spark.sources.connectors",
     "billing_data_loader_spark.sources.clickhouse",
     "billing_data_loader_spark.streaming.jobs",
@@ -152,6 +153,8 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "agg_higher_moments",
         "ts_peak_detect",
         "bill_tier_migration",
+        "ext_dp_laplace_counts",
+        "ext_kanonymity_audit",
     }
 )
 

@@ -843,6 +843,10 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         "ext_woe_iv": (
             "1-row broadcast corpus-horizon fold onto the cust frame"
         ),
+        "ext_dp_laplace_counts": (
+            "2-row epsilon grid broadcast onto the O(cells) aggregated "
+            "frame"
+        ),
         "prof_psi_drift": (
             "1-row broadcast folds: combined-range extents + the two "
             "snapshot totals (PSI proportions' denominators)"
