@@ -155,6 +155,8 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "bill_tier_migration",
         "ext_dp_laplace_counts",
         "ext_kanonymity_audit",
+        "stream_chained_windows",
+        "udf_pandas_iter",
     }
 )
 

@@ -993,3 +993,79 @@ def stream_outer_join_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _run_to_memory(joined, "bdl_stream_outer_join", "append")
+
+
+# --- stream_chained_windows -------------------------------------------------
+
+# Chained time-window aggregation (SPARK-40925, 3.4+): the second
+# groupBy windows over the FIRST aggregation's window struct column —
+# the two-tier rollup (15-min partials -> hourly finals) a streaming
+# pipeline uses so late data only ever reopens a 15-min pane while
+# dashboards read the hourly tier. Batch form here (the
+# stream_tumbling_1h stance); the declared semantics are identical
+# under readStream. Value sums ride integer micro-units through the
+# tiers (the quantize_long streaming pattern) and divide ONCE at the
+# hourly grain.
+_CHAINED_ORACLE = """
+WITH lvl1 AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CAST(floor(value * 1e6 + CAST(0.5 AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS micro1
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL '1 hour', w15) AS hour_start, event_type,
+       CAST(SUM(n1) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_subwindows,
+       CAST(SUM(micro1) AS DOUBLE) / 1e6 AS sum_value
+FROM lvl1
+GROUP BY 1, 2
+"""
+
+
+@query("stream_chained_windows", oracle=_CHAINED_ORACLE, tier=3)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregation (SPARK-40925): groupBy
+    ``window(ts, '15 minutes')`` then re-window the RESULT's window
+    struct with ``window(w, '1 hour')`` — the two-tier streaming rollup
+    where late data reopens only its 15-minute pane and the hourly tier
+    re-aggregates closed panes (state per tier stays bounded by panes,
+    not events). Spark analyzes the second ``window()`` over a window
+    STRUCT column specially (TimeWindow on windowed data), which is the
+    API surface this key pins; the batch form declared here has
+    identical semantics to the readStream form (the stream_tumbling_1h
+    stance) and the emitted n_subwindows column audits pane coverage
+    (<= 4 per hour).
+
+    Exactness: counts exact; value sums carry integer micro-units
+    through BOTH tiers (the quantize_long streaming micro-unit pattern
+    — re-aggregating per-tier doubles would compound rounding) and
+    divide once at the hourly grain.
+
+    Shape: two keyed aggregates, the second over the O(panes) frame —
+    the first is the only data-sized exchange, and map-side partials
+    apply at both tiers. At 100 TB this is the canonical streaming
+    two-tier rollup plan."""
+    ev = load(spark, sf_dir, "events")
+    lvl1 = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(quantize_long("value")).alias("micro1"),
+    )
+    lvl2 = lvl1.groupBy(
+        F.window("w", "1 hour").alias("w2"), "event_type"
+    ).agg(
+        F.sum("n1").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_subwindows"),
+        (F.sum("micro1").cast("double") / F.lit(MICRO)).alias(
+            "sum_value"
+        ),
+    )
+    return lvl2.select(
+        F.col("w2.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "n_subwindows",
+        "sum_value",
+    )
