@@ -1083,3 +1083,128 @@ def ext_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rules_failed"),
     )
+
+
+# --- ext_lm_kneser_ney ----------------------------------------------------------
+
+#: Absolute discount D = 3/4 — DYADIC by design, so clearing the
+#: denominator by 4 turns the whole interpolated-KN probability into
+#: ONE exact-integer ratio (contrast ext_lm_bigram_score, whose
+#: stupid-backoff ln scores ride the 6dp-rounded libm treatment).
+_KN_TOP = 20
+
+_KN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS v, t[i+1] AS w
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c AS (
+  SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw
+  FROM bg GROUP BY v, w
+),
+vroll AS (
+  SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+         CAST(COUNT(*) AS BIGINT) AS n1_fwd
+  FROM c GROUP BY v
+),
+wroll AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n1_bwd FROM c GROUP BY w
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_total FROM c),
+top AS (
+  SELECT v, w, c_vw FROM c
+  ORDER BY c_vw DESC, v ASC, w ASC LIMIT {_KN_TOP}
+)
+SELECT t.v, t.w, t.c_vw, vr.c_v, vr.n1_fwd, wr.n1_bwd, tt.b_total,
+       CAST((4 * t.c_vw - 3) * tt.b_total
+            + 3 * vr.n1_fwd * wr.n1_bwd AS BIGINT) AS p_kn_num,
+       CAST(4 * vr.c_v * tt.b_total AS BIGINT) AS p_kn_den,
+       CAST((4 * t.c_vw - 3) * tt.b_total
+            + 3 * vr.n1_fwd * wr.n1_bwd AS DOUBLE)
+         / CAST(4 * vr.c_v * tt.b_total AS DOUBLE) AS p_kn,
+       CAST(t.c_vw AS DOUBLE) / CAST(vr.c_v AS DOUBLE) AS p_mle
+FROM top t
+JOIN vroll vr ON t.v = vr.v
+JOIN wroll wr ON t.w = wr.w
+CROSS JOIN tot tt
+"""
+
+
+@query("ext_lm_kneser_ney", oracle=_KN_ORACLE, tier=3)
+def ext_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+    the strongest classical n-gram smoother) for the corpus's top-20
+    bigrams, next to their raw MLE — the smoother-audit view: KN
+    subtracts an absolute discount D from every seen bigram and gives
+    the freed mass to the CONTINUATION unigram (how many distinct left
+    contexts a word follows — 'Francisco' is frequent but follows
+    almost only 'San', so KN correctly refuses to predict it in fresh
+    contexts, the failure mode plain backoff (ext_lm_bigram_score's
+    stupid backoff) cannot see.
+
+    Exactness: D = 3/4 is DYADIC by design — clearing denominators by
+    4 makes the entire interpolated probability ONE exact-integer
+    ratio, P_KN = ((4c(vw) - 3)B + 3 N1+(v.) N1+(.w)) / (4 c(v) B),
+    emitted as exact numerator/denominator BIGINTs plus their single
+    IEEE division; every count is exact; no ln anywhere (the contrast
+    with the backoff scorer's 6dp libm treatment is the point).
+
+    Shape: bigram pairs derive MAP-SIDE from the token array (one
+    explode, no adjacency self-join); ONE (v, w) counting aggregate is
+    the only data-sized exchange; the v-/w-rollups and 1-row total run
+    on the MODEL-sized bigram-type frame; top-20 is TakeOrdered; the
+    rollups broadcast-join back onto 20 rows (EXPECTED_FLAGS). At
+    100 TB bigram types still fit the rollup tier (vocab-bounded), the
+    same regime ext_lm_bigram_score documents."""
+    from ..session import scoped_persist
+
+    d = load(spark, sf_dir, "documents")
+    bg = (
+        d.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(_BIGRAMS_FROM_T)).alias("bg"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("v"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w"),
+        )
+    )
+    c = scoped_persist(
+        bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    )
+    vroll = c.groupBy("v").agg(
+        F.sum("c_vw").cast("long").alias("c_v"),
+        F.count(F.lit(1)).alias("n1_fwd"),
+    )
+    wroll = c.groupBy("w").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tot = c.agg(F.count(F.lit(1)).alias("b_total"))
+    top = c.orderBy(
+        F.desc("c_vw"), F.asc("v"), F.asc("w")
+    ).limit(_KN_TOP)
+    num = (4 * F.col("c_vw") - 3) * F.col("b_total") + 3 * F.col(
+        "n1_fwd"
+    ) * F.col("n1_bwd")
+    den = 4 * F.col("c_v") * F.col("b_total")
+    return (
+        top.join(F.broadcast(vroll), "v")
+        .join(F.broadcast(wroll), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "w",
+            "c_vw",
+            "c_v",
+            "n1_fwd",
+            "n1_bwd",
+            "b_total",
+            num.cast("long").alias("p_kn_num"),
+            den.cast("long").alias("p_kn_den"),
+            (num.cast("double") / den.cast("double")).alias("p_kn"),
+            (
+                F.col("c_vw").cast("double") / F.col("c_v").cast("double")
+            ).alias("p_mle"),
+        )
+    )

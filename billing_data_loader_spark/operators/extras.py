@@ -780,3 +780,180 @@ def ext_skyline_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("m_peer") > F.col("bal_cents"))
         )
     ).select("nation", "cust", "spend_cents", "bal_cents")
+
+
+# --- ext_consistent_hash_ring ---------------------------------------------------
+
+#: Ring geometry: 8 nodes x 8 virtual nodes. Vnode positions are md5 of
+#: CONSTANT strings, so they are computed once in Python and baked as
+#: identical literals into both engine texts (the baked-constant
+#: stance); only the per-key hash is computed at runtime.
+_RING_NODES = 8
+_RING_VNODES = 8
+_RING_REMOVED = 7
+
+
+def _ring_positions(exclude: int | None = None) -> list[tuple[int, int]]:
+    import hashlib as _hl
+
+    pts = []
+    for n in range(_RING_NODES):
+        if n == exclude:
+            continue
+        for k in range(_RING_VNODES):
+            pos = int(
+                _hl.md5(f"node{n}#v{k}#ring".encode()).hexdigest()[:15],
+                16,
+            )
+            pts.append((pos, n))
+    pts.sort()
+    return pts
+
+
+def _ring_oracle() -> str:
+    r8 = ", ".join(f"({p}, {n})" for p, n in _ring_positions())
+    return f"""
+WITH ring8(pos, node) AS (VALUES {r8}),
+ring7 AS (SELECT pos, node FROM ring8 WHERE node <> {_RING_REMOVED}),
+keys AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ringkey'),
+                         1, 15))::BIGINT AS h
+  FROM documents
+),
+a8 AS (
+  SELECT k.doc_id, k.h,
+         COALESCE(MIN(CASE WHEN r.pos >= k.h THEN r.pos END),
+                  MIN(r.pos)) AS spos
+  FROM keys k CROSS JOIN ring8 r GROUP BY k.doc_id, k.h
+),
+a7 AS (
+  SELECT k.doc_id,
+         COALESCE(MIN(CASE WHEN r.pos >= k.h THEN r.pos END),
+                  MIN(r.pos)) AS spos
+  FROM keys k CROSS JOIN ring7 r GROUP BY k.doc_id
+),
+assign AS (
+  SELECT a8.doc_id, r8.node AS node8, r7.node AS node7
+  FROM a8
+  JOIN ring8 r8 ON a8.spos = r8.pos
+  JOIN a7 ON a8.doc_id = a7.doc_id
+  JOIN ring7 r7 ON a7.spos = r7.pos
+),
+nodes AS (SELECT DISTINCT node FROM ring8),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM assign)
+SELECT CAST(n.node AS BIGINT) AS node,
+       CAST(COALESCE(SUM(CASE WHEN a.node8 = n.node THEN 1 END), 0)
+            AS BIGINT) AS n_keys,
+       CAST(COALESCE(SUM(CASE WHEN a.node8 = n.node THEN 1 END), 0)
+            AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+       CAST(COALESCE(SUM(CASE WHEN a.node7 = n.node THEN 1 END), 0)
+            AS BIGINT) AS n_keys_after_removal,
+       CAST(COALESCE(SUM(CASE WHEN a.node7 = n.node
+                          AND a.node8 <> a.node7 THEN 1 END), 0)
+            AS BIGINT) AS n_gained
+FROM nodes n
+CROSS JOIN tot t
+LEFT JOIN assign a ON TRUE
+GROUP BY n.node, t.n_total
+"""
+
+
+_RING_ORACLE = _ring_oracle()
+
+
+@query("ext_consistent_hash_ring", oracle=_RING_ORACLE, tier=3)
+def ext_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash RING with virtual nodes (the Dynamo/Cassandra/
+    memcached construction) next to ext_shard_rendezvous's HRW: each
+    key goes to the first vnode clockwise from its hash, 8 vnodes per
+    node smooth the arc-length variance, and the audit REMOVES node 7
+    and re-assigns — the ring's defining property is that exactly the
+    departed node's keys move (each to the next arc owner) while every
+    other key stays put, which is what lets a 100 TB shard map lose a
+    worker without a corpus-wide reshuffle. Emits per node the 8-ring
+    load, its share, the 7-ring load, and the keys it GAINED from the
+    removal (pinned in tests: gains sum exactly to node 7's load;
+    nobody else loses anything).
+
+    Exactness: vnode positions are md5 of constant strings — computed
+    once in Python, baked as identical literals into both engine texts
+    — and the per-key hash is the shared md5 60-bit bridge; successor
+    choice is integer MIN arithmetic; the share is one IEEE division.
+
+    Shape: the ring is an in-row sorted ARRAY literal, so BOTH
+    assignments are pure map-side filter/first-element array ops (zero
+    joins, zero shuffles — the rendezvous projection stance); ONE
+    node-keyed counting aggregate (8-row output) and a 1-row total
+    fold (EXPECTED_FLAGS) finish. The oracle keeps the independent
+    64-row cross-join/argmin mirror."""
+    arr8 = "array(" + ", ".join(
+        f"named_struct('pos', {p}L, 'node', {n}L)"
+        for p, n in _ring_positions()
+    ) + ")"
+    arr7 = "array(" + ", ".join(
+        f"named_struct('pos', {p}L, 'node', {n}L)"
+        for p, n in _ring_positions(exclude=_RING_REMOVED)
+    ) + ")"
+    d = load(spark, sf_dir, "documents").select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#ringkey")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    assigned = d.select(
+        F.expr(
+            f"coalesce(try_element_at(filter({arr8}, e -> e.pos >= h),"
+            f" 1).node, {arr8}[0].node)"
+        ).alias("node8"),
+        F.expr(
+            f"coalesce(try_element_at(filter({arr7}, e -> e.pos >= h),"
+            f" 1).node, {arr7}[0].node)"
+        ).alias("node7"),
+    )
+    from ..session import scoped_persist
+
+    assigned = scoped_persist(assigned)
+    tot = assigned.agg(F.count(F.lit(1)).alias("n_total"))
+    nodes = spark.createDataFrame(
+        [(n,) for n in range(_RING_NODES)], "node long"
+    )
+    g8 = assigned.groupBy(F.col("node8").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    g7 = assigned.groupBy(F.col("node7").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_keys_after_removal"),
+        F.sum(
+            (F.col("node8") != F.col("node7")).cast("int")
+        )
+        .cast("long")
+        .alias("n_gained"),
+    )
+    return (
+        nodes.join(F.broadcast(g8), "node", "left")
+        .join(F.broadcast(g7), "node", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.coalesce(F.col("n_keys"), F.lit(0)).alias("n_keys"),
+            (
+                F.coalesce(F.col("n_keys"), F.lit(0)).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+            F.coalesce(F.col("n_keys_after_removal"), F.lit(0)).alias(
+                "n_keys_after_removal"
+            ),
+            F.coalesce(F.col("n_gained"), F.lit(0)).alias("n_gained"),
+        )
+    )

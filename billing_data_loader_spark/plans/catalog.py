@@ -157,6 +157,8 @@ _DEFER_BEHIND_WINDOW = frozenset(
         "ext_kanonymity_audit",
         "stream_chained_windows",
         "udf_pandas_iter",
+        "ext_lm_kneser_ney",
+        "ext_consistent_hash_ring",
     }
 )
 

@@ -689,6 +689,14 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "1-row global min/max bin-extent fold broadcast back (the "
             "ext_zorder_layout justification; O(tasks) partials)"
         ),
+        "ext_lm_kneser_ney": (
+            "1-row bigram-type total fold + the 20-row TakeOrdered "
+            "frame's broadcast rollup joins (model-sized at any scale)"
+        ),
+        "ext_consistent_hash_ring": (
+            "1-row key-total fold onto the 8-row node grid (the "
+            "assignment itself is a map-side array projection)"
+        ),
         "ts_peak_detect": (
             "bounded +/-3 windows over the AGGREGATED hour series "
             "(O(hours) rows at any corpus scale; range-bucketed "
@@ -842,6 +850,13 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
         ),
         "ext_woe_iv": (
             "1-row broadcast corpus-horizon fold onto the cust frame"
+        ),
+        "ext_lm_kneser_ney": (
+            "1-row bigram-type total broadcast onto the 20-row top "
+            "frame"
+        ),
+        "ext_consistent_hash_ring": (
+            "1-row key-total fold broadcast onto the 8-row node grid"
         ),
         "ext_dp_laplace_counts": (
             "2-row epsilon grid broadcast onto the O(cells) aggregated "
