@@ -53,11 +53,16 @@ _PCA_ITSCALE = "1e12"
 
 #: Population covariance from the exact integer moments (s = Σ qi*qj,
 #: mi/mj = Σ qi, n = rows) — textually identical double SQL both engines.
-_PCA_COV_EXPR = (
-    "(CAST(s AS DOUBLE) / 1e12) / CAST(n AS DOUBLE)"
-    " - (CAST(mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))"
-    " * (CAST(mj AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))"
+#: The template form lets the Spark side bind the same arithmetic to array
+#: elements (r13 optimization: the covariance is assembled inside a 1-row
+#: array program instead of two broadcast joins) while the oracle keeps
+#: the original column-name rendering below.
+_PCA_COV_TPL = (
+    "(CAST({s} AS DOUBLE) / 1e12) / CAST({n} AS DOUBLE)"
+    " - (CAST({mi} AS DOUBLE) / (CAST({n} AS DOUBLE) * 1e6))"
+    " * (CAST({mj} AS DOUBLE) / (CAST({n} AS DOUBLE) * 1e6))"
 )
+_PCA_COV_EXPR = _PCA_COV_TPL.format(s="s", n="n", mi="mi", mj="mj")
 
 #: One quantized matrix-vector product term (c = covariance cell, x =
 #: current iterate component) — shared text.
@@ -158,11 +163,14 @@ def ext_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
        whose key space is 2080 groups regardless of row count. Exact
        integer moments (inputs quantized at 1e6), covariance assembled
        by the shared closed-form text, mirroring prof_corr_matrix.
-    2. MODEL iteration: 5 power-iteration rounds over the 64x64 matrix —
-       per round one broadcast of the 1-row iterate array folded against
-       the 4096-row matrix frame (the ext_kmeans_lite per-round
-       centroid-fold pattern; EXPECTED_FLAGS). Matrix-vector terms
-       floor-quantize at 1e12 so each partial sum is an exact long and
+    2. MODEL iteration: the 2080-row moment triangle collapses into ONE
+       model row (single-partition collect, EXPECTED_FLAGS — the frame
+       is dims², never rows), and covariance assembly plus all 5
+       power-iteration rounds run as higher-order-function projections
+       on that row: zero joins, zero per-round exchanges (r13
+       optimization — the prior broadcast-fold-per-round form paid ~11
+       job rounds ≈ 5 s of the key's 6.2 s at sf0.1). Matrix-vector
+       terms floor-quantize at 1e12 so each fold is an exact long and
        the norm uses exact DECIMAL(38,0)/HUGEINT squared sums — both
        engines walk bit-identical doubles through all 5 rounds.
 
@@ -203,69 +211,100 @@ def ext_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qi").alias("sl"),
         F.count(F.lit(1)).alias("n"),
     )
-    mean = mom.filter(F.col("i") == F.col("j")).select(
-        "i", F.col("sl").alias("m"), "n"
-    )
-    a = mean.select(F.col("i").alias("ai"), F.col("m").alias("mi"), "n")
-    b = mean.select(F.col("i").alias("bi"), F.col("m").alias("mj"))
-    mo = mom.select("i", "j", "s")  # drop sl/n: 'n' must bind to a's
-    cov = (
-        mo.join(F.broadcast(a), mo.i == a.ai)
-        .join(F.broadcast(b), mo.j == b.bi)
-        .select("i", "j", F.expr(_PCA_COV_EXPR).alias("c"))
-    )
-    cf = scoped_persist(
-        cov.unionAll(
-            cov.filter(F.col("i") < F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "c"
-            )
-        )
-    )
-    # x as a 1-row ordered array; round = broadcast-fold join + 64-group
-    # agg. CRITICAL plan-shape constraint: each round's frame is
-    # referenced EXACTLY ONCE by the next (the norm is an array fold
-    # inside the same projection, never a second branch off y) — a
-    # separate 1-row ss frame crossJoined back doubles the analyzed
-    # subtree per round and the 8-round plan goes exponential (observed:
-    # optimizer spun for minutes; linear form plans in milliseconds).
-    x_arr = spark.range(1).select(
+    # Everything below the 2080-group moment aggregate is MODEL-sized
+    # (a 64x64 matrix and a 64-vector), so the covariance assembly and
+    # all 5 power-iteration rounds run as a 1-ROW ARRAY PROGRAM: one
+    # single-partition collect of the moment triangle, then pure
+    # higher-order-function projections (r13 optimization, guide §2.4 —
+    # the previous form paid 2 broadcast joins + a union for the
+    # covariance and, per round, a crossJoin-broadcast + 64-group
+    # exchange + collect_list singleton: ~11 job rounds, measured ~5 s
+    # of the key's 6.2 s isolation time; this form launches ONE job
+    # past the moment pass). Bit-exactness is preserved because every
+    # reduction here is exact integer arithmetic (BIGINT matvec terms,
+    # DECIMAL(38,0) squared sums — order-independent) and every double
+    # is produced by the same shared-text expression (_PCA_COV_TPL /
+    # _PCA_TERM_EXPR) from identical exact inputs.
+    # mm = the i<=j moment triangle, sorted (i, j): element (a, b),
+    # a<=b, sits at index a*DIM - a*(a-1)/2 + (b-a); diagonal (i, i)
+    # carries the mean (sl) and the row count n.
+    one = mom.agg(
         F.expr(
-            f"transform(sequence(0, {_PCA_DIM - 1}),"
-            " i -> CAST(0.125 AS DOUBLE))"
-        ).alias("xs")
+            "array_sort(collect_list("
+            "struct(i AS i, j AS j, s AS s, sl AS sl, n AS n)))"
+        ).alias("mm")
     )
-    term = _PCA_TERM_EXPR.format(c="c", x="xs[j]")
-    # exact squared-sum fold over the sorted per-dim longs (DECIMAL(38,0)
-    # accumulator — qy² reaches ~4e27), then the unit-normalized iterate
-    ss_fold = (
-        "aggregate(st, CAST(0 AS DECIMAL(38,0)),"
-        " (acc, e) -> acc + CAST(e.qy AS DECIMAL(38,0)) * e.qy,"
-        " acc -> CAST(acc AS DOUBLE))"
+    d = _PCA_DIM
+    tri = (
+        f"(least(i, j) * {d} - (least(i, j) * (least(i, j) - 1)) DIV 2"
+        " + (greatest(i, j) - least(i, j)))"
     )
-    y = None
-    for _ in range(_PCA_ROUNDS):
-        y = (
-            cf.crossJoin(F.broadcast(x_arr))
-            .groupBy("i")
-            .agg(F.sum(F.expr(term)).alias("qy"))
+    diag_i = f"(i * {d} - (i * (i - 1)) DIV 2)"
+    diag_j = f"(j * {d} - (j * (j - 1)) DIV 2)"
+    cov_cell = _PCA_COV_TPL.format(
+        s=f"mm[{tri}].s",
+        n=f"mm[{diag_i}].n",
+        mi=f"mm[{diag_i}].sl",
+        mj=f"mm[{diag_j}].sl",
+    )
+    # full 64x64 covariance as one array: m[i*DIM + j] = c(i, j). The
+    # mirrored (i > j) cells evaluate the SAME expression on the same
+    # exact integers as (j, i) — _PCA_COV_TPL is symmetric in (mi, mj)
+    # up to one IEEE multiplication commutation — so they are the
+    # identical doubles the old unionAll mirror carried.
+    m_expr = (
+        f"flatten(transform(sequence(0, {d - 1}), i ->"
+        f" transform(sequence(0, {d - 1}), j -> {cov_cell})))"
+    )
+    # All 5 rounds run inside ONE aggregate() fold expression — never as
+    # chained per-round projections, which CollapseProject would inline
+    # into each other (each round references the previous qy three
+    # times, so the collapsed tree grows 3^rounds and the optimizer
+    # spins — observed: the chained form did not plan within 7 minutes).
+    # Inside the fold, qy and sqrt(ss) are LET-bound via single-element
+    # transform(array(x), v -> ...)[0] so each is evaluated exactly once
+    # per round. Fold state: struct(xs = the unit iterate, eig).
+    # qy_i = Σ_j floor-quantized term over matrix row i — exact BIGINT
+    # fold; ss = exact DECIMAL(38,0) squared sum; both order-safe.
+    term = _PCA_TERM_EXPR.format(c=f"m[i * {d} + j]", x="st.xs[j]")
+    qy_of_xs = (
+        f"transform(sequence(0, {d - 1}), i ->"
+        f" aggregate(sequence(0, {d - 1}), CAST(0 AS BIGINT),"
+        f" (acc, j) -> acc + {term}))"
+    )
+    ss_of_qy = (
+        "aggregate(qy, CAST(0 AS DECIMAL(38,0)),"
+        " (sacc, e) -> sacc + CAST(e AS DECIMAL(38,0)) * e,"
+        " sacc -> CAST(sacc AS DOUBLE))"
+    )
+    round_body = (
+        f"transform(array({qy_of_xs}), qy ->"
+        f" transform(array(sqrt({ss_of_qy})), sq ->"
+        " named_struct("
+        "'xs', transform(qy, e -> CAST(e AS DOUBLE) / sq),"
+        " 'eig', sq / 1e12))[0])[0]"
+    )
+    iter_expr = (
+        f"aggregate(sequence(1, {_PCA_ROUNDS}),"
+        " named_struct("
+        f"'xs', transform(sequence(0, {d - 1}), i0 -> CAST(0.125 AS DOUBLE)),"
+        " 'eig', CAST(0.0 AS DOUBLE)),"
+        f" (st, r) -> {round_body})"
+    )
+    # m is LET-bound too: as a projected column it is referenced once by
+    # iter_expr, and CollapseProject inlines single-reference expressions
+    # into their consumer — here into the innermost fold term, where the
+    # 4096-cell matrix would be rebuilt on EVERY term evaluation
+    # (observed: the inlined form ran >4 min at sf0.01; the bound form
+    # evaluates m once per row).
+    fin = one.select(
+        F.expr(f"transform(array({m_expr}), m -> {iter_expr})[0]").alias(
+            "fin"
         )
-        x_arr = (
-            y.agg(
-                F.expr(
-                    "array_sort(collect_list(struct(i AS i, qy AS qy)))"
-                ).alias("st")
-            )
-            .select(
-                F.expr(
-                    f"transform(st, e -> CAST(e.qy AS DOUBLE)"
-                    f" / sqrt({ss_fold}))"
-                ).alias("xs"),
-                F.expr(f"sqrt({ss_fold}) / 1e12").alias("eig"),
-            )
-        )
-    return x_arr.select(
-        F.posexplode("xs").alias("dim", "loading"),
-        F.col("eig").alias("eigenvalue"),
+    )
+    return fin.select(
+        F.posexplode("fin.xs").alias("dim", "loading"),
+        F.col("fin.eig").alias("eigenvalue"),
     ).select("dim", "loading", "eigenvalue")
 
 

@@ -2,13 +2,21 @@
 
 Usage:
     python tools/opt_measure.py [--sf DIR] [--runs N] [--plans SUBDIR|--no-plans]
-                                [--suffix before|after] key1 key2 ...
+                                [--suffix before|after] [--noop] key1 key2 ...
 
-For each key: builds the DataFrame, times `df.write.format("noop")` (guide
-§1.4 — computes every column of every row, no sink cost, no driver
-collect), reports min/median of N runs, and dumps `.explain("formatted")`
-to plans/<SUBDIR>/<key>_<suffix>.txt. Jobs are labelled with
-setJobDescription so the timeline is attributable.
+For each key: builds the DataFrame, times the collect (`.toPandas()` — the
+exact action bench.py and the grading driver time; output frames here are
+small, so sink cost is negligible), reports min/median of N runs, and dumps
+`.explain("formatted")` to plans/<SUBDIR>/<key>_<suffix>.txt. Jobs are
+labelled with setJobDescription so the timeline is attributable.
+
+`--noop` switches the timed action to the guide §1.4 noop sink. Measured
+2026-08-17 on ext_pca_power_iteration: the noop InsertIntoDataSourceCommand
+path executes this cached-and-broadcast-heavy plan 5-20x SLOWER than the
+collect path (33-123 s vs a stable 5.9-6.8 s warm toPandas) — the write
+command re-plans without the collect path's reuse — so the collect action
+is both the representative measurement (it is what the driver times) and
+the stable one; noop remains available for scan-heavy keys.
 
 This is a *measurement* tool only: it never feeds BENCH_DETAIL.json and
 uses the same catalog the bench and driver use.
@@ -56,6 +64,9 @@ def main() -> None:
         i = args.index("--suffix")
         suffix = args[i + 1]
         del args[i : i + 2]
+    noop = "--noop" in args
+    if noop:
+        args.remove("--noop")
 
     spark = get_spark("bdl-opt-measure")
     specs = catalog()
@@ -64,9 +75,13 @@ def main() -> None:
         sys.exit(f"unknown keys: {unknown}")
 
     # warmup (JVM + codegen + parquet footer caches)
-    specs["agg_q1_pricing"].fn(spark, sf).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    specs["agg_q1_pricing"].fn(spark, sf).toPandas()
+
+    def run_action(df) -> None:
+        if noop:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.toPandas()
 
     out: dict[str, dict] = {}
     for key in args:
@@ -75,7 +90,7 @@ def main() -> None:
             spark.sparkContext.setJobDescription(f"opt_measure:{key}#{r}")
             df = specs[key].fn(spark, sf)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            run_action(df)
             times.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(None)

@@ -217,13 +217,17 @@ AUDITED = {
         "books in the same left-join aggregate pass."
     ),
     "ext_pca_power_iteration": (
-        "Moment-pass + model-iteration PCA (round 10): all 2080 "
-        "covariance moments from ONE widened scan pass (map-side i<=j "
-        "pair lambdas, exchange keyed on (i, j) — 2080 groups at any "
-        "corpus size); the 5 power rounds run on a persisted 4096-row "
-        "matrix with 1-row broadcast iterate arrays — LINEAR lineage "
-        "(each round references its predecessor exactly once; a norm "
-        "side-branch would double the analyzed subtree per round)."
+        "Moment-pass + model-iteration PCA (round 10; iteration "
+        "collapsed round 13): all 2080 covariance moments from ONE "
+        "widened scan pass (map-side i<=j pair lambdas, exchange keyed "
+        "on (i, j) — 2080 groups at any corpus size); the moment "
+        "triangle then collapses to ONE model row and covariance "
+        "assembly + all 5 power rounds run as a single aggregate() "
+        "fold with LET-bound intermediates (transform(array(x), v -> "
+        "...) — unbound intermediates re-evaluate per element and "
+        "single-reference columns get inlined by CollapseProject into "
+        "the innermost lambda). Zero joins and zero per-round "
+        "exchanges past the moment aggregate: 6.2 s -> 1.3 s at sf0.1."
     ),
     "ext_mmr_diversify": (
         "MMR diversification (round 10): retrieval is the knn plan "
@@ -497,8 +501,9 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "partials)"
         ),
         "ext_pca_power_iteration": (
-            "1-row iterate-array fold per power-iteration round (64 "
-            "values -> one array row; the ext_kmeans_lite pattern)"
+            "single collect of the 2080-row moment triangle into the "
+            "1-row model frame that runs the whole covariance + 5-round "
+            "power-iteration array program (dims², never rows)"
         ),
         "ext_mmr_diversify": (
             "1-row pool/sims array folds feeding the runtime greedy "
@@ -951,10 +956,8 @@ EXPECTED_FLAGS: dict[str, dict[str, str]] = {
             "cross join of the three 1-row census aggregates "
             "(nodes x edges x wedges/triangles)"
         ),
-        "ext_pca_power_iteration": (
-            "per-round broadcast of the 1-row iterate array against the "
-            "4096-row covariance frame (model-sized fold)"
-        ),
+        # (ext_pca_power_iteration's per-round broadcast fold removed in
+        # r13: the iteration is now a 1-row array program with no joins)
         "prof_benford": "1-row broadcast digit-total fold (denominator)",
         "ext_mmr_diversify": (
             "1-row broadcast query vector (the ext_knn_cosine pattern) + "
