@@ -1493,12 +1493,13 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard and the estimate are single divisions of exact integers and
     the error is one shared-text abs/subtract.
 
-    Shape: ONE distinct (doc, gram) shuffle feeds both the 16 parallel
-    MIN() signature aggregates (one doc-keyed exchange) and the exact
-    pair set (the prefix-filtered equi-join family); pair verification
-    joins the O(pairs) frame against the signature frame twice. At
-    100 TB pairs come from the LSH candidates, exactly as in the
-    production siblings."""
+    Shape: ONE distinct (doc, gram) shuffle feeds both the exact pair
+    set and (semi-join-pruned to pair-member docs only — signatures for
+    docs outside the pair set would be dropped by the final inner joins
+    unread, so they are never computed) the 16 parallel MIN() signature
+    aggregates; pair verification joins the O(pairs) frame against the
+    signature frame twice. At 100 TB pairs come from the LSH
+    candidates, exactly as in the production siblings."""
     d = load(spark, sf_dir, "documents")
     tok = scoped_persist(
         d.select("doc_id", "lang", F.split("text", " ").alias("t"))
@@ -1508,22 +1509,6 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(_SHINGLES_FROM_T)).alias("gram"),
         )
         .distinct()
-    )
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("gram"), F.lit(f"#{s}"))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"mh{s}")
-            for s in range(_MEE_SEEDS)
-        ]
     )
     sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
@@ -1540,7 +1525,7 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    jac = (
+    jac = scoped_persist(
         pairs.join(
             sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
@@ -1558,6 +1543,40 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_j"),
         )
         .filter(F.col("exact_j") >= 0.6)
+    )
+    # The 16 md5 signature aggregates are the dominant CPU of this key,
+    # and signatures only ever SURFACE for docs that appear in the tiny
+    # >= 0.6 pair set (the final joins are inner) — so compute them only
+    # for pair-member docs: a broadcast semi-join prunes tok from the
+    # whole corpus's shingles to the handful of near-dup docs' shingles
+    # before any hashing happens (guide §2.3 "don't compute things you
+    # throw away"; r13). Output rows are unchanged. At 100 TB pairs come
+    # from the LSH candidates and this same pruning is what makes the
+    # audit affordable there too.
+    pair_docs = (
+        jac.select(F.col("doc_a").alias("doc_id"))
+        .union(jac.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sig = (
+        tok.join(F.broadcast(pair_docs), "doc_id", "leftsemi")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.col("gram"), F.lit(f"#{s}"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"mh{s}")
+                for s in range(_MEE_SEEDS)
+            ]
+        )
     )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),

@@ -1846,9 +1846,21 @@ def prof_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).over(W.partitionBy("grp")).cast("long")
 
     def _drank(col: str):
-        r = F.rank().over(W.partitionBy("grp").orderBy(F.asc(col)))
-        t = F.count(F.lit(1)).over(W.partitionBy("grp", col))
-        return (2 * r + t - 1).cast("long")
+        # doubled midrank 2*RANK() + ties - 1 rewritten as 2*cum - ties + 1
+        # (RANK = cum - ties + 1 with RANGE-frame counts): both counts run
+        # in the ONE window spec partitioned by grp and ordered by col, so
+        # the former COUNT(*) OVER (PARTITION BY grp, col) — which forced a
+        # fresh hash exchange of the full table per metric column, 4 extra
+        # exchanges total — disappears (guide §2.4; r13). Integer algebra
+        # over exact counts: identical output.
+        wspec = W.partitionBy("grp").orderBy(F.asc(col))
+        cum = F.count(F.lit(1)).over(
+            wspec.rangeBetween(W.unboundedPreceding, W.currentRow)
+        )
+        ties = F.count(F.lit(1)).over(
+            wspec.rangeBetween(W.currentRow, W.currentRow)
+        )
+        return (2 * cum - ties + 1).cast("long")
 
     ranked = li.select(
         "grp",
