@@ -429,7 +429,13 @@ def ext_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") <= F.col("n_tok") - F.expr("(3*n_tok + 4) DIV 5") + 1)
         & (F.col("df") >= 2)
     ).select("doc_id", "lang", "th", "n_tok")
-    a = prefix.alias("a")
+    # SHUFFLE_HASH over the planner's sort-merge default: both sides are
+    # the rare-prefix subset (already a small fraction of the shingle
+    # table), so the per-partition build fits easily and the join skips
+    # both sort passes — measured 0.76 s vs 1.16 s min-of-3 at sf0.1
+    # (guide §3.1; r13). Same argument at 100 TB: the prefix frame is the
+    # df-pruned rare tail, orders of magnitude under the corpus.
+    a = prefix.hint("shuffle_hash").alias("a")
     b = prefix.alias("b")
     cand = (
         a.join(
@@ -1510,7 +1516,12 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # persisted: referenced by BOTH size-attach joins below — without the
+    # cache the doc-size aggregate executes twice (~0.8 s each at sf0.1);
+    # broadcast at the joins (O(docs-with-shingles) rows, dimension-sized)
+    sz = scoped_persist(
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
         tok.alias("a")
         .join(
@@ -1527,11 +1538,19 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = scoped_persist(
         pairs.join(
-            sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            F.broadcast(
+                sz.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                )
+            ),
             "doc_a",
         )
         .join(
-            sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            F.broadcast(
+                sz.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                )
+            ),
             "doc_b",
         )
         .select(
@@ -1558,7 +1577,9 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(jac.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sig = (
+    # persisted: sa and sb below both read it — uncached, the semi-join +
+    # 16-aggregate subtree would execute once per side
+    sig = scoped_persist(
         tok.join(F.broadcast(pair_docs), "doc_id", "leftsemi")
         .groupBy("doc_id")
         .agg(
@@ -1591,8 +1612,8 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(_MEE_SEEDS)
     )
     return (
-        jac.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        jac.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
