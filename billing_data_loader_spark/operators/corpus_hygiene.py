@@ -798,7 +798,13 @@ def ext_coverage_gain_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.size(F.array_except("ths", "cv")).alias("new_grams"),
             )
-        pick = (
+        # each pick frame is referenced TWICE (the final union AND the next
+        # round's covered-set broadcast) and transitively by every later
+        # round's lineage — persisting the 1-row pick makes each round's
+        # TakeOrdered execute exactly once instead of once per downstream
+        # reference (the round-11 twice-referenced-iterative-frame lesson,
+        # applied to the pick itself; r13)
+        pick = scoped_persist(
             scored.filter(F.col("new_grams") > 0)
             .orderBy(F.desc("new_grams"), F.asc("doc_id"))
             .limit(1)

@@ -1074,13 +1074,21 @@ def join_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey", "o_orderstatus")
         .agg(F.count(F.when(late, 1)).alias("late_lines"))
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
-    )
+    # per-order rollup as an UNORDERED window over the persisted frame
+    # instead of a groupBy + join-back: the window needs ONE orderkey
+    # exchange where the old shape paid the aggregate's exchange AND
+    # re-shuffled per_os for the join (guide §2.4 — two operations keyed
+    # the same way share one exchange; r13). Same exact integer counts.
+    from pyspark.sql import Window as W
+
+    w_o = W.partitionBy("l_orderkey")
     blamed = (
-        per_os.filter((F.col("late_lines") > 0) & (F.col("o_orderstatus") == "F"))
-        .join(per_o, "l_orderkey")
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w_o))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("late_lines") > 0).cast("int")).over(w_o),
+        )
+        .filter((F.col("late_lines") > 0) & (F.col("o_orderstatus") == "F"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
