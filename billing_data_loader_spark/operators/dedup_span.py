@@ -110,24 +110,36 @@ def ext_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of >= W + L - 1 tokens is covered at every interior position by shared
     windows, so merged runs recover it exactly; W trades index size
     against the shortest detectable run, as in the suffix-array variant."""
-    from ..session import scoped_persist
+    from ..session import scoped_persist, widen_scan
 
     corpus = _corpus_with_dups(spark, sf_dir)
-    toks = corpus.select(
+    # widen_scan A/B re-run on the CURRENT pipeline (r13; the r9 "widen
+    # regressed this key" note predates the dual-hash shingle form):
+    # shingle pass min-of-4 at sf0.1 is 0.39 s widened vs 0.83 s at the
+    # fixture scan's 2-task width — the CPU-dense dual-hash explode is
+    # exactly the widen_scan case, and the persisted sh frame caches at
+    # useful width for the aggregate and semi join behind it.
+    toks = widen_scan(corpus).select(
         "doc_id", F.split("text", " ").alias("t")
     ).filter(F.size("t") >= _SSD_W)
     # persisted: the corpus-sized positioned-shingle frame feeds both the
     # duplicate-shingle aggregate and the marking semi join (code-review
     # r9: unpersisted, the split+window+hash pass ran twice)
+    # nested transform binds the W-token shingle STRING once per position
+    # (inner HOF materializes it) before both seeded hashes read it — the
+    # single-level form evaluated slice+concat_ws twice per position, once
+    # under each hash (guide §1.2 per-task work; r13). Same values.
     sh = scoped_persist(
         toks.select(
             "doc_id",
             F.explode(
                 F.expr(
+                    f"transform("
                     f"transform(sequence(1, size(t) - {_SSD_W} + 1), "
                     f"i -> struct(i AS pos, "
-                    f"xxhash64(concat_ws(' ', slice(t, i, {_SSD_W}))) AS g, "
-                    f"xxhash64(7, concat_ws(' ', slice(t, i, {_SSD_W}))) AS g2))"
+                    f"concat_ws(' ', slice(t, i, {_SSD_W})) AS cw)), "
+                    f"p -> struct(p.pos AS pos, "
+                    f"xxhash64(p.cw) AS g, xxhash64(7, p.cw) AS g2))"
                 )
             ).alias("s"),
         ).select("doc_id", "s.pos", "s.g", "s.g2")
