@@ -209,14 +209,21 @@ def _run_to_memory(
     into a memory sink; returns the sink table as a batch DataFrame.
 
     State partitioning is sized to the stream, not the batch default: each
-    state partition costs a delta+commit file per micro-batch, so 32
+    state partition costs a delta+commit file per micro-batch (a stream-
+    stream join keeps FOUR stores per partition per side), so 32
     partitions for a replay this size is pure checkpoint I/O. On a real
     cluster this knob (fixed at first checkpoint) is sized to peak key
-    cardinality instead."""
+    cardinality instead — override BDL_STREAM_STATE_PARTITIONS. Local
+    default 8 -> 4 (r13): same-session A/B on the two stream-stream join
+    keys measured ~0.5-0.7x wall-clock at 4 (and again at 2) — the
+    fixture's state is KBs, so commit-file count dominates."""
     spark = stream_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"bdl_ckpt_{name}_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("BDL_STREAM_STATE_PARTITIONS", "4"),
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")
