@@ -1523,7 +1523,11 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     )
     pairs = (
-        tok.alias("a")
+        # SHUFFLE_HASH (guide §3.1): equal-size distinct-shingle sides,
+        # per-partition build fits, skips both sorts (0.67 vs 0.74 s
+        # min-of-4 at sf0.1; the jaccard candidate-join precedent)
+        tok.hint("shuffle_hash")
+        .alias("a")
         .join(
             tok.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
