@@ -1195,10 +1195,13 @@ def bill_cohort_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one (cust, month) aggregate collapses the order stream to
     the activity grain (the only data-sized exchange, map-side
-    combined); first-month is a cust-keyed MIN on that frame; the
-    cohort join is cust-keyed (co-partitioned with the frame it
-    feeds); the final rollup's key space is O(months^2 / 2) — the
-    calendar triangle, model-sized at any corpus scale."""
+    combined); first-month is an unordered cust-keyed MIN WINDOW on
+    that frame (a separate groupBy+join-back paid one more exchange
+    and a join build — the join_q21_waiting lesson); the final
+    rollup's key space is O(months^2 / 2) — the calendar triangle,
+    model-sized at any corpus scale."""
+    from pyspark.sql import Window
+
     o = load(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("cust"),
         F.expr(
@@ -1208,12 +1211,12 @@ def bill_cohort_arpu(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_long("o_totalprice", 2).alias("cents"),
     )
     cm = o.groupBy("cust", "mi").agg(F.sum("cents").alias("cents"))
-    from ..session import scoped_persist
-
-    cm = scoped_persist(cm)
-    firsts = cm.groupBy("cust").agg(F.min("mi").alias("cohort_mi"))
     return (
-        cm.join(firsts, "cust")
+        cm.select(
+            "mi",
+            "cents",
+            F.min("mi").over(Window.partitionBy("cust")).alias("cohort_mi"),
+        )
         .groupBy(
             "cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("age_months")
         )

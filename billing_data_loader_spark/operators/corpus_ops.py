@@ -750,6 +750,11 @@ def ext_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("df") >= 2)
     ).select("doc_id", "lang", "th")
     full = ranked.filter(F.col("df") >= 2).select("doc_id", "lang", "th")
+    # unhinted deliberately (r13 A/B): the planner already broadcasts the
+    # df-pruned side here (BroadcastHashJoin in plans/r13/..._before.txt);
+    # a SHUFFLE_HASH hint like ext_neardup_jaccard's forced a shuffle and
+    # REGRESSED the key (1.47 -> ~2.1 s min), so the jaccard hint does not
+    # transfer to this asymmetric join
     cand = (
         prefix.alias("a")
         .join(
@@ -1624,39 +1629,55 @@ def ext_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality test); counts exact; the two ratios are single IEEE
     divisions of exact integers.
 
-    Shape: one distinct (source, gram) shuffle collapses the corpus
-    (grams dedupe map-side first); the pair intersection is a
-    gram-keyed equi self-join — co-partitioned on the gram key, never
-    a source-pair cross — aggregated straight to the O(sources^2)
-    pair frame; the size frame is O(sources) and broadcast-joined.
-    At 100 TB the gram-keyed join shuffles gram ids (xxhash64 the gram
-    string — documented swap), and hot boilerplate grams are exactly
-    the skew AQE's skew-join split handles."""
+    Shape: ONE gram-keyed aggregate collapses the corpus —
+    collect_set(source) dedups (source, gram) inside the aggregate
+    (map-side partials; per-doc grams array_distinct first), and the
+    <= |sources| set expands to ordered pairs with array combinatorics
+    in the same task (the minhash candidate-pair shape) — never a
+    gram self-join (the r12 form shuffled the distinct pair stream
+    once for the DISTINCT and twice more for the self-join inputs:
+    1.96 s vs 1.64 s min-of-3 at sf0.1). The size frame explodes off
+    the same persisted aggregate and is broadcast-joined. At 100 TB
+    the gram key shuffles gram ids (xxhash64 the gram string —
+    documented swap); the per-gram set stays bounded by the SOURCE
+    count (catalog-sized), so hot boilerplate grams cost set size,
+    not join fan-out."""
     d = load(spark, sf_dir, "documents")
-    g = (
-        d.select("source", F.split("text", " ").alias("t"))
-        .select(
-            "source",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(t) >= 3 THEN transform("
-                    "sequence(0, size(t) - 3),"
-                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-                    " ELSE array() END"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+    g = d.select("source", F.split("text", " ").alias("t")).select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN array_distinct(transform("
+                "sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+                " ELSE array() END"
+            )
+        ).alias("gram"),
     )
     from ..session import scoped_persist
 
-    g = scoped_persist(g)
-    sz = g.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = g.select(F.col("source").alias("src_a"), "gram")
-    b = g.select(F.col("source").alias("src_b"), "gram")
+    per_gram = scoped_persist(
+        g.groupBy("gram").agg(
+            F.sort_array(F.collect_set("source")).alias("ss")
+        )
+    )
+    sz = (
+        per_gram.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
     inter = (
-        a.join(b, "gram")
-        .filter(F.col("src_a") < F.col("src_b"))
+        per_gram.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -438,7 +438,9 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = scoped_persist(
         d.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
     )
-    bench = (
+    # persisted: the benchmark gram set is read twice — the bitmap build
+    # and the exact verification join
+    bench = scoped_persist(
         grams.filter(F.col("doc_id") % 97 == 0)
         .select("g")
         .union(spark.range(1).select(F.xxhash64(F.lit(_SNIPPET)).alias("g")))
@@ -447,10 +449,11 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bitmap: one row per 64-bit word that has any bit set (shiftleft's
     # Python signature wants a literal shift, so the variable shift goes
-    # through the SQL form on a named position column)
+    # through the SQL form on a named position column). Persisted: it is
+    # broadcast k times below, once per probe.
     pos = F.explode(F.array(*_bloom_positions(F.col("g")))).alias("pos")
     _mask = "shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"
-    bitmap = (
+    bitmap = scoped_persist(
         bench.select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
@@ -460,28 +463,31 @@ def ext_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or("mask").alias("word"))
     )
 
-    # probe: all k bits must be present
+    # probe: all k bits must be present. Probes run as SEQUENTIAL inner
+    # joins, each followed immediately by its bit test: probe 0 rejects
+    # ~(1 - set_bits/m) of the corpus grams before probes 1..k-1 ever
+    # compute their positions or join (the earlier form ran all k left
+    # joins over the FULL gram stream and filtered only at the end). An
+    # inner join + bit filter is equivalent to that left join's
+    # (_word IS NOT NULL AND bit set) conjunct: bitmap rows exist
+    # exactly for the words with any set bit, and conjunct order cannot
+    # change a pure filter's result set.
     probe = grams
     for i, p in enumerate(_bloom_positions(F.col("g"))):
-        probe = (
-            probe.withColumn(f"_p{i}", p)
-            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 64).cast("int"))
-            .withColumn(f"_m{i}", F.expr(_mask.format(p=f"_p{i}")))
-        )
-    for i in range(_BLOOM_K):
         bm = F.broadcast(
             bitmap.select(
                 F.col("word_idx").alias(f"_w{i}"),
                 F.col("word").alias(f"_word{i}"),
             )
         )
-        probe = probe.join(bm, f"_w{i}", "left")
-    passed = probe.filter(
-        " AND ".join(
-            f"(_word{i} IS NOT NULL AND (_word{i} & _m{i}) != 0)"
-            for i in range(_BLOOM_K)
+        probe = (
+            probe.withColumn(f"_p{i}", p)
+            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 64).cast("int"))
+            .withColumn(f"_m{i}", F.expr(_mask.format(p=f"_p{i}")))
+            .join(bm, f"_w{i}")
+            .filter(F.expr(f"(_word{i} & _m{i}) != 0"))
         )
-    ).select("doc_id", "g")
+    passed = probe.select("doc_id", "g")
 
     # exact verify on the bloom survivors only (unhinted join: at real
     # benchmark scale both sides are shuffle-sized, and AQE will still

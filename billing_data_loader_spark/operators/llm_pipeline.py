@@ -1338,12 +1338,14 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, no rounding.
 
     Shape: one shuffle builds per-doc shingle sets + 64 minhashes
-    (collect_set + parallel min aggregates); the band self-join keys on
-    (lang, band, band_sig) with doc_a < doc_b; exact verification
-    touches O(candidates) rows via two joins on the persisted signature
-    frame. Nothing scales with pairs-across-the-corpus — only with
-    near-duplicate density, exactly like the production GPT-3/RefinedWeb
-    dedup loops this models."""
+    (collect_set + parallel min aggregates); candidate pairs come from
+    ONE groupBy of the exploded band table with intra-bucket array
+    combinatorics (the sibling ext_neardup_minhash_lsh shape — the r12
+    band SELF-join here shuffled the band table twice and built a join
+    hash over it); exact verification touches O(candidates) rows via
+    two joins on the persisted signature frame. Nothing scales with
+    pairs-across-the-corpus — only with near-duplicate density, exactly
+    like the production GPT-3/RefinedWeb dedup loops this models."""
     d = load(spark, sf_dir, "documents")
     tok = _hashed_shingle_tokens(
         d.select("doc_id", "text", "lang"), distinct=False
@@ -1376,19 +1378,23 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", "lang", F.posexplode(band_sigs).alias("band", "band_sig")
     )
+    buckets = (
+        bands.groupBy("lang", "band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     asets = sig.select(
