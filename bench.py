@@ -309,6 +309,25 @@ def main() -> None:
         + "\n"
     )
 
+    # Shut Spark down BEFORE the final print (VERDICT r13 #1): the r13
+    # driver run lost its one-line JSON because a state-store maintenance
+    # thread's shutdown exception ("RpcEnv already stopped") landed after
+    # the JSON in the combined output tail (BENCH_r13.json parsed: null).
+    # Stopping every active streaming query and then the session here
+    # flushes all Spark shutdown noise first; the brief sleep lets any
+    # straggler JVM threads finish writing, so the JSON line below is the
+    # last thing in the process's output.
+    for _q in spark.streams.active:
+        try:
+            _q.stop()
+        except Exception:  # noqa: BLE001 - shutdown noise must not cost the JSON
+            pass
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    time.sleep(2.0)
+
     # flagship subset only on stdout (BASELINE.md comparison queries);
     # everything else lives in BENCH_DETAIL.json
     flagship = [
@@ -340,7 +359,8 @@ def main() -> None:
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -1345,7 +1345,18 @@ def ext_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash over it); exact verification touches O(candidates) rows via
     two joins on the persisted signature frame. Nothing scales with
     pairs-across-the-corpus — only with near-duplicate density, exactly
-    like the production GPT-3/RefinedWeb dedup loops this models."""
+    like the production GPT-3/RefinedWeb dedup loops this models.
+
+    Bound (ADVICE r13): the array combinatorics materialize all
+    O(|bucket|^2) pairs of one (lang, band, band_sig) bucket inside a
+    single aggregate task's flatten, whereas the old self-join streamed
+    pairs and AQE could skew-split a degenerate bucket. A pathological
+    corpus where most docs share a band signature (one boilerplate page
+    duplicated corpus-wide) risks one oversized task; the production
+    guard is a bucket-size cap (drop or sample buckets over ~10k
+    members — such a bucket is all-pairs-duplicate anyway; the same
+    disclosure as ext_cross_source_overlap's collect_set bound). At
+    fixture scale max |bucket| is single digits."""
     d = load(spark, sf_dir, "documents")
     tok = _hashed_shingle_tokens(
         d.select("doc_id", "text", "lang"), distinct=False

@@ -112,55 +112,15 @@ _GRADING_PRIORITY = [
 ]
 
 
-#: Keys added mid-round-13 AFTER the grading window was frozen (the
-#: late-round-2 precedent): the r13 window is exactly 10 unrecorded +
-#: 4 changed + the full 36-key r6 re-grade cohort (VERDICT r12 #4), so
-#: these sort LAST regardless of their unrecorded status instead of
-#: evicting the cohort. EMPTY this list at the r14 start — the keys
-#: then become ordinary unrecorded tier-1 entries and rotate to the
-#: front of the window.
-_DEFER_BEHIND_WINDOW = frozenset(
-    {
-        "ext_ndcg_eval",
-        "ext_avg_precision",
-        "ext_mcnemar_test",
-        "prof_ks_test",
-        "prof_cramers_v",
-        "prof_outlier_iqr",
-        "ext_dedup_soft_weight",
-        "ext_cross_source_overlap",
-        "ts_theil_sen",
-        "join_lateral_topk",
-        "prof_id_gaps",
-        "bill_cohort_arpu",
-        "ext_label_noise_knn",
-        "ts_dow_hour_profile",
-        "ext_quantile_bin_features",
-        "ext_target_encode",
-        "ext_funnel_latency",
-        "ext_er_blocking_audit",
-        "ext_bootstrap_ci_mean",
-        "ext_code_switch_detect",
-        "ext_mrr_eval",
-        "ext_lift_gain",
-        "prof_spearman_corr",
-        "ext_winnowing_fingerprint",
-        "ext_gopher_rules",
-        "ext_hll_error_sweep",
-        "ext_woe_iv",
-        "ext_feature_hash_cross",
-        "ext_hilbert_layout",
-        "agg_higher_moments",
-        "ts_peak_detect",
-        "bill_tier_migration",
-        "ext_dp_laplace_counts",
-        "ext_kanonymity_audit",
-        "stream_chained_windows",
-        "udf_pandas_iter",
-        "ext_lm_kneser_ney",
-        "ext_consistent_hash_ring",
-    }
-)
+#: Keys added mid-round-13 AFTER the grading window was frozen sorted
+#: last for ONE round so they would not evict the r6 re-grade cohort
+#: (VERDICT r12 #4). Emptied at the r14 start as planned (VERDICT r13
+#: #2): the 38 formerly deferred keys are now ordinary unrecorded
+#: tier-1 entries and rotate to the FRONT of the driver's 50-key
+#: correctness window, so the 5 of them the r13 optimizer modified
+#: (bill_cohort_arpu, ext_cross_source_overlap, prof_spearman_corr,
+#: ext_label_noise_knn, ext_mrr_eval) finally get driver-oracle-graded.
+_DEFER_BEHIND_WINDOW: frozenset[str] = frozenset()
 
 
 def _scan_records() -> tuple[dict[str, int], dict[str, int]]:

@@ -12,13 +12,19 @@ genuine trough number, not the min of three polluted runs.
 Usage:
     python tools/quiet_measure.py [--sf DIR] [--runs N] [--gate G]
                                   [--plans SUBDIR --suffix before|after]
-                                  key1 key2 ...
+                                  [--inclusive] key1 key2 ...
+
+--inclusive starts the timer BEFORE fn(spark, sf) — the exact region
+bench.py and the grading driver time. Required for keys whose fn performs
+model-sized driver actions (closure-captured centroids/pivots for Arrow
+UDFs): timing only the collect would hide that work.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -38,6 +44,14 @@ def _wait_quiet(gate: float, timeout: float = 900.0) -> None:
         if os.getloadavg()[0] < gate:
             return
         time.sleep(10)
+    # ADVICE r13: a timeout exit means the gate never opened (possibly our
+    # own decaying load) and the next rep runs UNGATED — say so instead of
+    # returning silently.
+    print(
+        f"  _wait_quiet: gate {gate} not reached in {timeout:.0f}s "
+        f"(loadavg {os.getloadavg()[0]:.1f}) — next rep runs ungated",
+        flush=True,
+    )
 
 
 def main() -> None:
@@ -66,6 +80,9 @@ def main() -> None:
         i = args.index("--suffix")
         suffix = args[i + 1]
         del args[i : i + 2]
+    inclusive = "--inclusive" in args
+    if inclusive:
+        args.remove("--inclusive")
 
     spark = get_spark("bdl-quiet-measure")
     specs = catalog()
@@ -79,34 +96,46 @@ def main() -> None:
     out: dict[str, dict] = {}
     for key in args:
         times: list[float] = []
+        contended_kept = 0  # ADVICE r13: burst reps recorded after retries
         extra = _MAX_EXTRA
         r = 0
         while len(times) < runs:
             _wait_quiet(gate)
             spark.sparkContext.setJobDescription(f"quiet_measure:{key}#{r}")
             r += 1
-            df = specs[key].fn(spark, sf)
-            t0 = time.perf_counter()
-            df.toPandas()
+            if inclusive:
+                t0 = time.perf_counter()
+                specs[key].fn(spark, sf).toPandas()
+            else:
+                df = specs[key].fn(spark, sf)
+                t0 = time.perf_counter()
+                df.toPandas()
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
             end_load = os.getloadavg()[0]
-            if end_load > _BURST and extra > 0:
-                extra -= 1
-                print(
-                    f"  {key}: rep discarded (end loadavg {end_load:.1f}):"
-                    f" {dt:.3f}s",
-                    flush=True,
-                )
-                continue
+            if end_load > _BURST:
+                if extra > 0:
+                    extra -= 1
+                    print(
+                        f"  {key}: rep discarded (end loadavg "
+                        f"{end_load:.1f}): {dt:.3f}s",
+                        flush=True,
+                    )
+                    continue
+                # retries exhausted: keep the rep but FLAG it so the
+                # published min can never silently be a polluted number
+                contended_kept += 1
             times.append(dt)
         spark.sparkContext.setJobDescription(None)
         times.sort()
         out[key] = {
             "min": round(times[0], 4),
-            "median": round(times[len(times) // 2], 4),
+            "median": round(statistics.median(times), 4),
             "all": [round(t, 4) for t in times],
         }
+        if contended_kept:
+            out[key]["contended"] = True
+            out[key]["n_contended_reps"] = contended_kept
         if plans_dir is not None:
             plans_dir.mkdir(parents=True, exist_ok=True)
             df = specs[key].fn(spark, sf)
