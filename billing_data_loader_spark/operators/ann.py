@@ -36,6 +36,85 @@ def _cos(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+# --- vectorized exact-fold kernels (r14 Arrow port, guide §4.2) ---------------
+#
+# The ANN family's per-vector model scans (nearest pivot, codebook argmin,
+# LSH signature bits) were Catalyst higher-order-function folds — interpreted
+# per element, ~1-3k FP ops per vector per operator. Each kernel below
+# replays the IDENTICAL per-row IEEE op sequence (ascending-index left fold,
+# the _fold_cos_rows discipline that hash-matched in r13) vectorized ACROSS
+# rows in numpy, so every emitted double is bit-identical to the Catalyst
+# fold it replaces. Quantization (ROUND(x, 9)) deliberately STAYS in the JVM:
+# kernels return unrounded fold results and the argmin/argmax over rounded
+# values is a shallow JVM array op — so BigDecimal HALF_UP semantics are
+# never replicated in Python (the r13 parity blocker, dissolved).
+#
+# Model constants (pivots / codebooks / centroids / LSH planes) enter the
+# kernels by CLOSURE from a model-sized driver collect — k x dims doubles,
+# KBs at any corpus scale — the guide §3.2 pattern (its manual Bloom filter
+# is likewise a driver-side action inside the query path) and §4.5's
+# reference-data shape. Passing them as a crossJoined column instead would
+# duplicate the model per row across the Arrow boundary (~9 KB/vector, the
+# rejected r13 design).
+
+
+def _np_fold_dots(x_mat, p_mat):
+    """(n, d) x (k, d) -> (n, k) left-fold dot products: out[r, j] is the
+    sequential fold acc += x[i] * p[i] in ascending i — bit-identical per
+    (row, model-row) to aggregate(zip_with(a, b, x*y), 0.0, acc + x)."""
+    import numpy as np
+
+    out = np.zeros((x_mat.shape[0], p_mat.shape[0]))
+    for i in range(x_mat.shape[1]):
+        out += x_mat[:, i : i + 1] * p_mat[:, i][None, :]
+    return out
+
+
+def _np_fold_sqds(x_mat, c_mat):
+    """(n, d) x (k, d) -> (n, k) left-fold squared distances: per element
+    (x - c) * (x - c) then ascending-index adds — bit-identical to the
+    zip_with/aggregate fold in _sq_dist / _pq_sub_sqd."""
+    import numpy as np
+
+    out = np.zeros((x_mat.shape[0], c_mat.shape[0]))
+    for i in range(x_mat.shape[1]):
+        d = x_mat[:, i : i + 1] - c_mat[:, i][None, :]
+        out += d * d
+    return out
+
+
+def _np_fold_cos_mat(x_mat, p_mat):
+    """(n, d) x (k, d) -> (n, k) exact-fold cosines: three fold reductions
+    then dot / (sqrt(nx) * sqrt(np)) — the _fold_cos_rows op sequence on a
+    full row x model matrix."""
+    import numpy as np
+
+    n, k = x_mat.shape[0], p_mat.shape[0]
+    dot = np.zeros((n, k))
+    nx = np.zeros(n)
+    npp = np.zeros(k)
+    for i in range(x_mat.shape[1]):
+        a = x_mat[:, i]
+        b = p_mat[:, i]
+        dot += a[:, None] * b[None, :]
+        nx += a * a
+        npp += b * b
+    return dot / (np.sqrt(nx)[:, None] * np.sqrt(npp)[None, :])
+
+
+def _collect_model(df, order_col: str, vec_col: str):
+    """Collect a model-sized (id, vector) frame to the driver, sorted by id:
+    returns (ids list, (k, d) float64 matrix). Model-sized means bounded by
+    k (pivot/codebook/centroid count), never by the corpus — the §3.2
+    driver-action budget."""
+    import numpy as np
+
+    rows = df.orderBy(order_col).collect()
+    ids = [r[order_col] for r in rows]
+    mat = np.array([r[vec_col] for r in rows], dtype="float64")
+    return ids, mat
+
+
 # --- ext_neardup_embedding --------------------------------------------------
 
 # No natural near-dups exist (max pairwise cosine 0.513 at sf0.01, verified),
@@ -245,55 +324,69 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: pivots broadcast (KB); assignment is a map-side argmin —
     the corpus shuffles ONCE on cell_id and is then bucketed for every
-    subsequent query; per-query work is nprobe cells, not the corpus."""
+    subsequent query; per-query work is nprobe cells, not the corpus.
+
+    r14 Arrow port (guide §4.2): the per-vector 16-pivot cosine argmin was
+    an interpreted Catalyst HOF fold (~3k FP ops/vector); it now runs as
+    ONE numpy fold pass per Arrow batch inside mapInPandas, bit-identical
+    per row (see the kernel docstrings). The query vector and pivots enter
+    by closure from one model-sized driver collect (17 x 64 doubles — the
+    §3.2 driver-action budget), which also lets the probe-cell top-8 be
+    decided driver-side with the same exact fold and tie order — the old
+    probe subplan, its broadcast build, and the assignment crossJoin all
+    disappear: the returned plan is scan -> ArrowEvalPython -> TakeOrdered."""
+    import numpy as np
+
     from ..session import widen_scan
 
     e = widen_scan(load(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", "label", _as_double("embedding").alias("v"))
-    pivots = (
-        v.filter(F.col("vec_id").between(1, _N_PIVOTS))
-        .select(F.col("vec_id").alias("pivot_id"), F.col("v").alias("pv"))
+    v = e.select("vec_id", _as_double("embedding").alias("v"))
+    # model collect from the RAW scan (filter pushes down to parquet);
+    # collecting off the widened frame would pay a full-corpus repartition
+    # shuffle just to fetch 17 rows
+    head = {
+        int(r["vec_id"]): np.array(r["v"], dtype="float64")
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .filter(F.col("vec_id").between(0, _N_PIVOTS))
+        .collect()
+    }
+    qv = head[0]
+    pids = np.array(sorted(k for k in head if k >= 1), dtype="int64")
+    pmat = np.stack([head[int(p)] for p in pids])
+    # driver-side probe selection: exact-fold pivot-vs-query cosines, same
+    # (qcos DESC, pivot_id ASC) order as the old probe_cells subplan
+    qcos = _np_fold_cos_mat(pmat, qv[None, :])[:, 0]
+    order = sorted(range(len(pids)), key=lambda i: (-qcos[i], pids[i]))
+    probe_ids = np.array(
+        sorted(int(pids[i]) for i in order[:_N_PROBE]), dtype="int64"
     )
 
-    # map-side assignment: the 16 pivots are folded into ONE array row
-    # (broadcast nested-loop join of a 1-row frame — no shuffle), and the
-    # nearest pivot is an array_max over per-pivot (cosine, -pivot_id)
-    # structs evaluated inside the scan task. Struct ordering compares
-    # fields left-to-right, so ties break to the LOWEST pivot_id, matching
-    # the old window's (pcos DESC, pivot_id ASC). Zero exchanges: the
-    # corpus is never shuffled for assignment, only (optionally) once on
-    # cell_id when bucketing the index for reuse.
-    pivot_arr = pivots.agg(
-        F.collect_list(F.struct("pivot_id", "pv")).alias("ps")
-    )
-    best = F.array_max(
-        F.transform(
-            F.col("ps"),
-            lambda p: F.struct(
-                _cos(F.col("v"), p["pv"]).alias("pcos"),
-                (-p["pivot_id"]).alias("neg_pid"),
-            ),
-        )
-    )
-    assigned = (
-        v.crossJoin(F.broadcast(pivot_arr))
-        .select("vec_id", "v", (-best["neg_pid"]).alias("cell_id"))
-    )
+    def _score(batches):
+        import pandas as pd
 
-    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    probe_cells = (
-        pivots.crossJoin(F.broadcast(q))
-        .select("pivot_id", _cos(F.col("pv"), F.col("qv")).alias("qcos"))
-        .orderBy(F.col("qcos").desc(), F.col("pivot_id").asc())
-        .limit(_N_PROBE)
-        .select(F.col("pivot_id").alias("cell_id"))
-    )
+        cols = {"vec_id": "int64", "cos_sim": "float64"}
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({c: [] for c in cols}).astype(cols)
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x_mat = np.stack(pdf["v"].to_numpy())
+            cm = _np_fold_cos_mat(x_mat, pmat)
+            # argmax returns the FIRST max along the pid-ascending axis =
+            # the old struct(pcos, -pivot_id) max's lowest-pid tie-break
+            cells = pids[np.argmax(cm, axis=1)]
+            mask = np.isin(cells, probe_ids) & (ids != 0)
+            xs = x_mat[mask]
+            cos = (
+                _fold_cos_rows(xs, np.broadcast_to(qv, xs.shape))
+                if xs.shape[0]
+                else np.array([], dtype="float64")
+            )
+            yield pd.DataFrame({"vec_id": ids[mask], "cos_sim": cos})
 
     return (
-        assigned.join(F.broadcast(probe_cells), "cell_id")
-        .filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", _cos(F.col("v"), F.col("qv")).alias("cos_sim"))
+        v.mapInPandas(_score, "vec_id bigint, cos_sim double")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(_TOP_K)
     )
@@ -369,22 +462,55 @@ def _sq_dist(ve, cv):
     )
 
 
-def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """Map-side nearest-centroid: centroids fold into ONE broadcast array
-    row; argmin is an array_min over (dist, cid) structs inside the scan
-    task — the corpus never shuffles for assignment (same shape as
-    ext_ann_ivf's pivot assignment)."""
-    cent_arr = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
+def _km_assign_arrow(v: DataFrame, cids: list, cmat) -> DataFrame:
+    """Map-side nearest-centroid, r14 Arrow form (guide §4.2): the k x 64
+    squared-distance folds run vectorized in numpy per Arrow batch
+    (bit-identical left folds, UNROUNDED); ROUND(9) and the rounded-
+    distance argmin stay in the JVM as a shallow zip_with over the k-entry
+    array — same struct shape (dist, cid) and lowest-cid tie-break as the
+    old interpreted transform, so BigDecimal HALF_UP never crosses into
+    Python. Centroids enter by closure from a model-sized collect (k x
+    dims doubles — the §3.2 driver-action budget); the corpus still never
+    shuffles for assignment."""
+
+    def _dists(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "ve": [],
+                        "dists": [],
+                    }
+                )
+                continue
+            x_mat = np.stack(pdf["ve"].to_numpy())
+            dm = _np_fold_sqds(x_mat, cmat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "ve": pdf["ve"],
+                    "dists": list(dm),
+                }
+            )
+
+    out = v.mapInPandas(
+        _dists, "vec_id bigint, ve array<double>, dists array<double>"
+    )
+    cid_arr = F.array(*[F.lit(int(c)).cast("bigint") for c in cids])
     best = F.array_min(
-        F.transform(
-            F.col("cs"),
-            lambda c: F.struct(
-                F.round(_sq_dist(F.col("ve"), c["cv"]), 9).alias("dist"),
-                c["cid"].alias("cid"),
+        F.zip_with(
+            F.col("dists"),
+            cid_arr,
+            lambda d, c: F.struct(
+                F.round(d, 9).alias("dist"), c.alias("cid")
             ),
         )
     )
-    return v.crossJoin(F.broadcast(cent_arr)).select(
+    return out.select(
         "vec_id",
         "ve",
         best["cid"].alias("cid"),
@@ -408,20 +534,36 @@ def ext_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid, and centroid means use exact decimal sums (see
     functions/determinism.py) so iteration 2 sees bit-identical centroids.
     widen_scan: the map-side argmin folds run at scan task count otherwise.
-    """
+
+    r14 Arrow port: both Lloyd assignments run through _km_assign_arrow
+    (numpy folds, JVM rounded argmin). Iteration-2 centroids are the SAME
+    exact-decimal JVM means as before, collected as 8 x 64 model-sized
+    rows (§3.2 budget) so the second assignment's centroids enter by
+    closure — the returned plan is one scan -> ArrowEvalPython ->
+    project, with iteration 1 executed during query construction (the
+    bench and the driver time construction + collect together)."""
+    import numpy as np
+
     from ..session import widen_scan
 
     e = widen_scan(load(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", _as_double("embedding").alias("ve"))
-    cents = v.filter(F.col("vec_id").between(1, _KM_K)).select(
-        F.col("vec_id").alias("cid"), F.col("ve").alias("cv")
+    # seed collect from the RAW scan (pushed-down filter) — the widened
+    # frame would shuffle the corpus to fetch 8 rows
+    seed_rows = {
+        int(r["vec_id"]): np.array(r["ve"], dtype="float64")
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("ve"))
+        .filter(F.col("vec_id").between(1, _KM_K))
+        .collect()
+    }
+    cids = sorted(seed_rows)
+    assigned = _km_assign_arrow(
+        v, cids, np.stack([seed_rows[c] for c in cids])
     )
-    assigned = _assign(v, cents)
     for _ in range(_KM_ITERS - 1):
-        means = (
-            assigned.select(
-                "cid", F.posexplode("ve").alias("idx", "val")
-            )
+        mean_rows = (
+            assigned.select("cid", F.posexplode("ve").alias("idx", "val"))
             .groupBy("cid", "idx")
             .agg(
                 (
@@ -429,17 +571,22 @@ def ext_kmeans_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.count(F.lit(1))
                 ).alias("mean_val")
             )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("idx", "mean_val"))
-                    ),
-                    lambda s: s["mean_val"],
-                ).alias("cv")
-            )
+            .collect()  # k x dims rows — model-sized (§3.2 budget)
         )
-        assigned = _assign(v, means)
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["idx"])] = r[
+                "mean_val"
+            ]
+        cids = sorted(by_cid)
+        cmat = np.array(
+            [
+                [by_cid[c][i] for i in sorted(by_cid[c])]
+                for c in cids
+            ],
+            dtype="float64",
+        )
+        assigned = _km_assign_arrow(v, cids, cmat)
     return assigned.select(
         "vec_id", F.col("cid").cast("bigint").alias("cluster_id"), "sq_dist"
     )
@@ -590,109 +737,105 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are sized to its 500-2000 vectors — at real scale bits grow with
     log(corpus) and probing narrows, shrinking the scanned fraction; the
     multiprobe breadth here is the honest small-corpus trade to hold
-    recall (pinned in tests)."""
+    recall (pinned in tests).
+
+    r14 Arrow port (guide §4.2): the per-vector signature fold (18 plane
+    dots of 64 dims each, interpreted per element) now runs as one numpy
+    fold pass per Arrow batch inside mapInPandas, bit-identical per row
+    per plane (ascending-index left fold; the per-table signature is an
+    order-insensitive integer bit sum on both paths). Planes derive on the
+    driver from one model-sized collect of the 36 anchor rows + query
+    (§3.2 budget), which also lets the query's signatures, the multiprobe
+    code set, the candidate test AND the exact re-rank cosine all happen
+    inside the same map pass — the old persisted signature frame, its
+    probe broadcast join, and the candidate fetch-join all disappear: the
+    returned plan is scan -> ArrowEvalPython -> TakeOrdered."""
+    import numpy as np
+
     from ..session import widen_scan
 
     e = widen_scan(load(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", _as_double("embedding").alias("v"))
-
-    anchors = v.filter(F.col("vec_id").between(1, _LSH_ANCHORS))
-    blk = ((F.col("vec_id") - 1) / (2 * _LSH_BITS)).cast("int") + 1
-    off = F.col("vec_id") - (blk - 1) * (2 * _LSH_BITS)
-    a = anchors.filter(F.col("vec_id") % 2 == 1).select(
-        blk.alias("t"), ((off + 1) / 2).cast("int").alias("j"),
-        F.col("v").alias("av"),
-    )
-    b = anchors.filter(F.col("vec_id") % 2 == 0).select(
-        blk.alias("t"), (off / 2).cast("int").alias("j"),
-        F.col("v").alias("bv"),
-    )
-    planes = a.join(b, ["t", "j"]).select(
-        "t",
-        "j",
-        F.expr("cast(shiftleft(1, j - 1) as long)").alias("bit"),
-        F.zip_with("av", "bv", lambda x, y: x - y).alias("hv"),
-    )
-    # all 18 planes fold into ONE row; the per-table signature is an
-    # order-insensitive integer sum of per-plane bit contributions, so
-    # collect_list's nondeterministic order is harmless
-    plane_arr = planes.agg(
-        F.collect_list(F.struct("t", "j", "bit", "hv")).alias("ps")
-    )
-
-    def _sig(t: int):
-        return F.aggregate(
-            F.filter("ps", lambda p: p["t"] == t),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc
-            + F.when(_dot(F.col("v"), p["hv"]) >= 0, p["bit"]).otherwise(
-                F.lit(0).cast("long")
-            ),
+    # model collect from the RAW scan (pushed-down filter), never the
+    # widened frame — see the ext_ann_ivf note
+    head = {
+        int(r["vec_id"]): np.array(r["v"], dtype="float64")
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .filter(F.col("vec_id").between(0, _LSH_ANCHORS))
+        .collect()
+    }
+    qv = head[0]
+    # plane derivation replicates the old JVM frame arithmetic: anchor
+    # pair (2j-1, 2j) of block t spans plane (t, j) with hv = av - bv
+    tables: list[tuple] = []  # (bits_vec (m,), h_mat (m, d)) per table
+    per_t: dict[int, list] = {t: [] for t in range(1, _LSH_TABLES + 1)}
+    for a_id in range(1, _LSH_ANCHORS + 1, 2):
+        if a_id not in head or a_id + 1 not in head:
+            continue
+        blk = (a_id - 1) // (2 * _LSH_BITS) + 1
+        j = (a_id - (blk - 1) * 2 * _LSH_BITS + 1) // 2
+        per_t[blk].append((1 << (j - 1), head[a_id] - head[a_id + 1]))
+    for t in range(1, _LSH_TABLES + 1):
+        bits = np.array([p[0] for p in per_t[t]], dtype="int64")
+        h_mat = (
+            np.stack([p[1] for p in per_t[t]])
+            if per_t[t]
+            else np.zeros((0, qv.shape[0]))
         )
+        tables.append((bits, h_mat))
 
-    sig_rows = (
-        v.crossJoin(F.broadcast(plane_arr))
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"), _sig(t).alias("sig")
-                        )
-                        for t in range(1, _LSH_TABLES + 1)
-                    ]
-                )
-            ).alias("ts"),
-        )
-        .select("vec_id", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
-    )
-    # the signature frame feeds three consumers (query sigs, the probe
-    # join, nothing else re-derives it) — persist once per declared query
-    # so the 18-dot fold per vector runs a single time
-    from ..session import scoped_persist
+    def _sigs(x_mat):
+        """(n, d) -> (n, n_tables) int64 signatures, exact-fold dots."""
+        out = []
+        for bits, h_mat in tables:
+            if h_mat.shape[0] == 0:
+                out.append(np.zeros(x_mat.shape[0], dtype="int64"))
+                continue
+            dots = _np_fold_dots(x_mat, h_mat)
+            out.append(((dots >= 0) * bits[None, :]).sum(axis=1))
+        return np.stack(out, axis=1)
 
-    sig_rows = scoped_persist(sig_rows)
+    # query signatures + multiprobe code set (Hamming radius 2 over the
+    # fixed _LSH_BITS width — the old probe_exprs), all driver-side ints
+    qsig = _sigs(qv[None, :])[0]
+    probe_sets = []
+    for t in range(_LSH_TABLES):
+        s = int(qsig[t])
+        codes = {s}
+        codes |= {s ^ (1 << (j - 1)) for j in range(1, _LSH_BITS + 1)}
+        codes |= {
+            s ^ ((1 << (j - 1)) | (1 << (k - 1)))
+            for j in range(1, _LSH_BITS + 1)
+            for k in range(j + 1, _LSH_BITS + 1)
+        }
+        probe_sets.append(np.array(sorted(codes), dtype="int64"))
 
-    qsig = sig_rows.filter(F.col("vec_id") == 0)
-    probe_exprs = [F.col("sig")]
-    probe_exprs += [
-        F.col("sig").bitwiseXOR(F.lit(1 << (j - 1)).cast("long"))
-        for j in range(1, _LSH_BITS + 1)
-    ]
-    probe_exprs += [
-        F.col("sig").bitwiseXOR(
-            F.lit((1 << (j - 1)) | (1 << (k - 1))).cast("long")
-        )
-        for j in range(1, _LSH_BITS + 1)
-        for k in range(j + 1, _LSH_BITS + 1)
-    ]
-    # probes derives FROM sig_rows (the query row), so the self-join must
-    # rename both key columns — a bare sig_rows.t == probes.t resolves both
-    # sides to the same attribute (trivially-true predicate) and would
-    # cross-match probe codes across tables
-    probes = (
-        qsig.select(
-            F.col("t").alias("pt"),
-            F.explode(F.array(*probe_exprs)).alias("psig"),
-        )
-        .distinct()
-    )
+    def _score(batches):
+        import pandas as pd
 
-    cand_ids = (
-        sig_rows.join(
-            F.broadcast(probes),
-            (F.col("t") == F.col("pt")) & (F.col("sig") == F.col("psig")),
-        )
-        .select("vec_id")
-        .filter(F.col("vec_id") != 0)
-        .distinct()
-    )
-    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+        cols = {"vec_id": "int64", "cos_sim": "float64"}
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({c: [] for c in cols}).astype(cols)
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x_mat = np.stack(pdf["v"].to_numpy())
+            sigs = _sigs(x_mat)
+            cand = np.zeros(len(ids), dtype=bool)
+            for t in range(_LSH_TABLES):
+                cand |= np.isin(sigs[:, t], probe_sets[t])
+            cand &= ids != 0
+            xs = x_mat[cand]
+            cos = (
+                _fold_cos_rows(xs, np.broadcast_to(qv, xs.shape))
+                if xs.shape[0]
+                else np.array([], dtype="float64")
+            )
+            yield pd.DataFrame({"vec_id": ids[cand], "cos_sim": cos})
+
     return (
-        v.join(cand_ids, "vec_id")
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", _cos(F.col("v"), F.col("qv")).alias("cos_sim"))
+        v.mapInPandas(_score, "vec_id bigint, cos_sim double")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(_TOP_K)
     )
@@ -946,8 +1089,108 @@ def _pq_attach_codes(out: DataFrame, cols: list[str]) -> DataFrame:
     return out.select(*cols, err.alias("recon_err"))
 
 
+# r14 Arrow port (guide §4.2): the encoder's 4 x 16-code x 16-dim Catalyst
+# folds (~1k interpreted FP ops/vector) move into numpy inside mapInPandas,
+# which returns the UNROUNDED per-subspace distance arrays (bit-identical
+# left folds). ROUND(x, 9), the argmin over rounded distances, and the
+# recon_err sum stay in the JVM — BigDecimal HALF_UP is never replicated in
+# Python — as a shallow transform over 16-element arrays. The four sibling
+# transforms keep the r8 PITFALL discipline (distinct lambda arg names).
+_PQ_DIST_LAMS = (
+    lambda e0, i0: F.struct(
+        (-F.round(e0, 9)).alias("neg_d"), (-(i0 + 1)).alias("neg_code")
+    ),
+    lambda e1, i1: F.struct(
+        (-F.round(e1, 9)).alias("neg_d"), (-(i1 + 1)).alias("neg_code")
+    ),
+    lambda e2, i2: F.struct(
+        (-F.round(e2, 9)).alias("neg_d"), (-(i2 + 1)).alias("neg_code")
+    ),
+    lambda e3, i3: F.struct(
+        (-F.round(e3, 9)).alias("neg_d"), (-(i3 + 1)).alias("neg_code")
+    ),
+)
+
+_PQ_DISTS_SCHEMA_TAIL = ", ".join(
+    f"d{m} array<double>" for m in range(_PQ_M)
+)
+
+
+def _pq_collect_codebook(spark: SparkSession, sf_dir: str):
+    """Model-sized driver collect of codebook rows 1.._PQ_K, code-ascending
+    (k x d doubles, KBs at any corpus scale — the §3.2 budget). Reads the
+    RAW scan so the id filter pushes down to parquet — never a widened
+    frame, whose repartition would shuffle the corpus to fetch 16 rows."""
+    import numpy as np
+
+    rows = {
+        int(r["vec_id"]): np.array(r["v"], dtype="float64")
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .filter(F.col("vec_id").between(1, _PQ_K))
+        .collect()
+    }
+    return np.stack([rows[c] for c in sorted(rows)])
+
+
+def _pq_subspace_dists(x_mat, cmat):
+    """(n, d) -> dict of 4 (n, 16) unrounded subspace distance matrices,
+    exact-fold order per row/code (codes ascend along axis 1)."""
+    out = {}
+    for m in range(_PQ_M):
+        sl = slice(m * _PQ_SUB, (m + 1) * _PQ_SUB)
+        out[m] = _np_fold_sqds(x_mat[:, sl], cmat[:, sl])
+    return out
+
+
+def _pq_codes_from_dists(out: DataFrame, cols: list[str]) -> DataFrame:
+    """JVM argmin over ROUNDED distance arrays: same struct shape, field
+    order, and tie-break as _pq_attach_codes (array index i <-> code i+1
+    because the codebook collect is code-ascending); recon_err sums the
+    four rounded minima in the same fixed order."""
+    cols = [*cols]
+    err = None
+    for m in range(_PQ_M):
+        best = F.array_max(F.transform(F.col(f"d{m}"), _PQ_DIST_LAMS[m]))
+        out = out.withColumn(f"_b{m}", best)
+        cols.append(f"code_{m}")
+        out = out.withColumn(
+            f"code_{m}", (-F.col(f"_b{m}")["neg_code"]).cast("long")
+        )
+        term = -F.col(f"_b{m}")["neg_d"]
+        err = term if err is None else err + term
+    return out.select(*cols, err.alias("recon_err"))
+
+
+def _pq_query_dist_arrays(qv, cmat):
+    """Driver-side UNROUNDED query->codebook subspace distances (the ADC
+    table's values before their JVM round): 4 lists of _PQ_K floats,
+    code-ascending — exact folds, so F.round(lit, 9) at lookup time equals
+    the old JVM-computed rounded table entry bit for bit."""
+    d = _pq_subspace_dists(qv[None, :], cmat)
+    return [[float(x) for x in d[m][0]] for m in range(_PQ_M)]
+
+
+def _pq_adc_score_lit(qd):
+    """Approximate distance = four literal-array lookups, each rounded in
+    the JVM exactly as the old broadcast distance table's entries were."""
+    score = None
+    for m in range(_PQ_M):
+        term = F.round(
+            F.element_at(
+                F.array(*[F.lit(x) for x in qd[m]]),
+                F.col(f"code_{m}").cast("int"),
+            ),
+            9,
+        )
+        score = term if score is None else score + term
+    return score
+
+
 @query("ext_pq_encode", oracle=_PQ_ORACLE, tier=3)
-def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_pq_encode(
+    spark: SparkSession, sf_dir: str, _cmat=None
+) -> DataFrame:
     """Product-quantization encoding: each 64-dim vector becomes 4 codes
     (one 16-entry codebook per 16-dim subspace) plus its reconstruction
     error — the 64x-compressed representation IVFPQ-style ANN indexes
@@ -968,17 +1211,47 @@ def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace — zero exchanges, the corpus is never shuffled. At 100 TB:
     scan -> encode -> sink, with the codebook a few KB broadcast; a
     trained codebook (per-subspace k-means) swaps in as the same 1-row
-    broadcast."""
+    broadcast.
+
+    r14 Arrow port (guide §4.2): the 4 x 16-code x 16-dim distance folds
+    run vectorized in numpy per Arrow batch (bit-identical left folds,
+    unrounded); ROUND(9), the rounded-distance argmin, and recon_err stay
+    JVM-side as a shallow array transform (_pq_codes_from_dists), so
+    BigDecimal HALF_UP semantics never cross into Python."""
     from ..session import widen_scan
 
     e = widen_scan(load(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", _as_double("embedding").alias("v"))
-    cb = (
-        v.filter(F.col("vec_id").between(1, _PQ_K))
-        .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
-        .agg(F.collect_list(F.struct("code", "cv")).alias("cbs"))
+    # _cmat lets a composing caller (ext_ann_pq_search) reuse its own
+    # model collect instead of paying a second driver job per invocation
+    cmat = _cmat if _cmat is not None else _pq_collect_codebook(spark, sf_dir)
+
+    def _dists(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        **{f"d{m}": [] for m in range(_PQ_M)},
+                    }
+                )
+                continue
+            x_mat = np.stack(pdf["v"].to_numpy())
+            d = _pq_subspace_dists(x_mat, cmat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    **{f"d{m}": list(d[m]) for m in range(_PQ_M)},
+                }
+            )
+
+    dists = v.mapInPandas(
+        _dists, f"vec_id bigint, {_PQ_DISTS_SCHEMA_TAIL}"
     )
-    return _pq_attach_codes(v.crossJoin(F.broadcast(cb)), ["vec_id"])
+    return _pq_codes_from_dists(dists, ["vec_id"])
 
 
 # --- ext_ann_pq_search --------------------------------------------------------
@@ -1145,26 +1418,36 @@ def ext_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder's lambda-collision note); scoring is map-side element_at,
     top-10 is TakeOrderedAndProject, and only the 10 winners join back
     for vectors. At 100 TB: scan codes -> project -> top-k; the corpus
-    vectors are touched only for the final 10 fetches."""
+    vectors are touched only for the final 10 fetches.
+
+    r14 Arrow port: codes come from the ported encoder; the query's
+    distance table is computed driver-side from the same model-sized
+    collect (UNROUNDED exact folds) and enters the plan as four literal
+    16-entry arrays whose lookups round in the JVM — value-for-value the
+    old broadcast table, with its crossJoin/aggregate subplan gone."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings")
     v = e.select("vec_id", _as_double("embedding").alias("v"))
-    cbr = v.filter(F.col("vec_id").between(1, _PQ_K)).select(
-        F.col("vec_id").alias("code"), F.col("v").alias("cv")
-    )
-    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    # ONE model-sized collect covers query + codebook (rows 0.._PQ_K)
+    head = {
+        int(r["vec_id"]): np.array(r["v"], dtype="float64")
+        for r in v.filter(F.col("vec_id").between(0, _PQ_K)).collect()
+    }
+    qv = head[0]
+    cmat = np.stack([head[c] for c in sorted(head) if c >= 1])
+    qd = _pq_query_dist_arrays(qv, cmat)
 
-    dt = _pq_distance_table(cbr, q)
-
-    codes = ext_pq_encode(spark, sf_dir).select(
+    codes = ext_pq_encode(spark, sf_dir, _cmat=cmat).select(
         "vec_id", "code_0", "code_1", "code_2", "code_3"
     )
     topk = (
         codes.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(dt))
-        .select("vec_id", _pq_adc_score().alias("approx_dist"))
+        .select("vec_id", _pq_adc_score_lit(qd).alias("approx_dist"))
         .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
         .limit(_PQS_TOP_K)
     )
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
         topk.join(v, "vec_id")
         .crossJoin(F.broadcast(q))
@@ -1316,71 +1599,96 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject; only the 10 winners join back for vectors.
     At 100 TB the corpus shuffles ONCE (bucketing by cell_id at index
     build); every query after that reads nprobe cells' codes and nothing
-    else."""
+    else.
+
+    r14 Arrow port (guide §4.2): the fused encode+assign projection — the
+    most CPU-dense map pass in the ANN family (4 subspace argmins + a
+    16-pivot cosine argmin per vector, all interpreted HOF folds) — now
+    runs as one numpy fold pass per Arrow batch inside mapInPandas,
+    emitting cell_id plus the UNROUNDED subspace distance arrays and
+    keeping only probed-cell candidates (the probe top-8 is decided
+    driver-side from the same model-sized pivot/codebook collect, exact
+    fold + tie order). ROUND(9), the rounded-distance code argmin, and
+    the ADC sum stay JVM-side (_pq_codes_from_dists /
+    _pq_adc_score_lit), so BigDecimal HALF_UP never crosses into Python.
+    The pivot/codebook crossJoins, the probe subplan, and the broadcast
+    distance table all disappear from the returned plan."""
+    import numpy as np
+
     from ..session import widen_scan
 
-    # widen_scan: the fused encode+assign projection is the most CPU-dense
-    # map pass in the ANN family (4 subspace argmins + a 16-pivot cosine
-    # argmin per vector) — at one-row-group scan width it runs on a single
-    # core (the ext_pq_encode precedent)
     e = widen_scan(load(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", _as_double("embedding").alias("v"))
-    pivots = v.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
-        F.col("vec_id").alias("pivot_id"), F.col("v").alias("pv")
+    # model collect from the RAW scan (pushed-down filter) — see the
+    # ext_ann_ivf note
+    head = {
+        int(r["vec_id"]): np.array(r["v"], dtype="float64")
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .filter(F.col("vec_id").between(0, max(_N_PIVOTS, _PQ_K)))
+        .collect()
+    }
+    qv = head[0]
+    pids = np.array(
+        sorted(k for k in head if 1 <= k <= _N_PIVOTS), dtype="int64"
     )
-    pivot_arr = pivots.agg(
-        F.collect_list(F.struct("pivot_id", "pv")).alias("ps")
+    pmat = np.stack([head[int(p)] for p in pids])
+    cmat = np.stack(
+        [head[c] for c in sorted(head) if 1 <= c <= _PQ_K]
     )
-    cb = (
-        v.filter(F.col("vec_id").between(1, _PQ_K))
-        .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
-        .agg(F.collect_list(F.struct("code", "cv")).alias("cbs"))
+    # driver-side probe selection — exact-fold pivot-vs-query cosines,
+    # same (qcos DESC, pivot_id ASC) order as the old probe_cells subplan
+    qcos = _np_fold_cos_mat(pmat, qv[None, :])[:, 0]
+    order = sorted(range(len(pids)), key=lambda i: (-qcos[i], pids[i]))
+    probe_ids = np.array(
+        sorted(int(pids[i]) for i in order[:_N_PROBE]), dtype="int64"
     )
+    qd = _pq_query_dist_arrays(qv, cmat)
 
-    # fused encode + assign: both argmaxes evaluate in one projection
-    # (lambda arg `pa` for the pivot transform is distinct from the
-    # encoder's p0..p3 — the r8 PITFALL discipline)
-    best_cell = F.array_max(
-        F.transform(
-            F.col("ps"),
-            lambda pa: F.struct(
-                _cos(F.col("v"), pa["pv"]).alias("pcos"),
-                (-pa["pivot_id"]).alias("neg_pid"),
-            ),
-        )
-    )
-    fused = (
-        v.crossJoin(F.broadcast(cb))
-        .crossJoin(F.broadcast(pivot_arr))
-        .withColumn("cell_id", -best_cell["neg_pid"])
-    )
-    codes = _pq_attach_codes(fused, ["vec_id", "cell_id"]).select(
-        "vec_id", "cell_id", "code_0", "code_1", "code_2", "code_3"
-    )
+    def _fused(batches):
+        import pandas as pd
 
-    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    probe_cells = (
-        pivots.crossJoin(F.broadcast(q))
-        .select("pivot_id", _cos(F.col("pv"), F.col("qv")).alias("qcos"))
-        .orderBy(F.col("qcos").desc(), F.col("pivot_id").asc())
-        .limit(_N_PROBE)
-        .select(F.col("pivot_id").alias("cell_id"))
-    )
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "cell_id": pd.Series([], dtype="int64"),
+                        **{f"d{m}": [] for m in range(_PQ_M)},
+                    }
+                )
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            x_mat = np.stack(pdf["v"].to_numpy())
+            cm = _np_fold_cos_mat(x_mat, pmat)
+            # argmax = first max along the pid-ascending axis = the old
+            # struct(pcos, -pivot_id) max's lowest-pid tie-break
+            cells = pids[np.argmax(cm, axis=1)]
+            mask = np.isin(cells, probe_ids) & (ids != 0)
+            d = _pq_subspace_dists(x_mat[mask], cmat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[mask],
+                    "cell_id": cells[mask],
+                    **{f"d{m}": list(d[m]) for m in range(_PQ_M)},
+                }
+            )
 
-    cbr = v.filter(F.col("vec_id").between(1, _PQ_K)).select(
-        F.col("vec_id").alias("code"), F.col("v").alias("cv")
-    )
-    dt = _pq_distance_table(cbr, q)
-
-    cand = codes.join(F.broadcast(probe_cells), "cell_id").filter(
-        F.col("vec_id") != 0
+    cand = _pq_codes_from_dists(
+        v.mapInPandas(
+            _fused,
+            f"vec_id bigint, cell_id bigint, {_PQ_DISTS_SCHEMA_TAIL}",
+        ),
+        ["vec_id", "cell_id"],
     )
     topk = (
-        cand.crossJoin(F.broadcast(dt))
-        .select("vec_id", "cell_id", _pq_adc_score().alias("approx_dist"))
+        cand.select(
+            "vec_id", "cell_id", _pq_adc_score_lit(qd).alias("approx_dist")
+        )
         .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
         .limit(_IVFPQ_TOP_K)
     )
+    q = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
         topk.join(v, "vec_id")
         .crossJoin(F.broadcast(q))

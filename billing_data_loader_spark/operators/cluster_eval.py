@@ -466,9 +466,20 @@ def ext_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast 8-row centroid frame (map-side fold per point); the
     per-point and per-cluster reductions key on vec_id / cluster_id —
     nothing global but the kmeans helper's own 1-row folds
-    (EXPECTED_FLAGS, inherited)."""
+    (EXPECTED_FLAGS, inherited).
+
+    r14 Arrow port (guide §4.2): the per-point k x 64 distance folds run
+    vectorized in numpy per Arrow batch (bit-identical left folds,
+    UNROUNDED); ROUND(9) and the a/b reads stay JVM-side over the k-entry
+    array. Centroids are the SAME 9dp davg means as before, collected as
+    k x 64 model-sized rows (§3.2 budget) and closed over — which also
+    deletes the old 8x crossJoin row expansion AND the groupBy(vec_id)
+    re-shuffle of the expanded frame: a_dist is element_at(own cluster),
+    b_dist is array_min over the others, both on the same row."""
     from ..functions.determinism import davg
-    from .ann import _as_double, ext_kmeans_lite
+    from .ann import _as_double, _np_fold_sqds, ext_kmeans_lite
+
+    import numpy as np
 
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("ve")
@@ -478,39 +489,61 @@ def ext_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster_id")
         .join(v, "vec_id")
     )
-    md = (
+    md_rows = (
         a.select("cluster_id", F.posexplode("ve").alias("idx", "val"))
         .groupBy("cluster_id", "idx")
         .agg(davg("val", "m", 9))
+        .collect()  # k x dims rows — model-sized
     )
-    cents = md.groupBy("cluster_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("idx", "m"))),
-            lambda s: s.m,
-        ).alias("cv")
-    ).select(F.col("cluster_id").alias("cid"), "cv")
-    pc = a.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in md_rows:
+        by_cid.setdefault(int(r["cluster_id"]), {})[int(r["idx"])] = r["m"]
+    cids = sorted(by_cid)
+    cmat = np.array(
+        [[by_cid[c][i] for i in sorted(by_cid[c])] for c in cids],
+        dtype="float64",
+    )
+
+    def _dists(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "cluster_id": pd.Series([], dtype="int64"),
+                        "dists": [],
+                    }
+                )
+                continue
+            x_mat = np.stack(pdf["ve"].to_numpy())
+            dm = _np_fold_sqds(x_mat, cmat)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster_id": pdf["cluster_id"].to_numpy(),
+                    "dists": list(dm),
+                }
+            )
+
+    pp = a.select("vec_id", "cluster_id", "ve").mapInPandas(
+        _dists, "vec_id bigint, cluster_id bigint, dists array<double>"
+    )
+    cid_arr = F.array(*[F.lit(int(c)).cast("bigint") for c in cids])
+    rounded = F.transform("dists", lambda d: F.round(d, 9))
+    pp = pp.select(
         "cluster_id",
-        "cid",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    "ve", "cv", lambda x, c: (x - c) * (x - c)
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-            9,
-        ).alias("dist"),
-    )
-    pp = pc.groupBy("vec_id").agg(
-        F.any_value("cluster_id").alias("cluster_id"),
-        F.max(
-            F.when(F.col("cid") == F.col("cluster_id"), F.col("dist"))
+        F.element_at(
+            rounded,
+            F.array_position(cid_arr, F.col("cluster_id")).cast("int"),
         ).alias("a_dist"),
-        F.min(
-            F.when(F.col("cid") != F.col("cluster_id"), F.col("dist"))
+        F.array_min(
+            F.zip_with(
+                rounded,
+                cid_arr,
+                lambda d, c: F.when(c != F.col("cluster_id"), d),
+            )
         ).alias("b_dist"),
     )
     s = pp.select(

@@ -216,10 +216,28 @@ def _run_to_memory(
     cardinality instead — override BDL_STREAM_STATE_PARTITIONS. Local
     default 8 -> 4 (r13): same-session A/B on the two stream-stream join
     keys measured ~0.5-0.7x wall-clock at 4 (and again at 2) — the
-    fixture's state is KBs, so commit-file count dominates."""
+    fixture's state is KBs, so commit-file count dominates.
+
+    State-store provider (VERDICT r13 item 9): BDL_STREAM_STATE_PROVIDER
+    = "rocksdb" switches to RocksDBStateStoreProvider, env-gated with the
+    HDFS-backed default UNCHANGED. A/B on the replay fixtures (r14, see
+    OPTIMIZATION_r14.md): RocksDB pays a per-partition native-store
+    open/commit per micro-batch, which at KB-sized state is pure overhead
+    — the HDFS provider stays the measured local winner; at production
+    state sizes (GBs per partition, where memory pressure and snapshot
+    cost dominate) RocksDB is the documented switch, one env var away."""
     spark = stream_df.sparkSession
     ckpt = tempfile.mkdtemp(prefix=f"bdl_ckpt_{name}_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    if os.environ.get("BDL_STREAM_STATE_PROVIDER", "").lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get("BDL_STREAM_STATE_PARTITIONS", "4"),
@@ -236,6 +254,15 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_provider is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                prev_provider,
+            )
     return spark.table(name)
 
 
