@@ -519,20 +519,22 @@ def ext_hits_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a1 = edges.groupBy("part").agg(F.count(F.lit(1)).alias("s"))
-    # SHUFFLE_HASH on the score side of each reinforcement join: the score
-    # frames are keyed aggregates (O(parts)/O(custs) rows, far below the
-    # edge frame), so the per-partition hash build fits and both sort
-    # passes of the default sort-merge disappear (guide §3.1; measured
-    # 0.66 s vs 0.78 s min-of-4 per round at sf0.1). Broadcast was ALSO
-    # measured and lost (0.90 s — the build job outweighs the win at this
-    # size), and at 100 TB a per-entity score frame outgrows broadcast
-    # anyway, so shuffled-hash is the right strategy at both scales.
+    # UNHINTED reinforcement joins (r14, VERDICT r13 #3): the r13
+    # SHUFFLE_HASH hints were re-adjudicated and REVERTED. The r13
+    # per-round microbenchmark (0.66 SHJ vs 0.78 SMJ) did not survive
+    # whole-key measurement: the driver's own bench showed the hinted
+    # form regressing (3.33 -> 4.61 s at 8c), the r14 32c bench read
+    # 3.38 hinted, and four r14 gated A/B sessions put unhinted at
+    # min 2.39/2.76 vs hinted 3.81/2.56 — noisy, but nothing
+    # reproduces a hint win at whole-key grain. Unhinted also leaves
+    # AQE free to pick the strategy (incl. broadcast conversion) from
+    # runtime sizes at any scale.
     h1 = scoped_persist(
-        edges.join(a1.hint("shuffle_hash"), "part")
+        edges.join(a1, "part")
         .groupBy("cust")
         .agg(F.sum("s").alias("s"))
     )
-    a2 = edges.join(h1.hint("shuffle_hash"), "cust").groupBy("part").agg(
+    a2 = edges.join(h1, "cust").groupBy("part").agg(
         F.sum("s").alias("s")
     )
     ta = a2.agg(F.sum("s").alias("t"))
