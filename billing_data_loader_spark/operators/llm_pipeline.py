@@ -1257,7 +1257,11 @@ def ext_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") == 1)
     return (
         batch.select(F.col("doc_id").alias("batch_id"), "lang")
-        .join(best, "batch_id", "left")
+        # broadcast the match side (<= one row per batch doc, KBs): the
+        # planner defaulted to a SortMergeJoin that shuffled BOTH sides
+        # of this left join (r14 before-plan, Exchange 4 + 51); with the
+        # broadcast the batch side never shuffles at all (guide §3.1)
+        .join(F.broadcast(best), "batch_id", "left")
         .select(
             "batch_id",
             "lang",
@@ -1523,6 +1527,11 @@ def ext_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; pair verification joins the O(pairs) frame against the
     signature frame twice. At 100 TB pairs come from the LSH
     candidates, exactly as in the production siblings."""
+    # widen_scan A/B'd and NOT taken (r14): widening the scan before the
+    # shingle explode measured 2.49 vs 2.14 s min-of-4 gated — unlike the
+    # _shingle_tokens siblings, this key's cost sits in the downstream
+    # full pair self-join (already wide after the distinct), so the
+    # round-robin repartition of the raw docs is pure overhead here.
     d = load(spark, sf_dir, "documents")
     tok = scoped_persist(
         d.select("doc_id", "lang", F.split("text", " ").alias("t"))
